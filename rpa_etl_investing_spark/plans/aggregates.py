@@ -1,0 +1,278 @@
+"""Aggregation queries (SURVEY §2.4 A1-A5).
+
+The reference has no GROUP BY — its nearest aggregation is the distinct
+dimension-name probe (``/root/reference/main.py:124-135`` with
+uniqueness declared at ``main.py:27,32``). These queries generalize
+that seed into the full hash-aggregate surface over the fixture star
+schema. Spark plans all of them as partial (map-side) + final
+aggregates automatically (A5).
+
+Oracle-parity note: every SUM/AVG over a double column accumulates in
+DECIMAL (exact, order-independent) and casts to DOUBLE at the end;
+averages are written as sum/count in both engines (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rpa_etl_investing_spark.catalog import tbl
+from rpa_etl_investing_spark.plans.registry import register
+
+
+def dsum(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent exact sum of a double column: accumulate in
+    DECIMAL, emit DOUBLE. Mirrors the oracle-side
+    ``CAST(SUM(CAST(x AS DECIMAL(27,s))) AS DOUBLE)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(27,{scale})")).cast("double")
+
+
+def davg(col: Column | str, scale: int = 2) -> Column:
+    """Exact-accumulation average: decimal sum cast double, over count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c, scale) / F.count(c)
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / COUNT(l_quantity)      AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_discount)      AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: the TPC-H Q1 shape — grouped multi-aggregate pricing summary.
+
+    Generalizes the fact-table numeric columns the reference stores to be
+    aggregated (``main.py:40-43``).
+    """
+    l = tbl(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_dims",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def agg_distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: DISTINCT — the set-based form of the reference's unique
+    dimension names (``main.py:27,32,124-135``)."""
+    return tbl(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: exact count-distinct per group (expands to two-phase agg)."""
+    return (
+        tbl(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+    )
+
+
+@register("agg_approx_distinct")  # approx sketch — no exact oracle; rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: HyperLogLog++ approximate count-distinct (the 100 TB-scale
+    substitute for exact distinct; sketch values are engine-specific so
+    the driver records the weaker rows-only check)."""
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        )
+    )
+
+
+@register(
+    "agg_min_max_group",
+    oracle="""
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_min_max_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: min/max over doubles and timestamps (order-independent, exact)."""
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: HAVING — post-aggregation filter."""
+    return (
+        tbl(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("spend"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: ROLLUP over the region→nation hierarchy (seeded by the
+    reference's country×sector hierarchy, ``main.py:38-39``)."""
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    joined = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "c_acctbal")
+    )
+    return joined.rollup("region", "nation").agg(
+        F.count("*").alias("n_customers"), dsum("c_acctbal").alias("total_balance")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: CUBE — all grouping-set combinations."""
+    return (
+        tbl(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        )
+        .cube("status", "priority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: explicit GROUPING SETS via the SQL API (same Catalyst plan as
+    the DataFrame form)."""
+    tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_variance_exact",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n,
+           (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1) AS var_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: sample variance via exact decimal moments (sum, sum-of-squares)
+    so the result is bit-identical regardless of accumulation order —
+    the portable form of VAR_SAMP."""
+    l = tbl(spark, sf_dir, "lineitem")
+    q2 = (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(30,4)")
+    sum_q = F.sum(F.col("l_quantity").cast("decimal(27,2)")).cast("double")
+    n = F.count("*")
+    return l.groupBy("l_linestatus").agg(
+        n.alias("n"),
+        ((F.sum(q2).cast("double") - sum_q * sum_q / n) / (n - 1)).alias("var_qty"),
+    )
