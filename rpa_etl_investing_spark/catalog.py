@@ -30,10 +30,22 @@ SMALL_DIMS = {"region", "nation", "supplier"}
 
 
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one fixture table."""
+    """Scan one fixture table.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
+    (set in session.py) it arrives as nanos-since-epoch and is converted
+    here to a microsecond TimestampType (truncation — matching DuckDB's
+    ``CAST(ts AS TIMESTAMP)``).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:

@@ -1,6 +1,11 @@
 """Query plans — importing this package populates the registry."""
 
-from rpa_etl_investing_spark.plans import aggregates, relational, windows  # noqa: F401
+from rpa_etl_investing_spark.plans import (  # noqa: F401
+    aggregates,
+    relational,
+    scalar_functions,
+    windows,
+)
 from rpa_etl_investing_spark.plans.registry import QUERIES, all_oracles, all_queries
 
 __all__ = ["QUERIES", "all_queries", "all_oracles"]
