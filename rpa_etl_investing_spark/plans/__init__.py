@@ -2,6 +2,7 @@
 
 from rpa_etl_investing_spark.plans import (  # noqa: F401
     aggregates,
+    etl_queries,
     relational,
     scalar_functions,
     windows,

@@ -1,0 +1,164 @@
+"""Oracle-checked ETL-pipeline queries (SURVEY §2.1 S2, §2.8 F1-F5, §3.2).
+
+The ETL integration tests (tests/test_etl.py) exercise the warehouse
+write path; these queries put the same transform semantics under the
+driver's DuckDB oracle by manufacturing scrape-shaped raw rows
+deterministically from the ``customer`` fixture (integer-derived
+Brazilian-locale strings — no float formatting, so both engines build
+byte-identical input) and running the engine's real ``transform_raw``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rpa_etl_investing_spark.catalog import tbl
+from rpa_etl_investing_spark.etl.pipeline import transform_raw
+from rpa_etl_investing_spark.etl.sector_maps import SECTOR_BY_BRAZIL_INDEX
+from rpa_etl_investing_spark.plans.registry import register
+
+BRAZIL_NAMES = list(SECTOR_BY_BRAZIL_INDEX) + ["Indice Novo A", "Indice Novo B"]
+
+# --- shared raw-row construction -------------------------------------------
+
+_SQL_NAME_LIST = ", ".join("'" + n.replace("'", "''") + "'" for n in BRAZIL_NAMES)
+
+_RAW_SQL = f"""
+  SELECT
+    CASE WHEN c_custkey % 41 = 0 THEN NULL
+         WHEN c_custkey % 3 = 0 THEN ([{_SQL_NAME_LIST}])[CAST(c_custkey % 28 AS INT) + 1]
+         ELSE c_name END AS nome,
+    REPLACE(FORMAT('{{:,}}', c_custkey * 37 % 1000000), ',', '.')
+      || ',' || LPAD(CAST(c_custkey % 100 AS VARCHAR), 2, '0') AS valor_atual_raw,
+    CASE WHEN c_custkey % 17 = 0 THEN 'n/a'
+         ELSE REPLACE(FORMAT('{{:,}}', c_custkey * 53 % 1000000), ',', '.')
+              || ',' || LPAD(CAST(c_custkey % 100 AS VARCHAR), 2, '0') END AS maxima_raw,
+    REPLACE(FORMAT('{{:,}}', c_custkey * 29 % 1000000), ',', '.')
+      || ',' || LPAD(CAST(c_custkey % 100 AS VARCHAR), 2, '0') AS minima_raw,
+    CASE WHEN c_custkey % 2 = 0 THEN '+' ELSE '-' END
+      || CAST(c_custkey % 10 AS VARCHAR) || ','
+      || LPAD(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '%' AS variacao_raw,
+    CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'Brasil' WHEN 1 THEN 'China' ELSE 'EUA' END AS pais
+  FROM customer
+"""
+
+_PARSE_NUM = "CAST(REPLACE(REPLACE(TRIM({c}), '.', ''), ',', '.') AS DOUBLE)"
+_PARSE_PCT = (
+    "CAST(REPLACE(REPLACE(REPLACE(REPLACE(TRIM({c}), '+', ''), '%', ''),"
+    " '.', ''), ',', '.') AS DOUBLE)"
+)
+
+_SECTOR_SQL = (
+    "CASE WHEN pais = 'Brasil' THEN COALESCE(CASE nome "
+    + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in SECTOR_BY_BRAZIL_INDEX.items())
+    + " END, 'Diversificado') "
+    "WHEN pais IN ('China', 'EUA') THEN 'Primário' ELSE 'Primário' END"
+)
+
+_PARSED_SQL = f"""
+  SELECT TRIM(nome) AS nome,
+         {_PARSE_NUM.format(c="valor_atual_raw")} AS valor_atual,
+         TRY_CAST(REPLACE(REPLACE(TRIM(maxima_raw), '.', ''), ',', '.') AS DOUBLE) AS maxima,
+         {_PARSE_NUM.format(c="minima_raw")} AS minima,
+         {_PARSE_PCT.format(c="variacao_raw")} AS variacao,
+         pais
+  FROM ({_RAW_SQL})
+"""
+
+_CLEAN_SQL = f"""
+  SELECT nome, valor_atual, maxima, minima, variacao, pais,
+         {_SECTOR_SQL} AS setor
+  FROM ({_PARSED_SQL})
+  WHERE nome IS NOT NULL AND valor_atual IS NOT NULL AND maxima IS NOT NULL
+    AND minima IS NOT NULL AND variacao IS NOT NULL
+"""
+
+
+def _raw_scrape_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrape-shaped raw rows derived from customer (see _RAW_SQL twin)."""
+    c = tbl(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    names = F.array(*[F.lit(n) for n in BRAZIL_NAMES])
+    money = lambda mult: F.concat(  # noqa: E731
+        F.regexp_replace(F.format_string("%,d", (k * mult) % 1000000), ",", "."),
+        F.lit(","),
+        F.lpad((k % 100).cast("string"), 2, "0"),
+    )
+    return c.select(
+        F.when(k % 41 == 0, F.lit(None))
+        .when(k % 3 == 0, F.element_at(names, (k % 28).cast("int") + 1))
+        .otherwise(F.col("c_name"))
+        .alias("nome"),
+        money(37).alias("valor_atual_raw"),
+        F.when(k % 17 == 0, F.lit("n/a")).otherwise(money(53)).alias("maxima_raw"),
+        money(29).alias("minima_raw"),
+        F.concat(
+            F.when(k % 2 == 0, F.lit("+")).otherwise(F.lit("-")),
+            (k % 10).cast("string"),
+            F.lit(","),
+            F.lpad((k % 100).cast("string"), 2, "0"),
+            F.lit("%"),
+        ).alias("variacao_raw"),
+        F.when(k % 3 == 0, F.lit("Brasil"))
+        .when(k % 3 == 1, F.lit("China"))
+        .otherwise(F.lit("EUA"))
+        .alias("pais"),
+    )
+
+
+@register("etl_transform_classify", oracle=_CLEAN_SQL)
+def etl_transform_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's transform stage end-to-end (``main.py:100-106``):
+    locale parse + percent parse + sector classification, malformed rows
+    removed — run through the engine's real ``transform_raw``."""
+    return transform_raw(_raw_scrape_df(spark, sf_dir)).clean
+
+
+@register(
+    "etl_reject_metrics",
+    oracle=f"""
+    SELECT pais,
+           COUNT(*) FILTER (WHERE ok) AS n_clean,
+           COUNT(*) FILTER (WHERE NOT ok) AS n_rejected
+    FROM (
+      SELECT pais,
+             (nome IS NOT NULL AND valor_atual IS NOT NULL AND maxima IS NOT NULL
+              AND minima IS NOT NULL AND variacao IS NOT NULL) AS ok
+      FROM ({_PARSED_SQL}))
+    GROUP BY pais
+    """,
+)
+def etl_reject_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 with observability: per-country clean/rejected counts — fixing
+    the reference's silent row drop (``main.py:116-117``)."""
+    res = transform_raw(_raw_scrape_df(spark, sf_dir))
+    tagged = res.clean.select("pais", F.lit(True).alias("ok")).unionByName(
+        res.rejects.select("pais", F.lit(False).alias("ok"))
+    )
+    return tagged.groupBy("pais").agg(
+        F.count_if(F.col("ok")).alias("n_clean"),
+        F.count_if(~F.col("ok")).alias("n_rejected"),
+    )
+
+
+@register(
+    "etl_flagship_star",
+    oracle=f"""
+    SELECT nome, pais, setor, maxima
+    FROM ({_CLEAN_SQL})
+    WHERE setor = 'Primário' AND pais IN ('China', 'EUA')
+    ORDER BY maxima DESC, nome
+    LIMIT 10
+    """,
+)
+def etl_flagship_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference pipeline feeding its flagship query
+    (``main.py:149-157``) — transform → classify → filter → top-10."""
+    clean = transform_raw(_raw_scrape_df(spark, sf_dir)).clean
+    return (
+        clean.filter((F.col("setor") == "Primário") & F.col("pais").isin("China", "EUA"))
+        .select("nome", "pais", "setor", "maxima")
+        .orderBy(F.desc("maxima"), F.asc("nome"))
+        .limit(10)
+    )
