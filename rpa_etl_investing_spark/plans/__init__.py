@@ -5,6 +5,7 @@ from rpa_etl_investing_spark.plans import (  # noqa: F401
     etl_queries,
     relational,
     scalar_functions,
+    streaming_queries,
     windows,
 )
 from rpa_etl_investing_spark.plans.registry import QUERIES, all_oracles, all_queries

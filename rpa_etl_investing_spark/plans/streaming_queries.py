@@ -1,0 +1,123 @@
+"""Batch-checkable forms of the streaming operators (SURVEY §2.9 note:
+the driver oracle is DuckDB over static parquet, so correctness checks
+run the window logic in batch mode; tests/test_streaming.py runs the
+same plans under readStream)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rpa_etl_investing_spark.catalog import tbl
+from rpa_etl_investing_spark.plans.registry import register
+from rpa_etl_investing_spark.streaming import (
+    dedup_first_event,
+    drop_late_events,
+    sessionize,
+    sliding_window_counts,
+    tumbling_window_counts,
+)
+
+# DuckDB's time_bucket origin (2000-01-03 00:00:00 UTC) sits on every
+# whole-minute grid we use, so buckets align with Spark's epoch-aligned
+# window() for these durations.
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT TIME_BUCKET(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+           TIME_BUCKET(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL 10 MINUTE AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1: tumbling event-time windows (batch form)."""
+    return tumbling_window_counts(tbl(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    SELECT start AS window_start,
+           start + INTERVAL 10 MINUTE AS window_end,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT TIME_BUCKET(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               - o * INTERVAL 5 MINUTE AS start
+      FROM events CROSS JOIN (VALUES (0), (1)) AS offs(o))
+    GROUP BY start
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2: sliding windows (10 min / 5 min — every event in 2 windows)."""
+    return sliding_window_counts(tbl(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events)),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS first_event_id
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3: session windows (30-min gap) per user — the oracle hand-rolls
+    gaps-and-islands sessionization (SURVEY §7.4 dialect note)."""
+    return sessionize(tbl(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT user_id, event_type,
+           MIN(event_id) AS first_event_id,
+           MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+           COUNT(*) AS n_duplicates
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5: deterministic streaming-dedup batch form (first event per key)."""
+    return dedup_first_event(tbl(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_late_data",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_on_time,
+           MIN(CAST(ts AS TIMESTAMP)) AS earliest_kept
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >=
+          (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR FROM events)
+    GROUP BY event_type
+    """,
+)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4: watermark late-data semantics in batch form."""
+    kept = drop_late_events(tbl(spark, sf_dir, "events"))
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_on_time"),
+        F.min("ts").alias("earliest_kept"),
+    )
