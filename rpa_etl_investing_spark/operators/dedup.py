@@ -1,0 +1,187 @@
+"""Deduplication operators (SURVEY §2.10 L1-L2).
+
+Scale design (the point of each shape at 100 TB):
+
+- ``exact_dedup``: one hash-aggregate on the text hash — a single
+  shuffle of (hash, doc_id), never the full text.
+- ``minhash_*``: per-doc signatures are a map-side explode + partial
+  min-aggregate; candidate generation joins on (band_no, band_key), so
+  only docs sharing a band ever meet — the classic MinHash-LSH
+  band-bucket join, linear-ish instead of O(n²).
+- ``ngram_jaccard_pairs``: inverted-index self-join on shingles; join
+  fan-out is bounded by shingle document frequency, and a df-cap filter
+  drops stop-shingles (the skew guard a real corpus needs).
+- ``simhash_signatures``: 16-bit bit-majority fingerprint; near-dups
+  collide on the signature → dedup becomes a group-by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def tokens_col(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def shingles(text: Column | str = "text", k: int = 3) -> Column:
+    """k-word shingles as an array<string> (space-joined)."""
+    t = tokens_col(text)
+    n = F.size(t)
+    idx = F.sequence(F.lit(0), n - k)  # 0-based start positions
+    make = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
+    )
+    return F.when(n >= k, F.transform(idx, make)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """L1: exact duplicate groups by content hash; keeps the smallest
+    doc_id as canonical (deterministic survivor)."""
+    return (
+        docs.groupBy(F.sha2(F.col(text_col).cast("binary"), 256).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _minhash_exprs(j: int, shingle_col: str = "sh") -> Column:
+    # md5 over "<j>:<shingle>" — identical bytes in DuckDB's md5()
+    return F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col(shingle_col)).cast("binary"))).alias(
+        f"h{j}"
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """L2: 16 md5-minhashes per document (hex-string min ≡ numeric min
+    for a fixed-width uniform hash). Docs with fewer than 3 tokens have
+    no shingles and drop out (matching the oracle's UNNEST)."""
+    ex = docs.select(
+        "doc_id", F.explode(shingles(text_col)).alias("sh")
+    )
+    return ex.groupBy("doc_id").agg(*[_minhash_exprs(j) for j in range(N_MINHASH)])
+
+
+def band_keys(sig: DataFrame) -> DataFrame:
+    """Fold each signature into N_BANDS band keys: (doc_id, band_no, key)."""
+    rows_per_band = N_MINHASH // N_BANDS
+    parts = []
+    for b in range(N_BANDS):
+        cols = ", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        parts.append(f"{b}, concat({cols})")
+    return sig.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {', '.join(parts)}) AS (band_no, band_key)"
+    )
+
+
+def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """L2: LSH candidate pairs — docs sharing ≥1 of 4 bands — with the
+    minhash-estimated Jaccard (shared minhashes / 16)."""
+    sig = minhash_signatures(docs, text_col)
+    bands = band_keys(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(N_MINHASH)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(N_MINHASH)]
+    )
+    shared = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(N_MINHASH)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (shared / F.lit(float(N_MINHASH))).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """L2: 16-bit SimHash over distinct tokens — bit i is the majority
+    vote of hex digit i of each token's md5 (≥'8' → +1 else −1)."""
+    ex = docs.select("doc_id", F.explode(tokens_col(text_col)).alias("tok")).distinct()
+    hx = F.md5(F.col("tok").cast("binary"))
+    votes = [
+        F.sum(
+            F.when(F.substring(hx, i + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(16)
+    ]
+    agg = ex.groupBy("doc_id").agg(*votes)
+    bits = F.concat(
+        *[F.when(F.col(f"v{i}") >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(16)]
+    )
+    return agg.select("doc_id", bits.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.05,
+    max_df: int = 1000,
+) -> DataFrame:
+    """L2: exact n-gram Jaccard via an inverted-index self-join.
+
+    ``max_df`` drops shingles that appear in too many docs (stop-shingle
+    skew guard); ``threshold`` bounds the output. Jaccard is computed
+    from exact integer set sizes — deterministic cross-engine.
+    """
+    ex = (
+        docs.select("doc_id", F.explode(shingles(text_col, k)).alias("sh"))
+        .distinct()
+    )
+    df_counts = ex.groupBy("sh").agg(F.count("*").alias("df"))
+    ex = ex.join(df_counts.filter(F.col("df") <= max_df), "sh")
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (SURVEY §2.10 L3).
+
+``brute_force_topk`` is the exact baseline: a broadcast cross join of a
+small query set against the corpus — at 100 TB the corpus side stays
+partitioned and never shuffles; only the query side broadcasts.
+``sign_lsh_*`` is the scale path: bucket vectors by the sign pattern of
+their leading components (axis-aligned hyperplane LSH), turning ANN
+into an equi-join on bucket key. A production system would use random
+hyperplanes or IVF centroids; the sign bucket keeps the plan identical
+while staying reproducible in the SQL oracle.
+
+Determinism: every dot product quantizes each term onto a 1e-10 integer
+grid (``floor(x*y*1e10 + 0.5)`` — pure double ops) and sums BIGINTs, so
+accumulation order can't change the result; cosine then uses IEEE-exact
+sqrt and division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1e10
+
+
+def _quantized_dot(a: Column, b: Column) -> Column:
+    """Σ floor(a_i·b_i·1e10 + 0.5) as BIGINT, exact and order-independent."""
+    terms = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.floor(x.cast("double") * y.cast("double") * SCALE + 0.5).cast(
+            "bigint"
+        ),
+    )
+    return F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, t: acc + t)
+
+
+def _norm(a: Column) -> Column:
+    """sqrt of the quantized self-dot, scaled back to vector units."""
+    return F.sqrt(_quantized_dot(a, a) / F.lit(SCALE))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return (_quantized_dot(a, b) / F.lit(SCALE)) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector (query side broadcast)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sign_lsh_buckets(
+    vectors: DataFrame,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucket key = sign pattern of the first ``n_bits`` components."""
+    bits = F.concat(
+        *[
+            F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(n_bits)
+        ]
+    )
+    return vectors.select(
+        F.col(id_col), F.col(vec_col), bits.alias("bucket")
+    )
+
+
+def sign_lsh_bucket_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: candidates limited to the query's LSH bucket (equi-join on
+    bucket key → shuffle partitions by bucket, no cross join)."""
+    qb = sign_lsh_buckets(queries, n_bits, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    cb = sign_lsh_buckets(corpus, n_bits, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    scored = (
+        qb.join(cb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "bucket",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -3,6 +3,7 @@
 from rpa_etl_investing_spark.plans import (  # noqa: F401
     aggregates,
     etl_queries,
+    llm_queries,
     relational,
     scalar_functions,
     streaming_queries,

@@ -1,0 +1,303 @@
+"""LLM-data-pipeline queries (SURVEY §2.10) over documents/embeddings.
+
+Each query runs the engine's real operator (operators/dedup.py,
+similarity.py, text.py) and carries a DuckDB oracle that recomputes the
+same signatures/scores from scratch — possible because every hash is
+md5/sha256 hex (identical in both engines) and every float reduction is
+integer-grid quantized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rpa_etl_investing_spark.catalog import tbl
+from rpa_etl_investing_spark.operators import (
+    brute_force_topk,
+    document_fingerprint,
+    exact_dedup,
+    language_id,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    sign_lsh_bucket_topk,
+    simhash_signatures,
+    token_stats,
+)
+from rpa_etl_investing_spark.operators.dedup import N_BANDS, N_MINHASH
+from rpa_etl_investing_spark.operators.text import LANG_LEXICONS, STOPWORDS
+from rpa_etl_investing_spark.plans.registry import register
+
+# ---- shared DuckDB fragments ----------------------------------------------
+
+_TOK_CTE = "tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)"
+_SH_LIST = (
+    "CASE WHEN LEN(t) < 3 THEN CAST([] AS VARCHAR[]) "
+    "ELSE LIST_TRANSFORM(RANGE(1, LEN(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END"
+)
+_SH_CTE = f"shx AS (SELECT doc_id, UNNEST({_SH_LIST}) AS sh FROM tok)"
+
+_MINHASH_COLS = ", ".join(
+    f"MIN(md5('{j}:' || sh)) AS h{j}" for j in range(N_MINHASH)
+)
+_SIG_CTE = f"sig AS (SELECT doc_id, {_MINHASH_COLS} FROM shx GROUP BY doc_id)"
+
+_ROWS_PER_BAND = N_MINHASH // N_BANDS
+_BANDS_UNION = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_no, {key} AS band_key FROM sig".format(
+        b=b,
+        key="||".join(f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)),
+    )
+    for b in range(N_BANDS)
+)
+
+# ---- L1: exact dedup -------------------------------------------------------
+
+
+@register(
+    "llm_exact_dedup",
+    oracle="""
+    SELECT SHA256(text) AS content_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY SHA256(text)
+    """,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup by content hash, deterministic survivor."""
+    return exact_dedup(tbl(spark, sf_dir, "documents"))
+
+
+# ---- L2: MinHash -----------------------------------------------------------
+
+
+@register(
+    "llm_minhash_signatures",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SH_CTE}
+    SELECT doc_id, {_MINHASH_COLS}
+    FROM shx GROUP BY doc_id
+    """,
+)
+def llm_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: 16 md5-minhashes per doc (shingle → minhash stage of LSH)."""
+    return minhash_signatures(tbl(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_minhash_pairs",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SH_CTE}, {_SIG_CTE},
+    bands AS ({_BANDS_UNION}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_no = b.band_no AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id)
+    SELECT p.doc_a, p.doc_b,
+           ({" + ".join(f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END" for j in range(N_MINHASH))})
+             / {float(N_MINHASH)} AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    """,
+)
+def llm_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: LSH band-bucket candidate pairs + estimated Jaccard."""
+    return minhash_candidate_pairs(tbl(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_simhash",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    toks AS (SELECT DISTINCT doc_id, UNNEST(t) AS tok FROM tok),
+    votes AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(CASE WHEN SUBSTRING(md5(tok), {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v{i}" for i in range(16))}
+      FROM toks GROUP BY doc_id)
+    SELECT doc_id,
+           {" || ".join(f"CASE WHEN v{i} >= 0 THEN '1' ELSE '0' END" for i in range(16))} AS simhash
+    FROM votes
+    """,
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: 16-bit SimHash fingerprints (near-dups collide)."""
+    return simhash_signatures(tbl(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_ngram_jaccard",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    ex AS (SELECT DISTINCT doc_id, sh FROM shx),
+    keep AS (SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) <= 1000),
+    exf AS (SELECT ex.* FROM ex JOIN keep USING (sh)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM exf GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM exf a JOIN exf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           n_shared / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.05
+    """,
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: exact 3-gram Jaccard pairs via inverted-index self-join."""
+    return ngram_jaccard_pairs(tbl(spark, sf_dir, "documents"))
+
+
+# ---- L3: similarity search -------------------------------------------------
+
+_DOT = (
+    "CAST(LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, LEN({a}) + 1), "
+    "i -> CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e10 + 0.5) AS BIGINT)), "
+    "'sum') AS BIGINT)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / 1e10) / "
+        f"(SQRT({_DOT.format(a=a, b=a)} / 1e10) * SQRT({_DOT.format(a=b, b=b)} / 1e10))"
+    )
+
+
+@register(
+    "llm_similarity_bruteforce",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_cos_sql("q.embedding", "c.embedding")} AS cos_sim
+      FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+      CROSS JOIN embeddings c
+      WHERE q.vec_id <> c.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def llm_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: exact cosine top-10 for 8 query vectors (broadcast cross join
+    baseline; integer-grid-quantized dot products)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb.filter(F.col("vec_id") < 8), emb, k=10).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+@register(
+    "llm_similarity_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {" || ".join(f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8))} AS bucket
+      FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id,
+             {_cos_sql("q.embedding", "c.embedding")} AS cos_sim
+      FROM (SELECT * FROM b WHERE vec_id < 32) q
+      JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+    SELECT query_id, bucket, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def llm_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: sign-LSH bucketed ANN — candidate set restricted to
+    the query's bucket, cross join replaced by an equi-join."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return sign_lsh_bucket_topk(emb.filter(F.col("vec_id") < 32), emb, k=5).select(
+        "query_id", "bucket", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+# ---- L4: text analysis -----------------------------------------------------
+
+
+def _lex_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_LEXICONS[lang])
+    return f"LEN(LIST_INTERSECT(LIST_DISTINCT(t), [{words}]))"
+
+
+@register(
+    "llm_language_id",
+    oracle=f"""
+    WITH {_TOK_CTE}
+    SELECT doc_id, lang,
+           {_lex_sql("en")} AS score_en,
+           {_lex_sql("de")} AS score_de,
+           {_lex_sql("es")} AS score_es,
+           CASE WHEN {_lex_sql("en")} >= {_lex_sql("de")} AND {_lex_sql("en")} >= {_lex_sql("es")} THEN 'en'
+                WHEN {_lex_sql("de")} >= {_lex_sql("es")} THEN 'de'
+                ELSE 'es' END AS pred_lang
+    FROM tok JOIN documents USING (doc_id)
+    """,
+)
+def llm_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: n-gram/lexicon-overlap language ID with deterministic argmax."""
+    return language_id(tbl(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_quality_score",
+    oracle=f"""
+    WITH {_TOK_CTE}
+    SELECT doc_id,
+           LEN(t) AS n_tokens,
+           LENGTH(text) AS n_chars_actual,
+           (LENGTH(text) - (LEN(t) - 1)) / LEN(t) AS avg_token_len,
+           LEN(LIST_FILTER(t, x -> x IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS stopword_hits,
+           LEN(LIST_FILTER(t, x -> x IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) / LEN(t) AS stopword_ratio,
+           CASE WHEN LEN(t) < 5 THEN 0.0
+                WHEN LEN(LIST_FILTER(t, x -> x IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) / LEN(t) > 0.5 THEN 0.25
+                ELSE 1.0 - LEN(LIST_FILTER(t, x -> x IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) / LEN(t) END AS quality
+    FROM tok JOIN documents USING (doc_id)
+    """,
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: corpus quality features (length, token stats, stopword ratio)."""
+    return quality_score(tbl(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_token_stats",
+    oracle="""
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 20
+    """,
+)
+def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: corpus token-frequency top-20."""
+    return token_stats(tbl(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_fingerprint",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    ex AS (SELECT DISTINCT doc_id, sh FROM shx)
+    SELECT doc_id,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT md5(sh)))[1:4], '') AS fingerprint,
+           COUNT(*) AS n_shingles
+    FROM ex GROUP BY doc_id
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: winnowing-style min-4 shingle-hash document fingerprint."""
+    return document_fingerprint(tbl(spark, sf_dir, "documents"))
