@@ -1,0 +1,16 @@
+"""Multimodal columns (SURVEY §2.10): image/audio/video as opaque binary
+columns with typed metadata."""
+
+from rpa_etl_investing_spark.multimodal.binary_ops import (
+    MEDIA_META_SCHEMA,
+    attach_binary_media,
+    decode_media_metadata,
+    sample_video_frames,
+)
+
+__all__ = [
+    "MEDIA_META_SCHEMA",
+    "attach_binary_media",
+    "decode_media_metadata",
+    "sample_video_frames",
+]

@@ -1,0 +1,66 @@
+"""As-of join (SURVEY §2.3 J6) — the time-series operator Spark lacks
+natively, built as a union + window merge-scan.
+
+Shape: tag both sides, union them, and take ``last(value, ignorenulls)``
+over a per-key event-time window. This is the scalable form — ONE
+shuffle on the join key (no range cross-join, no per-key fan-out),
+the same access pattern a native as-of implementation performs. The
+``pd.merge_asof``-in-``applyInPandas`` alternative exists for pandas
+semantics but moves data through Python; this stays fully JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.ts <= left.ts`` (inclusive) for the same key.
+
+    ``right`` must be unique per (key, ts); pre-dedupe otherwise or the
+    survivor at duplicate timestamps is unspecified.
+    """
+    rtypes = dict(right.dtypes)
+    l_tag = left.select(
+        "*",
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast("timestamp").alias("_r_ts"),
+        *[F.lit(None).cast(rtypes[c]).alias(f"_r_{c}") for c in value_cols],
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("_is_left"),
+        F.col(ts).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts → "<=" semantics
+    w = (
+        W.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_is_left").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        unioned.select(
+            *left.columns,
+            "_is_left",
+            F.last("_r_ts", ignorenulls=True).over(w).alias(f"{ts}{suffix}"),
+            *[
+                F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+                for c in value_cols
+            ],
+        )
+        .filter(F.col("_is_left") == 1)
+        .drop("_is_left")
+    )

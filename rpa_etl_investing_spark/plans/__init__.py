@@ -1,12 +1,15 @@
 """Query plans — importing this package populates the registry."""
 
 from rpa_etl_investing_spark.plans import (  # noqa: F401
+    advanced,
     aggregates,
     etl_queries,
     llm_queries,
+    multimodal_queries,
     relational,
     scalar_functions,
     streaming_queries,
+    udf_surface,
     windows,
 )
 from rpa_etl_investing_spark.plans.registry import QUERIES, all_oracles, all_queries

@@ -1,0 +1,155 @@
+"""Advanced relational operators: as-of join, pivot/unpivot, lateral
+explode, deterministic surrogate-key upsert (SURVEY §2.3 J4/J6, §2.11
+UDTF row-explosion seed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from rpa_etl_investing_spark.catalog import tbl
+from rpa_etl_investing_spark.operators.asof import asof_join
+from rpa_etl_investing_spark.plans.registry import register
+
+
+@register(
+    "asof_join_last_purchase",
+    oracle="""
+    WITH clicks AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+      WHERE rn = 1)
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS ts_asof, p.value AS value_asof
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: as-of join — each click gets the user's most recent purchase
+    at-or-before it. Spark side: union + window merge-scan (one shuffle);
+    oracle: DuckDB's native ASOF JOIN."""
+    ev = tbl(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    dedup_w = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    return asof_join(clicks, purchases, key="user_id", ts="ts", value_cols=["value"])
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS status_o,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS status_f,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority × status (explicit value list so
+    the output schema is static — required for streaming parity and for
+    Catalyst to plan a single aggregate)."""
+    o = tbl(spark, sf_dir, "orders")
+    p = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "priority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+@register(
+    "unpivot_fact_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, val
+    FROM lineitem
+    UNPIVOT (val FOR measure IN (l_quantity AS 'quantity',
+                                 l_extendedprice AS 'extendedprice',
+                                 l_discount AS 'discount',
+                                 l_tax AS 'tax'))
+    """,
+)
+def unpivot_fact_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide measure columns → long (measure, val) — the
+    reference fact table's four numeric columns (main.py:40-43) as EAV."""
+    return tbl(spark, sf_dir, "lineitem").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    ).withColumn("measure", F.regexp_replace("measure", "^l_", ""))
+
+
+@register(
+    "explode_tokens_positional",
+    oracle="""
+    SELECT doc_id, s.pos - 1 AS pos, s.tok AS token
+    FROM (SELECT doc_id,
+                 UNNEST(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1),
+                        i -> {'pos': i, 'tok': STRING_SPLIT(text, ' ')[i]})) AS s
+          FROM documents
+          WHERE doc_id < 50)
+    """,
+)
+def explode_tokens_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface (§2.11): posexplode — row explosion with ordinality.
+    Built-in generator, no Python UDTF needed."""
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+
+
+@register(
+    "dim_upsert_surrogate_keys",
+    oracle="""
+    WITH existing AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY n_name) AS id, n_name AS nome
+      FROM nation WHERE n_regionkey < 3),
+    incoming AS (SELECT DISTINCT n_name AS nome FROM nation),
+    new_rows AS (
+      SELECT i.nome FROM incoming i
+      WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.nome = i.nome))
+    SELECT id, nome FROM existing
+    UNION ALL
+    SELECT (SELECT MAX(id) FROM existing) + ROW_NUMBER() OVER (ORDER BY nome) AS id,
+           nome
+    FROM new_rows
+    """,
+)
+def dim_upsert_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 end-to-end under the oracle: deterministic surrogate-key upsert
+    (anti-join + row_number over natural key, offset by max id) — the
+    set-based form of the reference's insert-if-absent probes
+    (main.py:124-135) with re-run-stable ids (SURVEY §7.4)."""
+    from rpa_etl_investing_spark.etl.pipeline import upsert_dimension
+
+    n = tbl(spark, sf_dir, "nation")
+    w = W.partitionBy(F.lit(1)).orderBy("nome")
+    existing = (
+        n.filter(F.col("n_regionkey") < 3)
+        .select(F.col("n_name").alias("nome"))
+        .withColumn("id", F.row_number().over(w).cast("long"))
+        .select("id", "nome")
+    )
+    incoming = n.select(F.col("n_name").alias("nome"))
+    return upsert_dimension(existing, incoming)

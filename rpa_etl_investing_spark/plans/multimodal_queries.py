@@ -1,0 +1,56 @@
+"""Multimodal-column queries (SURVEY §2.10): binary payload plumbing
+with the decode stub's deterministic formulas reproduced by the oracle
+(hex-digit arithmetic stands in for the codec)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rpa_etl_investing_spark.catalog import tbl
+from rpa_etl_investing_spark.multimodal import (
+    attach_binary_media,
+    decode_media_metadata,
+    sample_video_frames,
+)
+from rpa_etl_investing_spark.plans.registry import register
+
+# first md5 byte from its two hex chars, ANSI-style
+_MD5_BYTE = (
+    "(16 * (STRPOS('0123456789abcdef', SUBSTRING(md5(text), 1, 1)) - 1)"
+    " + STRPOS('0123456789abcdef', SUBSTRING(md5(text), 2, 1)) - 1)"
+)
+
+_META_SQL = f"""
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+         CAST(32 + OCTET_LENGTH(ENCODE(text)) % 64 AS INT) AS width,
+         CAST(32 + (OCTET_LENGTH(ENCODE(text)) * 7) % 64 AS INT) AS height,
+         CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + {_MD5_BYTE} % 30 ELSE 1 END AS INT) AS n_frames,
+         md5(text) AS checksum
+  FROM documents
+"""
+
+
+@register("multimodal_decode_meta", oracle=_META_SQL)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media decode via Arrow-batched mapInPandas (codec stubbed
+    deterministically — see multimodal/binary_ops.py)."""
+    media = attach_binary_media(tbl(spark, sf_dir, "documents"))
+    return decode_media_metadata(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id, n_frames, UNNEST(RANGE(0, n_frames, 5)) AS frame_no
+    FROM ({_META_SQL})
+    WHERE media_type = 'video'
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: every-5th frame index per video, JVM-side explode."""
+    media = attach_binary_media(tbl(spark, sf_dir, "documents"))
+    meta = decode_media_metadata(media)
+    return sample_video_frames(meta, every_n=5).select("doc_id", "n_frames", "frame_no")

@@ -1,0 +1,141 @@
+"""UDF / UDAF / grouped-map surface (SURVEY §2.11).
+
+The reference's 'UDFs' are inline Python row expressions during
+scraping (``/root/reference/main.py:100-106``). Policy: the flagship
+path never needs Python (F1-F5 compile to built-ins); this module
+demonstrates each Python-extension point with Arrow-vectorized forms —
+pandas_udf scalar, GROUPED_AGG, applyInPandas, mapInPandas — on
+deterministic integer/string logic so even the slow path stays
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rpa_etl_investing_spark.catalog import tbl
+from rpa_etl_investing_spark.plans.registry import register
+
+
+@register(
+    "udf_pandas_scalar_parse",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(REPLACE(REPLACE(TRIM(br_text), '.', ''), ',', '.') AS DOUBLE) AS parsed
+    FROM (
+      SELECT o_orderkey,
+             REPLACE(FORMAT('{:,}', o_orderkey * 11 % 10000000), ',', '.') || ','
+               || LPAD(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') AS br_text
+      FROM orders)
+    """,
+)
+def udf_pandas_scalar_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow-vectorized): the reference's locale parse
+    (main.py:101-103) in Python — ~10-100× faster than a row-at-a-time
+    UDF, still off the flagship path by design."""
+
+    @F.pandas_udf("double")
+    def parse_br(s: pd.Series) -> pd.Series:
+        return pd.to_numeric(
+            s.str.strip().str.replace(".", "", regex=False).str.replace(",", ".", regex=False),
+            errors="coerce",
+        )
+
+    o = tbl(spark, sf_dir, "orders")
+    br_text = F.concat(
+        F.regexp_replace(F.format_string("%,d", (F.col("o_orderkey") * 11) % 10000000), ",", "."),
+        F.lit(","),
+        F.lpad((F.col("o_orderkey") % 100).cast("string"), 2, "0"),
+    )
+    return o.select("o_orderkey", parse_br(br_text).alias("parsed"))
+
+
+@register(
+    "udf_grouped_agg_spread",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           MAX(l_extendedprice) - MIN(l_extendedprice) AS price_spread
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def udf_grouped_agg_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (vectorized UDAF): per-group max−min
+    (order-independent, so the Python path stays hash-exact)."""
+
+    @F.pandas_udf("double")
+    def spread(v: pd.Series) -> float:
+        return float(v.max() - v.min())
+
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(spread("l_extendedprice").alias("price_spread"))
+    )
+
+
+@register(
+    "udf_grouped_map_center",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           l_extendedprice - MIN(l_extendedprice) OVER (PARTITION BY l_returnflag) AS price_centered
+    FROM lineitem
+    """,
+)
+def udf_grouped_map_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-group transform (center on the
+    group min — exact double op). The whole group arrives as one pandas
+    DataFrame; at scale groups must fit in executor memory, which is why
+    the built-in window form is preferred when expressible."""
+
+    schema = T.StructType(
+        [
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("price_centered", T.DoubleType()),
+        ]
+    )
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["l_returnflag", "l_orderkey", "l_linenumber"]].copy()
+        out["price_centered"] = pdf["l_extendedprice"] - pdf["l_extendedprice"].min()
+        return out
+
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .applyInPandas(center, schema)
+    )
+
+
+@register(
+    "udf_map_in_pandas_tokens",
+    oracle="""
+    SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens, UPPER(lang) AS lang_u
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def udf_map_in_pandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas: per-partition Arrow-batch iterator — the custom-scan /
+    custom-operator extension point (also the multimodal decode vehicle,
+    see multimodal/binary_ops.py)."""
+
+    def fn(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pdf["text"].str.split(" ").str.len().astype("int32"),
+                    "lang_u": pdf["lang"].str.upper(),
+                }
+            )
+            yield out
+
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.mapInPandas(fn, "doc_id long, n_tokens int, lang_u string")
