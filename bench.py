@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver runs this per-round at sf0.1.
+
+Runs the headline queries from the registry against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Execution is a ``noop``-format write so every query runs end-to-end on
+executors (full scan → shuffle → sink) without driver-side collect —
+the same way you'd measure on a cluster. One warm-up pass on the
+smallest fixture primes the JVM/codegen so timings reflect steady
+state, not first-query JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from rpa_etl_investing_spark.session import get_spark
+
+# Headline set: one representative per heavy operator family (scan-agg,
+# broadcast star join, top-k, window, as-of merge, event-time bucketing,
+# exact + MinHash dedup, vector similarity, text stats).
+HEADLINE = {
+    "q1_pricing_summary": "agg_pricing_summary",
+    "q2_flagship_topk": "flagship_topk",
+    "q3_star_broadcast_join": "join_star_broadcast",
+    "q4_window_topk_per_group": "window_topk_per_group",
+    "q5_asof_join": "asof_join_last_purchase",
+    "q6_event_time_buckets": "datetime_bucket_agg",
+    "q7_exact_dedup": "llm_exact_dedup",
+    "q8_minhash_pairs": "llm_minhash_pairs",
+    "q9_similarity_bruteforce": "llm_similarity_bruteforce",
+    "q10_token_stats": "llm_token_stats",
+}
+
+
+def _run(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from rpa_etl_investing_spark.plans import QUERIES
+
+    spark = get_spark(app_name="bench")
+    warm_dir = "/root/testdata/sf0.001"
+    for bench_name, reg_name in HEADLINE.items():
+        try:
+            _run(spark, QUERIES[reg_name].fn, warm_dir)
+        except Exception:
+            pass  # warm-up failures surface in the timed pass
+
+    timings: dict[str, float] = {}
+    for bench_name, reg_name in HEADLINE.items():
+        timings[bench_name] = round(_run(spark, QUERIES[reg_name].fn, sf_dir), 3)
+
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
