@@ -24,6 +24,23 @@ N_MINHASH = 16
 N_BANDS = 4  # 4 rows per band
 
 
+def spread(docs: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition on the aggregation key before a heavy per-row
+    fan-out (shingle explode × md5).
+
+    A corpus-sized input arrives in many splits, but a small scan (few
+    parquet files) plans few partitions — and then the explode, the most
+    expensive stage of the dedup pipeline, runs on those few cores
+    (measured: 1 task for the whole sf0.1 documents table). Hash
+    partitioning on the groupBy key both parallelizes the fan-out and
+    pre-satisfies the downstream aggregate's required distribution, so
+    the post-explode (much larger) dataset is never shuffled — the
+    shuffle moves the compact pre-explode rows instead.
+    """
+    n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return docs.repartition(n, *[F.col(k) for k in keys])
+
+
 def tokens_col(text: Column | str = "text") -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.split(c, " ")
@@ -65,7 +82,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """L2: 16 md5-minhashes per document (hex-string min ≡ numeric min
     for a fixed-width uniform hash). Docs with fewer than 3 tokens have
     no shingles and drop out (matching the oracle's UNNEST)."""
-    ex = docs.select(
+    ex = spread(docs, "doc_id").select(
         "doc_id", F.explode(shingles(text_col)).alias("sh")
     )
     return ex.groupBy("doc_id").agg(*[_minhash_exprs(j) for j in range(N_MINHASH)])
@@ -76,17 +93,46 @@ def band_keys(sig: DataFrame) -> DataFrame:
     rows_per_band = N_MINHASH // N_BANDS
     parts = []
     for b in range(N_BANDS):
+        # delimited concat: hashes may be variable-width (numeric form),
+        # so undelimited concat would alias distinct bands
         cols = ", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
-        parts.append(f"{b}, concat({cols})")
+        parts.append(f"{b}, concat_ws('_', {cols})")
     return sig.selectExpr(
         "doc_id", f"stack({N_BANDS}, {', '.join(parts)}) AS (band_no, band_key)"
     )
 
 
+def minhash_signatures_long(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Numeric-encoded minhash signatures: the first 60 bits of each md5
+    as a BIGINT. Ordering (and therefore the min) matches the hex-string
+    form — fixed-width lowercase hex compares lexicographically exactly
+    as its numeric value — but a long aggregation buffer is mutable, so
+    Spark plans **HashAggregate** instead of the SortAggregate it falls
+    back to for ``min(string)``. At corpus scale that removes a
+    per-partition sort of the entire exploded shingle set (measured ~2×
+    on the pairs query). Used internally by :func:`minhash_candidate_pairs`,
+    whose output never exposes hash values; the oracle-visible
+    :func:`minhash_signatures` keeps the md5-hex form."""
+    ex = spread(docs, "doc_id").select("doc_id", F.explode(shingles(text_col)).alias("sh"))
+    aggs = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), F.col("sh")).cast("binary")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"h{j}")
+        for j in range(N_MINHASH)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """L2: LSH candidate pairs — docs sharing ≥1 of 4 bands — with the
     minhash-estimated Jaccard (shared minhashes / 16)."""
-    sig = minhash_signatures(docs, text_col)
+    sig = minhash_signatures_long(docs, text_col)
     bands = band_keys(sig)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
@@ -124,7 +170,7 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFram
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """L2: 16-bit SimHash over distinct tokens — bit i is the majority
     vote of hex digit i of each token's md5 (≥'8' → +1 else −1)."""
-    ex = docs.select("doc_id", F.explode(tokens_col(text_col)).alias("tok")).distinct()
+    ex = spread(docs, "doc_id").select("doc_id", F.explode(tokens_col(text_col)).alias("tok")).distinct()
     hx = F.md5(F.col("tok").cast("binary"))
     votes = [
         F.sum(
@@ -153,7 +199,8 @@ def ngram_jaccard_pairs(
     from exact integer set sizes — deterministic cross-engine.
     """
     ex = (
-        docs.select("doc_id", F.explode(shingles(text_col, k)).alias("sh"))
+        spread(docs, "doc_id")
+        .select("doc_id", F.explode(shingles(text_col, k)).alias("sh"))
         .distinct()
     )
     df_counts = ex.groupBy("sh").agg(F.count("*").alias("df"))

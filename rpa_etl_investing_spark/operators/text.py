@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rpa_etl_investing_spark.operators.dedup import shingles, tokens_col
+from rpa_etl_investing_spark.operators.dedup import shingles, spread, tokens_col
 
 # Tiny deterministic keyword lexicons over the fixture vocabulary —
 # stand-ins for real per-language frequency tables; the operator shape
@@ -85,7 +85,7 @@ def token_stats(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFra
 def document_fingerprint(docs: DataFrame, text_col: str = "text", n: int = 4) -> DataFrame:
     """Winnowing-style fingerprint: the ``n`` lexicographically smallest
     distinct shingle md5s, concatenated — a compact near-dup key."""
-    ex = docs.select(
+    ex = spread(docs, "doc_id").select(
         "doc_id", F.explode(shingles(text_col)).alias("sh")
     ).distinct()
     hashed = ex.select("doc_id", F.md5(F.col("sh").cast("binary")).alias("h"))

@@ -41,7 +41,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # modest heap: the full sf0.1 fixture set is ~100 MB, and an
+        # oversized lazily-grown heap is actively harmful here — first-
+        # touch page faults on tens of GB inside the VM showed up as
+        # multi-minute 90%-system-time storms during early heavy queries
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # the events fixture stores TIMESTAMP(NANOS) which vanilla Spark
