@@ -8,6 +8,7 @@ from rpa_etl_investing_spark.plans import (  # noqa: F401
     multimodal_queries,
     relational,
     scalar_functions,
+    source_queries,
     streaming_queries,
     udf_surface,
     windows,

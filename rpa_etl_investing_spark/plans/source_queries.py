@@ -1,0 +1,118 @@
+"""Source/sink queries (SURVEY §2.1 S2/S8): CSV and NDJSON round-trips
+with explicit schemas, PERMISSIVE corrupt-record accounting, and a
+partition-pruned scan over a partitioned parquet sink.
+
+Each query materializes its source file deterministically from the
+fixture tables (scratch area inside the repo), so the DuckDB oracle can
+reproduce the expected result straight from the parquet fixtures.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rpa_etl_investing_spark.catalog import tbl
+from rpa_etl_investing_spark.plans.registry import register
+from rpa_etl_investing_spark.sources import (
+    read_csv,
+    read_json,
+    scratch_dir,
+    split_rejects,
+    write_partitioned_parquet,
+)
+
+_NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.LongType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.LongType()),
+    ]
+)
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)) or "sf"
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: write ``nation`` to CSV, scan it back with an explicit schema
+    — values must survive the text round-trip bit-exactly (the oracle
+    reads the original parquet)."""
+    path = scratch_dir(_sf_tag(sf_dir), "nation_csv")
+    nation = tbl(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.mode("overwrite").csv(path, header=True)
+    good, _ = split_rejects(read_csv(spark, path, _NATION_SCHEMA))
+    return good
+
+
+@register(
+    "source_json_corrupt_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nation WHERE n_nationkey % 5 = 0)
+             AS n_rejected
+    FROM nation
+    """,
+)
+def source_json_corrupt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: NDJSON source seeded with deterministic corrupt lines (one
+    per nation with key % 5 == 0); PERMISSIVE parse captures them in
+    ``_corrupt_record`` and the pipeline *counts* them — fixing the
+    reference's silent drop (``main.py:116-117``)."""
+    path = scratch_dir(_sf_tag(sf_dir), "nation_json")
+    nation = tbl(spark, sf_dir, "nation")
+    lines = nation.select(
+        F.to_json(
+            F.struct("n_nationkey", "n_name", "n_regionkey")
+        ).alias("value")
+    )
+    corrupt = (
+        nation.filter(F.col("n_nationkey") % 5 == 0)
+        .select(F.concat(F.lit('{"n_nationkey": broken '), F.col("n_name")).alias("value"))
+    )
+    lines.unionByName(corrupt).write.mode("overwrite").text(path)
+    good, bad = split_rejects(read_json(spark, path, _NATION_SCHEMA))
+    return good.agg(F.count("*").alias("n_good")).crossJoin(
+        bad.agg(F.count("*").alias("n_rejected"))
+    )
+
+
+@register(
+    "source_partitioned_prune",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def source_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: partitioned parquet sink + pruned scan. ``orders`` is written
+    ``partitionBy(o_orderpriority)``; the filter then prunes to one
+    directory (``PartitionFilters`` in the plan — asserted in
+    tests/test_sources.py), so the other ~4/5 of the data is never read."""
+    path = scratch_dir(_sf_tag(sf_dir), "orders_by_priority")
+    orders = tbl(spark, sf_dir, "orders")
+    write_partitioned_parquet(orders, path, ["o_orderpriority"])
+    scanned = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    return scanned.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(T.DecimalType(27, 2)))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -1,0 +1,98 @@
+"""File-format readers and writers (SURVEY §2.1 S2/S8).
+
+Generalizes the reference's ingest boundary — a positional-column HTML
+table with silently skipped malformed rows (``/root/reference/
+main.py:94-117``) — into Spark's native source surface:
+
+- CSV/JSON readers take an **explicit schema** (never inference — the
+  engine owns its schemas, SURVEY §1.4) and parse in ``PERMISSIVE``
+  mode, capturing unparseable rows in ``_corrupt_record`` instead of
+  dropping them silently (the reference's ``except: continue`` at
+  ``main.py:116-117`` loses them without a trace).
+- :func:`split_rejects` turns that into (good, rejected) DataFrames so
+  pipelines can count and persist rejects — the metrics fix SURVEY §4
+  calls for.
+- :func:`write_partitioned_parquet` is the sink: ``partitionBy`` on the
+  natural query key so downstream scans get partition pruning (a filter
+  on the partition column skips whole directories — the 100 TB version
+  of "don't read what you don't need").
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def scratch_dir(*parts: str) -> str:
+    """A writable scratch area inside the repo (gitignored)."""
+    path = os.path.join(_REPO_ROOT, ".scratch", *parts)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+def _with_corrupt(schema: T.StructType) -> T.StructType:
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return T.StructType([*schema.fields, T.StructField(CORRUPT_COL, T.StringType())])
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan with explicit schema; malformed rows land in
+    ``_corrupt_record`` rather than being dropped."""
+    return spark.read.csv(
+        path,
+        schema=_with_corrupt(schema),
+        header=header,
+        sep=sep,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=CORRUPT_COL,
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """NDJSON scan with explicit schema + corrupt-record capture."""
+    return spark.read.json(
+        path,
+        schema=_with_corrupt(schema),
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=CORRUPT_COL,
+    )
+
+
+def split_rejects(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, rejected): rejected rows are those the parser could not
+    fully convert (non-null ``_corrupt_record``).
+
+    The scan is cached: Spark refuses a query whose referenced columns
+    are only the internal corrupt-record column (the parser can't know
+    corrupt-ness without materializing the real columns), and the cache
+    also makes good/bad two reads of one parse rather than two parses.
+    A long-lived pipeline would instead stage the parsed scan to parquet
+    and split from there — same one-parse property, spillable."""
+    df = df.cache()
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return good, bad
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet sink. Filters on ``partition_cols`` in later
+    scans prune whole directories (visible as ``PartitionFilters`` in
+    the physical plan)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

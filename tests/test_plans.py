@@ -1,0 +1,92 @@
+"""Physical-plan assertions — the scale-design contract.
+
+Correctness is checked against the DuckDB oracle; these tests pin the
+*plan shapes* that make the same queries viable at cluster scale:
+broadcast joins for dimensions, predicate pushdown into parquet scans,
+partition pruning on partitioned sinks, and no redundant shuffle after
+a pre-partitioned fan-out. A regression here is invisible at sf0.001
+and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rpa_etl_investing_spark.catalog import tbl
+from rpa_etl_investing_spark.operators.dedup import minhash_signatures_long, spread
+from rpa_etl_investing_spark.plans import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_flagship_uses_broadcast_joins(spark, sf_dir):
+    plan = _plan(QUERIES["flagship_topk"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_flagship_topk_avoids_full_sort(spark, sf_dir):
+    # ORDER BY + LIMIT must plan as TakeOrderedAndProject, not a global sort
+    plan = _plan(QUERIES["flagship_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45" in plan, plan
+
+
+def test_column_pruning_reaches_parquet_scan(spark, sf_dir):
+    df = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    # ReadSchema must carry only the projected columns
+    read = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_orderkey" in read and "l_quantity" in read, read
+    assert "l_extendedprice" not in read, read
+
+
+def test_spread_fanout_has_single_shuffle(spark, sf_dir):
+    # repartition(doc_id) satisfies groupBy(doc_id): exactly one exchange
+    sig = minhash_signatures_long(tbl(spark, sf_dir, "documents"))
+    plan = _plan(sig)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_spread_aggregate_is_hash_not_sort(spark, sf_dir):
+    sig = minhash_signatures_long(tbl(spark, sf_dir, "documents"))
+    plan = _plan(sig)
+    assert "HashAggregate" in plan, plan
+    assert "SortAggregate" not in plan, plan
+
+
+def test_partitioned_sink_scan_prunes(spark, sf_dir):
+    QUERIES["source_partitioned_prune"].fn(spark, sf_dir).collect()
+    # re-open the sink and check the pruned scan plan
+    from rpa_etl_investing_spark.plans.source_queries import _sf_tag
+    from rpa_etl_investing_spark.sources import scratch_dir
+
+    path = scratch_dir(_sf_tag(sf_dir), "orders_by_priority")
+    scanned = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = _plan(scanned)
+    assert "PartitionFilters: [isnotnull(o_orderpriority" in plan, plan
+
+
+def test_dim_joins_auto_broadcast_in_star_query(spark, sf_dir):
+    plan = _plan(QUERIES["join_star_broadcast"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_spread_partitions_match_shuffle_setting(spark, sf_dir):
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert spread(tbl(spark, sf_dir, "documents"), "doc_id").rdd.getNumPartitions() == n

@@ -1,0 +1,59 @@
+"""Source/sink surface tests (SURVEY §2.1 S2/S8): explicit-schema
+round-trips, corrupt-record accounting, partitioned writes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rpa_etl_investing_spark.catalog import tbl
+from rpa_etl_investing_spark.plans import QUERIES
+from rpa_etl_investing_spark.sources import (
+    read_csv,
+    scratch_dir,
+    split_rejects,
+    write_partitioned_parquet,
+)
+
+
+def test_csv_roundtrip_preserves_rows(spark, sf_dir):
+    got = QUERIES["source_csv_roundtrip"].fn(spark, sf_dir)
+    want = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_json_corrupt_rows_are_counted_not_dropped(spark, sf_dir):
+    row = QUERIES["source_json_corrupt_metrics"].fn(spark, sf_dir).collect()[0]
+    n_nation = tbl(spark, sf_dir, "nation").count()
+    n_corrupt = (
+        tbl(spark, sf_dir, "nation").filter(F.col("n_nationkey") % 5 == 0).count()
+    )
+    assert row.n_good == n_nation
+    assert row.n_rejected == n_corrupt
+
+
+def test_csv_malformed_cell_lands_in_corrupt_record(spark, tmp_path):
+    p = str(tmp_path / "bad.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,x\nnot_a_number,y\n2,z\n")
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    good, bad = split_rejects(read_csv(spark, p, schema))
+    assert sorted(r.a for r in good.collect()) == [1, 2]
+    assert bad.count() == 1
+
+
+def test_partitioned_write_layout(spark, sf_dir):
+    import os
+
+    path = scratch_dir("test", "nation_by_region")
+    write_partitioned_parquet(
+        tbl(spark, sf_dir, "nation"), path, ["n_regionkey"]
+    )
+    dirs = {d for d in os.listdir(path) if d.startswith("n_regionkey=")}
+    n_regions = tbl(spark, sf_dir, "nation").select("n_regionkey").distinct().count()
+    assert len(dirs) == n_regions
+    back = spark.read.parquet(path)
+    assert back.count() == tbl(spark, sf_dir, "nation").count()
