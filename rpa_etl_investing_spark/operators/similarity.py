@@ -97,6 +97,37 @@ def sign_lsh_buckets(
     )
 
 
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.8,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate detection by embedding cosine (SURVEY §2.10): LSH
+    self-join — only vectors sharing a sign-bucket are compared, so the
+    candidate set scales with bucket occupancy, not n² — then an exact
+    cosine filter at ``threshold``. The embedding-space analogue of
+    MinHash band-bucket dedup."""
+    b = sign_lsh_buckets(vectors, n_bits, id_col, vec_col)
+    a = b.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("a_vec"), "bucket"
+    )
+    c = b.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("b_vec"), "bucket"
+    )
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("a_vec"), F.col("b_vec")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def sign_lsh_bucket_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -16,6 +16,7 @@ from rpa_etl_investing_spark.catalog import tbl
 from rpa_etl_investing_spark.operators import (
     brute_force_topk,
     document_fingerprint,
+    embedding_near_dup_pairs,
     exact_dedup,
     language_id,
     minhash_candidate_pairs,
@@ -221,6 +222,48 @@ def llm_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings")
     return sign_lsh_bucket_topk(emb.filter(F.col("vec_id") < 32), emb, k=5).select(
         "query_id", "bucket", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+@register(
+    "llm_embedding_near_dup",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {" || ".join(f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8))} AS bucket
+      FROM embeddings)
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           {_cos_sql("a.embedding", "c.embedding")} AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {_cos_sql("a.embedding", "c.embedding")} >= 0.8
+    """,
+)
+def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L3: embedding-cosine near-dup pairs — sign-LSH bucket self-join
+    + exact cosine threshold (the embedding-space MinHash analogue)."""
+    return embedding_near_dup_pairs(tbl(spark, sf_dir, "embeddings"), threshold=0.8)
+
+
+@register(
+    "llm_token_regex",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+             AS n_bpe_tokens,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def llm_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: BPE-ish tokenization — letter-runs, digit-runs, and single
+    punctuation as separate tokens (regexp pre-tokenizer shape) next to
+    the whitespace count. JVM-side ``regexp_extract_all``; no UDF."""
+    d = tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)))
+        .alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
     )
 
 

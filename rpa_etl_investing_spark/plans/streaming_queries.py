@@ -121,3 +121,59 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_on_time"),
         F.min("ts").alias("earliest_kept"),
     )
+
+
+@register(
+    "stream_stateful_running_totals",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6: custom stateful operator (applyInPandasWithState) executed as
+    a real streaming query — file-stream source over the events fixture,
+    memory sink, final per-user emission returned. The count field is
+    exactly the batch ``GROUP BY user_id`` (oracle); the float total is
+    checked with tolerance in tests/test_streaming.py."""
+    import os
+    import uuid
+
+    from rpa_etl_investing_spark.sources import scratch_dir
+    from rpa_etl_investing_spark.streaming import running_user_totals
+
+    stream_dir = scratch_dir(
+        os.path.basename(os.path.normpath(sf_dir)), "events_stateful", "x"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sink = f"stateful_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"""
+        SELECT user_id, n_events FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY n_events DESC) AS rn
+          FROM {sink}) WHERE rn = 1
+        """
+    )

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from rpa_etl_investing_spark.catalog import tbl
-from rpa_etl_investing_spark.streaming import tumbling_window_counts
+from rpa_etl_investing_spark.streaming import running_user_totals, tumbling_window_counts
 
 
 def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
@@ -46,3 +46,52 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
+    """ST6: applyInPandasWithState — final per-user state equals the
+    batch aggregate."""
+    batch_events = tbl(spark, sf_dir, "events")
+    expected = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in batch_events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+
+    stream_dir = tmp_path / "events_state_stream"
+    stream_dir.mkdir()
+    (stream_dir / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(str(stream_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # update mode emits one row per (user, micro-batch); the final
+        # emission per user is the completed running total
+        rows = spark.sql(
+            """
+            SELECT user_id, n_events, total_value FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY n_events DESC) AS rn
+              FROM stateful_out) WHERE rn = 1
+            """
+        ).collect()
+        got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in rows}
+    finally:
+        q.stop()
+    assert set(got) == set(expected)
+    for uid, (n, total) in expected.items():
+        gn, gtotal = got[uid]
+        assert gn == n
+        assert abs(gtotal - total) < 1e-6 * max(1.0, abs(total))
