@@ -48,6 +48,24 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition a *narrow* scan before CPU-heavy per-row
+    or per-group work; a no-op when the scan already has enough splits.
+
+    The fixture parquet files hold a single row group, so a scan yields
+    one working task no matter how large the file — and an expensive
+    stage above it (e.g. eight DECIMAL aggregations) runs single-core.
+    On a real multi-split dataset the condition is false and the plan is
+    untouched — unconditional repartition-before-aggregate would be an
+    anti-pattern there (it shuffles full rows and defeats map-side
+    partial aggregation).
+    """
+    n = min_parallelism or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register the fixture tables as temp views for ``spark.sql`` queries."""
     for name in names or TABLES:

@@ -32,7 +32,15 @@ MEDIA_META_SCHEMA = (
 def attach_binary_media(docs: DataFrame) -> DataFrame:
     """Turn the documents fixture into a media table: payload = utf-8
     bytes of the text (stand-in for real image/audio/video bytes),
-    media_type assigned deterministically."""
+    media_type assigned deterministically.
+
+    The scan is spread across the cluster first: media decode is the
+    canonical CPU-heavy per-row stage, and a small or few-file input
+    would otherwise pin the whole mapInPandas decode to as many cores
+    as there are input splits."""
+    from rpa_etl_investing_spark.operators.dedup import spread
+
+    docs = spread(docs, "doc_id")
     return docs.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),

@@ -52,10 +52,14 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k per query vector (query side broadcast)."""
+    from rpa_etl_investing_spark.operators.dedup import spread
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    # broadcast-cross-join parallelism equals the corpus partition
+    # count; spread a few-split scan so the per-pair cosine fans out
+    c = spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (

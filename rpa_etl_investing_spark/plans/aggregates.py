@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rpa_etl_investing_spark.catalog import tbl
+from rpa_etl_investing_spark.catalog import tbl, widen
 from rpa_etl_investing_spark.plans.registry import register
 
 
@@ -56,9 +56,11 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: the TPC-H Q1 shape — grouped multi-aggregate pricing summary.
 
     Generalizes the fact-table numeric columns the reference stores to be
-    aggregated (``main.py:40-43``).
+    aggregated (``main.py:40-43``). The scan is widened first: eight
+    DECIMAL accumulators are the expensive stage, and a single-row-group
+    file would otherwise run them on one core (measured ~2×).
     """
-    l = tbl(spark, sf_dir, "lineitem")
+    l = widen(tbl(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
