@@ -153,3 +153,34 @@ def dim_upsert_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     incoming = n.select(F.col("n_name").alias("nome"))
     return upsert_dimension(existing, incoming)
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS total_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 scale path: salted equi-join — hot join keys spread over 8
+    salt sub-keys (operators/skew.py); result provably identical to the
+    plain join (the oracle IS the plain join)."""
+    from rpa_etl_investing_spark.operators.skew import salted_join
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        od.withColumnRenamed("o_orderkey", "k"),
+        on=["k"],
+        n_salts=8,
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(27,2)")).cast("double").alias("total_qty"),
+    )
