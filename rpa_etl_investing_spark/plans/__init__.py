@@ -3,6 +3,7 @@
 from rpa_etl_investing_spark.plans import (  # noqa: F401
     advanced,
     aggregates,
+    analytics,
     etl_queries,
     llm_queries,
     multimodal_queries,
