@@ -21,6 +21,7 @@ from rpa_etl_investing_spark.operators.dedup import (
 from rpa_etl_investing_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     sign_lsh_bucket_topk,
     sign_lsh_buckets,
 )
@@ -40,6 +41,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "brute_force_topk",
     "embedding_near_dup_pairs",
+    "ivf_topk",
     "sign_lsh_buckets",
     "sign_lsh_bucket_topk",
     "language_id",

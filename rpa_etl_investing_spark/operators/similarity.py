@@ -101,6 +101,77 @@ def sign_lsh_buckets(
     )
 
 
+def ivf_assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine, centroid
+    id as tie-break) — the IVF 'coarse quantizer'. Centroids broadcast;
+    assignment is a map-side cross join + per-vector argmax, no shuffle
+    of the corpus."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+    scored = vectors.join(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("cent_vec")).alias("cent_cos"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.desc("cent_cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, F.col("centroid_id").alias("cell_id"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN (SURVEY §2.10 L3 scale path): corpus partitioned
+    into centroid cells; each query searches only its own cell (nprobe=1).
+
+    Centroids are the ``n_centroids`` lowest-id vectors — a deterministic
+    stand-in for k-means training (which is an offline step in any IVF
+    system); the *index structure and query plan* are the real thing:
+    cell assignment is a broadcast argmax, search is an equi-join on
+    cell id, so candidate count scales with cell occupancy, not corpus
+    size."""
+    centroids = corpus.filter(F.col(id_col) < n_centroids)
+    corpus_cells = ivf_assign_cells(corpus, centroids, id_col, vec_col)
+    query_cells = ivf_assign_cells(queries, centroids, id_col, vec_col)
+    q = query_cells.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell_id"
+    )
+    c = corpus_cells.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell_id"
+    )
+    scored = (
+        q.join(c, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "cell_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.8,

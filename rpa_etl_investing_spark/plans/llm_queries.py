@@ -18,6 +18,7 @@ from rpa_etl_investing_spark.operators import (
     document_fingerprint,
     embedding_near_dup_pairs,
     exact_dedup,
+    ivf_topk,
     language_id,
     minhash_candidate_pairs,
     minhash_signatures,
@@ -223,6 +224,41 @@ def llm_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sign_lsh_bucket_topk(emb.filter(F.col("vec_id") < 32), emb, k=5).select(
         "query_id", "bucket", "neighbor_id", "cos_sim", "rank"
     )
+
+
+@register(
+    "llm_similarity_ivf",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, embedding, centroid_id AS cell_id FROM (
+        SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_cos_sql("v.embedding", "c.embedding")} DESC,
+                                           c.vec_id) AS rn
+        FROM embeddings v CROSS JOIN cent c)
+      WHERE rn = 1),
+    scored AS (
+      SELECT a.vec_id AS query_id, a.cell_id, b.vec_id AS neighbor_id,
+             {_cos_sql("a.embedding", "b.embedding")} AS cos_sim
+      FROM assign a JOIN assign b
+        ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 32)
+    SELECT query_id, cell_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path #2: IVF-flat ANN — corpus partitioned into centroid
+    cells by a broadcast coarse quantizer; each query probes its own
+    cell only (see operators/similarity.py ivf_topk)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 32), emb, n_centroids=8, k=5
+    ).select("query_id", "cell_id", "neighbor_id", "cos_sim", "rank")
 
 
 @register(
