@@ -111,3 +111,42 @@ def test_full_load_and_flagship_query(spark, raw_df, tmp_path):
     assert m2["pais_rows"] == 3
     assert m2["setor_rows"] == 4
     assert m2["fact_rows"] == 14
+
+
+def test_incremental_streaming_load(spark, tmp_path):
+    """The reference's repeated-run loop as a foreachBatch stream: two
+    arriving files → two micro-batch loads; dims stay unique, facts
+    accumulate one snapshot per batch, flagship query still answers."""
+    import json
+
+    from rpa_etl_investing_spark.etl.incremental import incremental_load
+    from rpa_etl_investing_spark.etl.pipeline import flagship_top10
+
+    raw_dir = tmp_path / "raw_in"
+    raw_dir.mkdir()
+    warehouse = str(tmp_path / "wh")
+    checkpoint = str(tmp_path / "ckpt")
+
+    cols = [f.name for f in RAW_SCRAPE_SCHEMA.fields]
+    good_rows = [r for r in RAW_ROWS if r[0] and "n/a" not in r]
+    for i in range(2):  # same snapshot arriving twice, like two cron runs
+        with open(raw_dir / f"batch{i}.json", "w") as f:
+            for row in good_rows:
+                f.write(json.dumps(dict(zip(cols, row))) + "\n")
+
+    q = incremental_load(spark, str(raw_dir), warehouse, checkpoint)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    fact = spark.read.parquet(f"{warehouse}/indice_financeiro")
+    pais = spark.read.parquet(f"{warehouse}/pais")
+    setor = spark.read.parquet(f"{warehouse}/setor")
+    assert fact.count() == 2 * len(good_rows)  # one snapshot per micro-batch
+    assert fact.select("data_coleta").distinct().count() == 2
+    assert pais.count() == pais.select("nome").distinct().count() == 3
+    assert setor.select("nome").distinct().count() == setor.count()
+    top = flagship_top10(spark, warehouse).collect()
+    assert len(top) > 0
+    assert all(r.pais in ("China", "EUA") and r.setor == "Primário" for r in top)
