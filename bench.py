@@ -39,6 +39,8 @@ HEADLINE = {
     "q8_minhash_pairs": "llm_minhash_pairs",
     "q9_similarity_bruteforce": "llm_similarity_bruteforce",
     "q10_token_stats": "llm_token_stats",
+    "q11_shipping_priority": "analytics_shipping_priority",
+    "q12_similarity_ivf": "llm_similarity_ivf",
 }
 
 

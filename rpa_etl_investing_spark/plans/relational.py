@@ -498,3 +498,20 @@ def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = tbl(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = tbl(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
     return c.union(s).distinct()
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name
+    FROM (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+    RIGHT JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: right outer join (all customers preserved on the right)."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return o.join(c, c.c_custkey == o.o_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name"
+    )
