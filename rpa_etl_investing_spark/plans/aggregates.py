@@ -278,3 +278,53 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n"),
         ((F.sum(q2).cast("double") - sum_q * sum_q / n) / (n - 1)).alias("var_qty"),
     )
+
+
+@register(
+    "agg_percentiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           QUANTILE_CONT(l_extendedprice, 0.5) AS p50,
+           QUANTILE_CONT(l_extendedprice, 0.9) AS p90,
+           QUANTILE_CONT(l_extendedprice, 0.99) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: exact linear-interpolation percentiles per group (Spark
+    ``percentile`` ≡ DuckDB ``QUANTILE_CONT``). The exact form needs the
+    group's values collected per partition — at 100 TB the approximate
+    sketch (``approx_percentile``, a KLL/GK summary that merges
+    map-side) replaces it; kept exact here for oracle parity."""
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+    )
+
+
+@register(
+    "agg_string_listagg",
+    oracle="""
+    SELECT n_regionkey,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_string_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: ordered string aggregation — collect_list is unordered by
+    contract, so the deterministic form is sort-the-array-then-join
+    (array_sort ∘ collect_list), matching STRING_AGG ... ORDER BY."""
+    return (
+        tbl(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )

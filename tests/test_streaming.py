@@ -95,3 +95,76 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
         gn, gtotal = got[uid]
         assert gn == n
         assert abs(gtotal - total) < 1e-6 * max(1.0, abs(total))
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream join: clicks ⋈ purchases per user within 30 min,
+    watermarked both sides; result equals the batch interval join."""
+
+    def batch_side(etype):
+        return (
+            tbl(spark, sf_dir, "events")
+            .filter(F.col("event_type") == etype)
+            .select("event_id", "user_id", "ts")
+        )
+
+    cond = lambda c, p: (  # noqa: E731
+        (c["user_id"] == p["p_user_id"])
+        & (p["p_ts"] >= c["ts"])
+        & (p["p_ts"] <= c["ts"] + F.expr("INTERVAL 30 MINUTES"))
+    )
+    purch_b = (
+        batch_side("purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks_b = batch_side("click")
+    expected = {
+        (r.event_id, r.p_event_id)
+        for r in clicks_b.join(purch_b, cond(clicks_b, purch_b)).collect()
+    }
+
+    stream_dir = tmp_path / "ss_events"
+    stream_dir.mkdir()
+    (stream_dir / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def stream_side(etype, alias_prefix=""):
+        s = (
+            spark.readStream.schema(raw_schema)
+            .parquet(str(stream_dir))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == etype)
+            .select("event_id", "user_id", "ts")
+            .withWatermark("ts", "1 hour")
+        )
+        if alias_prefix:
+            s = s.select(
+                F.col("event_id").alias(f"{alias_prefix}event_id"),
+                F.col("user_id").alias(f"{alias_prefix}user_id"),
+                F.col("ts").alias(f"{alias_prefix}ts"),
+            )
+        return s
+
+    clicks_s = stream_side("click")
+    purch_s = stream_side("purchase", "p_")
+    q = (
+        clicks_s.join(purch_s, cond(clicks_s, purch_s))
+        .select("event_id", "p_event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.event_id, r.p_event_id)
+            for r in spark.sql("SELECT * FROM ss_join_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
