@@ -5,6 +5,7 @@ from rpa_etl_investing_spark.multimodal.binary_ops import (
     MEDIA_META_SCHEMA,
     attach_binary_media,
     decode_media_metadata,
+    resize_media,
     sample_video_frames,
 )
 
@@ -12,5 +13,6 @@ __all__ = [
     "MEDIA_META_SCHEMA",
     "attach_binary_media",
     "decode_media_metadata",
+    "resize_media",
     "sample_video_frames",
 ]

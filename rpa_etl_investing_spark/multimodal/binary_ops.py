@@ -96,6 +96,34 @@ def decode_media_metadata(
     return media.mapInPandas(fn, MEDIA_META_SCHEMA)
 
 
+def resize_media(meta: DataFrame, max_dim: int = 48) -> DataFrame:
+    """Resize stage: cap the longer edge at ``max_dim``, preserving
+    aspect ratio. Pure integer arithmetic (``new = old·max_dim // longer``)
+    so the plan stays JVM-side and the oracle reproduces it exactly; a
+    real deployment swaps in a codec-backed mapInPandas like
+    :func:`decode_media_metadata` (same operator shape, the metadata
+    computation IS the plumbing being exercised)."""
+    longer = F.greatest("width", "height")
+    needs = longer > max_dim
+    # floor, not cast: CAST(double AS INT) truncates in Spark but rounds
+    # in DuckDB — floor() is identical in both
+    new_w = F.when(needs, F.floor(F.col("width") * max_dim / longer).cast("int")).otherwise(
+        F.col("width")
+    )
+    new_h = F.when(needs, F.floor(F.col("height") * max_dim / longer).cast("int")).otherwise(
+        F.col("height")
+    )
+    return meta.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        new_w.alias("new_width"),
+        new_h.alias("new_height"),
+        needs.alias("resized"),
+    )
+
+
 def sample_video_frames(meta: DataFrame, every_n: int = 5) -> DataFrame:
     """Frame sampling: explode every_n-th frame index per video — pure
     JVM-side generator (sequence + explode), no Python in the loop."""

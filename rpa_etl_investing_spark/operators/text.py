@@ -82,6 +82,36 @@ def token_stats(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFra
     return counts.orderBy(F.desc("freq"), F.asc("token")).limit(k)
 
 
+ROLLING_BASE = 257
+ROLLING_MOD = 2_147_483_647  # 2^31 − 1: base·mod product stays in int64
+
+
+def rolling_hash_fingerprint(
+    docs: DataFrame, text_col: str = "text", k: int = 8, n_keep: int = 4
+) -> DataFrame:
+    """L4: Rabin–Karp rolling-hash fingerprint — polynomial hash of every
+    ``k``-char window, fingerprint = the ``n_keep`` smallest distinct
+    hash values (winnowing selection). All JVM-side higher-order
+    expressions (``transform`` + ``aggregate`` fold), no Python.
+
+    The hash of window i folds left over char codes:
+    ``h = ((h·B) + code) mod M`` — the same fold DuckDB's
+    ``list_reduce`` computes, so the oracle reproduces it bit-exactly.
+    """
+    windows = (
+        f"CASE WHEN length({text_col}) < {k} THEN array() "
+        f"ELSE transform(sequence(1, length({text_col}) - {k} + 1), i -> "
+        f"  aggregate(sequence(1, {k - 1}), CAST(ascii(substring({text_col}, i, 1)) AS BIGINT), "
+        f"    (acc, j) -> (acc * {ROLLING_BASE} + ascii(substring({text_col}, CAST(i + j AS INT), 1))) % {ROLLING_MOD})) "
+        f"END"
+    )
+    return docs.selectExpr(
+        "doc_id",
+        f"CAST(size({windows}) AS BIGINT) AS n_windows",
+        f"array_join(slice(array_sort(array_distinct({windows})), 1, {n_keep}), '-') AS fingerprint",
+    )
+
+
 def document_fingerprint(docs: DataFrame, text_col: str = "text", n: int = 4) -> DataFrame:
     """Winnowing-style fingerprint: the ``n`` lexicographically smallest
     distinct shingle md5s, concatenated — a compact near-dup key."""

@@ -380,3 +380,29 @@ def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: winnowing-style min-4 shingle-hash document fingerprint."""
     return document_fingerprint(tbl(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_rolling_hash",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(text) < 8 THEN CAST([] AS BIGINT[])
+                  ELSE LIST_TRANSFORM(RANGE(1, LENGTH(text) - 8 + 2), i ->
+                    LIST_REDUCE(LIST_TRANSFORM(RANGE(0, 8),
+                                  j -> CAST(ASCII(SUBSTR(text, CAST(i + j AS INT), 1)) AS BIGINT)),
+                                (acc, x) -> (acc * 257 + x) % 2147483647))
+             END AS hashes
+      FROM documents)
+    SELECT doc_id,
+           CAST(LEN(hashes) AS BIGINT) AS n_windows,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(hashes))[1:4], '-') AS fingerprint
+    FROM h
+    """,
+)
+def llm_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: Rabin-Karp rolling-hash document fingerprint (8-char windows,
+    4 smallest distinct hashes) — operators/text.py."""
+    from rpa_etl_investing_spark.operators.text import rolling_hash_fingerprint
+
+    return rolling_hash_fingerprint(tbl(spark, sf_dir, "documents"))

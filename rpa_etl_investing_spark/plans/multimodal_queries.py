@@ -54,3 +54,26 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_binary_media(tbl(spark, sf_dir, "documents"))
     meta = decode_media_metadata(media)
     return sample_video_frames(meta, every_n=5).select("doc_id", "n_frames", "frame_no")
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id, media_type, width, height,
+           CASE WHEN GREATEST(width, height) > 48
+                THEN CAST(FLOOR(width * 48.0 / GREATEST(width, height)) AS INT)
+                ELSE width END AS new_width,
+           CASE WHEN GREATEST(width, height) > 48
+                THEN CAST(FLOOR(height * 48.0 / GREATEST(width, height)) AS INT)
+                ELSE height END AS new_height,
+           GREATEST(width, height) > 48 AS resized
+    FROM ({_META_SQL})
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: longer edge capped at 48 px, aspect preserved —
+    decode → resize pipeline over binary media columns."""
+    from rpa_etl_investing_spark.multimodal import resize_media
+
+    media = attach_binary_media(tbl(spark, sf_dir, "documents"))
+    return resize_media(decode_media_metadata(media), max_dim=48)

@@ -208,3 +208,27 @@ def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(w).alias("richest_key"),
         F.last("c_custkey").over(w_full).alias("poorest_key"),
     )
+
+
+@register(
+    "window_percent_rank_cume",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           PERCENT_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+             AS pct_rank,
+           CUME_DIST() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+             AS cume
+    FROM supplier
+    """,
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: relative-position analytics — percent_rank / cume_dist per
+    nation (total order via the key tie-break keeps both engines exact)."""
+    w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return tbl(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
