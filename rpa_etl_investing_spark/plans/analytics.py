@@ -146,3 +146,37 @@ def analytics_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "sql_frontend_flagship",
+    oracle="""
+    SELECT s.s_name AS nome, n.n_name AS pais, r.r_name AS regiao, s.s_acctbal AS maxima
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'AMERICA') AND s.s_acctbal > 0
+    ORDER BY maxima DESC, nome
+    LIMIT 10
+    """,
+)
+def sql_frontend_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end: the flagship query shape (dim joins +
+    IN-filter + top-k, ``main.py:149-157``) submitted as literal SQL via
+    ``spark.sql`` over registered views — proving the engine's second
+    entry point produces plans identical to the DataFrame API."""
+    from rpa_etl_investing_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["supplier", "nation", "region"])
+    return spark.sql(
+        """
+        SELECT s.s_name AS nome, n.n_name AS pais, r.r_name AS regiao,
+               s.s_acctbal AS maxima
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name IN ('ASIA', 'AMERICA') AND s.s_acctbal > 0
+        ORDER BY maxima DESC, nome
+        LIMIT 10
+        """
+    )

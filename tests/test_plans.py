@@ -90,3 +90,20 @@ def test_dim_joins_auto_broadcast_in_star_query(spark, sf_dir):
 def test_spread_partitions_match_shuffle_setting(spark, sf_dir):
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert spread(tbl(spark, sf_dir, "documents"), "doc_id").rdd.getNumPartitions() == n
+
+
+def test_pricing_summary_partial_aggregates_map_side(spark, sf_dir):
+    # map-side combine: partial_sum before the exchange, final after —
+    # the property that keeps the shuffle tiny (G groups, not N rows)
+    plan = _plan(QUERIES["agg_pricing_summary"].fn(spark, sf_dir))
+    assert "partial_sum" in plan, plan
+    assert plan.index("partial_sum") > plan.index("Exchange hashpartitioning"), plan
+    # and the filter is pushed into the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_sql_frontend_plans_like_dataframe_api(spark, sf_dir):
+    # same flagship shape via spark.sql: broadcast joins + take-ordered
+    plan = _plan(QUERIES["sql_frontend_flagship"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
