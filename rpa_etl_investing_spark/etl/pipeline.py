@@ -191,7 +191,13 @@ def load_star_schema(
     dim_setor = spark.read.parquet(f"{warehouse}/setor.tmp")
 
     fact = resolve_fact_keys(clean, dim_pais, dim_setor, data_coleta)
-    fact.write.mode("append").parquet(f"{warehouse}/indice_financeiro")
+    # partition the append-only fact by ingestion date: snapshot queries
+    # and retention drops prune whole directories, and each day's append
+    # never rewrites previous days (the scale form of main.py:44's
+    # timestamped inserts)
+    fact.withColumn("dt_coleta", F.to_date("data_coleta")).write.mode(
+        "append"
+    ).partitionBy("dt_coleta").parquet(f"{warehouse}/indice_financeiro")
 
     # atomically swap dim snapshots (plain-parquet stand-in for MERGE INTO;
     # a transactional table format is the production answer — SURVEY §7.4)

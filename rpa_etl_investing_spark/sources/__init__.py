@@ -8,3 +8,5 @@ from rpa_etl_investing_spark.sources.formats import (  # noqa: F401
     split_rejects,
     write_partitioned_parquet,
 )
+
+from rpa_etl_investing_spark.sources.formats import compact_parquet  # noqa: F401,E402

@@ -96,3 +96,40 @@ def write_partitioned_parquet(
     scans prune whole directories (visible as ``PartitionFilters`` in
     the physical plan)."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_files_per_partition: int = 1
+) -> int:
+    """Compact a small-file parquet dataset in place (SURVEY §2.1 S8).
+
+    Micro-batch appends (etl/incremental.py) and streaming sinks leave
+    one file per batch per partition; at scale the file count — not the
+    byte count — becomes the scan bottleneck (task-per-file scheduling,
+    metadata pressure). Rewrites each leaf partition directory to
+    ``target_files_per_partition`` files via coalesce and swaps it in.
+    Returns the number of partition directories compacted.
+
+    Coalesce (not repartition): compaction must not shuffle — it only
+    concatenates co-located files, so the rewrite streams each
+    partition once.
+    """
+    root = path
+    parts = [
+        d
+        for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d)) and "=" in d
+    ] or [""]
+    n = 0
+    for part in parts:
+        src = os.path.join(root, part) if part else root
+        tmp = src + "._compact_tmp"
+        spark.read.parquet(src).coalesce(target_files_per_partition).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        import shutil
+
+        shutil.rmtree(src)
+        os.rename(tmp, src)
+        n += 1
+    return n

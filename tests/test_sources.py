@@ -57,3 +57,36 @@ def test_partitioned_write_layout(spark, sf_dir):
     assert len(dirs) == n_regions
     back = spark.read.parquet(path)
     assert back.count() == tbl(spark, sf_dir, "nation").count()
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    import os
+
+    from rpa_etl_investing_spark.sources import compact_parquet
+
+    path = str(tmp_path / "frag")
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
+    # fragmented layout: partitioned + many files per partition, like a
+    # micro-batch append history
+    li.repartition(6).write.partitionBy("l_returnflag").parquet(path)
+    before = spark.read.parquet(path)
+    n_rows = before.count()
+    want_sum = before.agg(F.sum(F.col("l_orderkey"))).collect()[0][0]
+
+    def count_files():
+        return sum(
+            1
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    files_before = count_files()
+    n_parts = compact_parquet(spark, path, target_files_per_partition=1)
+    files_after = count_files()
+    assert n_parts == 3  # one per l_returnflag value
+    assert files_after == 3 < files_before
+    after = spark.read.parquet(path)
+    assert after.count() == n_rows
+    assert after.agg(F.sum(F.col("l_orderkey"))).collect()[0][0] == want_sum
+    assert set(after.columns) == {"l_orderkey", "l_returnflag", "l_quantity"}
