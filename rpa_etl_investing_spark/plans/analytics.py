@@ -180,3 +180,38 @@ def sql_frontend_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+@register(
+    "profile_table_stats",
+    oracle="""
+    SELECT 
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(l_orderkey) AS BIGINT) AS nn_orderkey,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nd_orderkey,
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS nd_returnflag,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_qty
+    FROM lineitem
+    """,
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass (the pipeline-health companion to ETL reject
+    metrics): row/null/distinct counts and min-max ranges in ONE scan —
+    at 100 TB you profile with a single aggregate job, never per-column
+    jobs."""
+    l = tbl(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.count("l_orderkey").alias("nn_orderkey"),
+        F.countDistinct("l_orderkey").alias("nd_orderkey"),
+        F.countDistinct("l_returnflag").alias("nd_returnflag"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("nulls_qty"),
+    )

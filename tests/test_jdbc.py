@@ -1,0 +1,47 @@
+"""JDBC round-trip against embedded Derby (the reference's PostgreSQL
+path, S4/S5, with a bundled database standing in)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rpa_etl_investing_spark.catalog import tbl
+from rpa_etl_investing_spark.sources.jdbc import (
+    DERBY_DRIVER,
+    DERBY_MEM_URL,
+    read_jdbc,
+    write_jdbc,
+)
+
+
+def test_jdbc_roundtrip_preserves_values(spark, sf_dir):
+    url = DERBY_MEM_URL.format(name="t_roundtrip")
+    nation = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    write_jdbc(nation, url, "nation_t", DERBY_DRIVER)
+    back = read_jdbc(spark, url, "nation_t", DERBY_DRIVER)
+    # Derby uppercases identifiers; normalize for comparison
+    back = back.toDF(*[c.lower() for c in back.columns])
+    assert back.count() == nation.count()
+    assert back.exceptAll(nation).count() == 0
+    assert nation.exceptAll(back).count() == 0
+
+
+def test_jdbc_partitioned_read_fans_out(spark, sf_dir):
+    url = DERBY_MEM_URL.format(name="t_fanout")
+    orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_jdbc(orders, url, "orders_t", DERBY_DRIVER)
+    bounds = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    back = read_jdbc(
+        spark,
+        url,
+        "orders_t",
+        DERBY_DRIVER,
+        partition_col="o_orderkey",
+        lower_bound=int(bounds.lo),
+        upper_bound=int(bounds.hi) + 1,
+        num_partitions=4,
+    )
+    assert back.rdd.getNumPartitions() == 4  # range-bounded parallel scan
+    assert back.count() == orders.count()
