@@ -137,6 +137,7 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    queries_in_corpus: bool = False,
 ) -> DataFrame:
     """IVF-flat ANN (SURVEY §2.10 L3 scale path): corpus partitioned
     into centroid cells; each query searches only its own cell (nprobe=1).
@@ -146,10 +147,18 @@ def ivf_topk(
     system); the *index structure and query plan* are the real thing:
     cell assignment is a broadcast argmax, search is an equi-join on
     cell id, so candidate count scales with cell occupancy, not corpus
-    size."""
+    size.
+
+    ``queries_in_corpus=True`` declares the query set a subset of the
+    corpus (selected by ``id_col``): query cells are then a filter of
+    the corpus assignment instead of a second assignment pass."""
     centroids = corpus.filter(F.col(id_col) < n_centroids)
     corpus_cells = ivf_assign_cells(corpus, centroids, id_col, vec_col)
-    query_cells = ivf_assign_cells(queries, centroids, id_col, vec_col)
+    if queries_in_corpus:
+        qkeys = queries.select(id_col).distinct()
+        query_cells = corpus_cells.join(F.broadcast(qkeys), id_col, "left_semi")
+    else:
+        query_cells = ivf_assign_cells(queries, centroids, id_col, vec_col)
     q = query_cells.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell_id"
     )

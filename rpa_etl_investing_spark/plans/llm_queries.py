@@ -257,7 +257,8 @@ def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell only (see operators/similarity.py ivf_topk)."""
     emb = tbl(spark, sf_dir, "embeddings")
     return ivf_topk(
-        emb.filter(F.col("vec_id") < 32), emb, n_centroids=8, k=5
+        emb.filter(F.col("vec_id") < 32), emb, n_centroids=8, k=5,
+        queries_in_corpus=True,
     ).select("query_id", "cell_id", "neighbor_id", "cos_sim", "rank")
 
 
