@@ -111,10 +111,15 @@ def ivf_assign_cells(
     id as tie-break) — the IVF 'coarse quantizer'. Centroids broadcast;
     assignment is a map-side cross join + per-vector argmax, no shuffle
     of the corpus."""
+    from rpa_etl_investing_spark.operators.dedup import spread
+
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
     )
-    scored = vectors.join(F.broadcast(c)).select(
+    # spread first: the broadcast cross join runs inside the scan stage,
+    # so a few-split corpus would score all centroid dots on few cores —
+    # and partitioning by id pre-satisfies the argmax window's shuffle
+    scored = spread(vectors, id_col).join(F.broadcast(c)).select(
         id_col,
         vec_col,
         "centroid_id",
