@@ -447,3 +447,40 @@ def json_struct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("props_struct.k")).alias("k_total"),
         F.max(F.col("props_struct.k")).alias("k_max"),
     )
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    SELECT n_nationkey,
+           MAP_KEYS(MAP(['nat', 'reg', 'both'],
+                        [n_nationkey, n_regionkey, n_nationkey + n_regionkey]))
+             AS ks,
+           MAP_VALUES(MAP(['nat', 'reg', 'both'],
+                          [n_nationkey, n_regionkey, n_nationkey + n_regionkey]))
+             AS vs,
+           MAP(['nat', 'reg', 'both'],
+               [n_nationkey, n_regionkey, n_nationkey + n_regionkey])['reg'][1]
+             AS reg_val
+    FROM nation
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: map construction/inspection/lookup — map_from_arrays,
+    map_keys/map_values (insertion-ordered in both engines), element_at
+    (DuckDB's bracket lookup yields a list; [1] unwraps to the scalar)."""
+    n = tbl(spark, sf_dir, "nation")
+    m = F.map_from_arrays(
+        F.array(F.lit("nat"), F.lit("reg"), F.lit("both")),
+        F.array(
+            F.col("n_nationkey"),
+            F.col("n_regionkey"),
+            F.col("n_nationkey") + F.col("n_regionkey"),
+        ),
+    )
+    return n.select(
+        "n_nationkey",
+        F.map_keys(m).alias("ks"),
+        F.map_values(m).alias("vs"),
+        F.element_at(m, "reg").alias("reg_val"),
+    )

@@ -107,3 +107,40 @@ def test_sql_frontend_plans_like_dataframe_api(spark, sf_dir):
     plan = _plan(QUERIES["sql_frontend_flagship"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir):
+    """DPP: joining a partitioned fact to a filtered dim prunes fact
+    partitions at runtime — the scan carries a dynamicpruning subquery
+    instead of reading every priority directory."""
+    from rpa_etl_investing_spark.sources import scratch_dir, write_partitioned_parquet
+
+    path = scratch_dir("test", "orders_dpp")
+    write_partitioned_parquet(
+        tbl(spark, sf_dir, "orders"), path, ["o_orderpriority"]
+    )
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "hot")], ["o_orderpriority", "label"]
+    ).filter(F.col("label") == "hot")
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try:
+        joined = fact.join(dim, "o_orderpriority").select("o_orderkey", "label")
+        plan = _plan(joined)
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", prev
+        )
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """The HLL++ sketch (rows-only in the driver check) is validated
+    here against the exact distinct count: ≤5% relative error."""
+    li = tbl(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey").alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= 0.05 * row.exact, row
