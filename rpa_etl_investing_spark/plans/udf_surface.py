@@ -139,3 +139,42 @@ def udf_map_in_pandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return d.mapInPandas(fn, "doc_id long, n_tokens int, lang_u string")
+
+
+@register(
+    "udf_cogroup_user_activity",
+    oracle="""
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_clicks,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_purchases
+    FROM (SELECT user_id, COUNT(*) AS n FROM events
+          WHERE event_type = 'click' GROUP BY user_id) c
+    FULL JOIN (SELECT user_id, COUNT(*) AS n FROM events
+               WHERE event_type = 'purchase' GROUP BY user_id) p
+      ON c.user_id = p.user_id
+    """,
+)
+def udf_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup().applyInPandas (§2.11): two keyed streams aligned per
+    key in one pass — each side arrives as its own pandas frame. The
+    built-in form is a full outer join of two aggregates (the oracle);
+    cogroup is the extension point for logic joins can't express
+    (per-key sequence alignment, custom attribution)."""
+
+    def stats(key, clicks: pd.DataFrame, purchases: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [len(clicks)],
+                "n_purchases": [len(purchases)],
+            }
+        )
+
+    ev = tbl(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id")
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(stats, "user_id bigint, n_clicks bigint, n_purchases bigint")
+    )

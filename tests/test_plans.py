@@ -57,13 +57,17 @@ def test_column_pruning_reaches_parquet_scan(spark, sf_dir):
 
 
 def test_spread_fanout_has_single_shuffle(spark, sf_dir):
-    # repartition(doc_id) satisfies groupBy(doc_id): exactly one exchange
+    # repartition(doc_id) satisfies groupBy(doc_id): exactly one exchange.
+    # Cached relations from other tests would let the CacheManager swap an
+    # InMemoryTableScan into this plan — assert on the uncached shape.
+    spark.catalog.clearCache()
     sig = minhash_signatures_long(tbl(spark, sf_dir, "documents"))
     plan = _plan(sig)
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
 def test_spread_aggregate_is_hash_not_sort(spark, sf_dir):
+    spark.catalog.clearCache()
     sig = minhash_signatures_long(tbl(spark, sf_dir, "documents"))
     plan = _plan(sig)
     assert "HashAggregate" in plan, plan
