@@ -11,6 +11,7 @@ from rpa_etl_investing_spark.plans import (  # noqa: F401
     scalar_functions,
     source_queries,
     streaming_queries,
+    subqueries,
     udf_surface,
     windows,
 )

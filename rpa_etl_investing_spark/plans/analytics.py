@@ -149,6 +149,58 @@ def analytics_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "analytics_disjunctive_join",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def analytics_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: equi-join with an OR-of-ANDs residual mixing
+    both sides' columns. The equi-key keeps the join hash-based
+    (broadcast here — part is a dim); the disjunction is a post-join
+    residual filter, not a fallback to nested-loop. Single-side
+    conjuncts (brand/size) are still pushed into the part scan as one
+    derived OR predicate."""
+    l = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part")
+    cond = (
+        (
+            (p.p_brand == "Brand#12")
+            & p.p_size.between(1, 15)
+            & l.l_quantity.between(1, 11)
+        )
+        | (
+            (p.p_brand == "Brand#23")
+            & p.p_size.between(1, 25)
+            & l.l_quantity.between(10, 20)
+        )
+        | (
+            (p.p_brand == "Brand#34")
+            & p.p_size.between(1, 35)
+            & l.l_quantity.between(20, 30)
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), (p.p_partkey == l.l_partkey) & cond)
+        .agg(
+            dsum(revenue, 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
     "sql_frontend_flagship",
     oracle="""
     SELECT s.s_name AS nome, n.n_name AS pais, r.r_name AS regiao, s.s_acctbal AS maxima

@@ -148,3 +148,35 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
         F.approx_count_distinct("l_partkey").alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) <= 0.05 * row.exact, row
+
+
+def test_exists_subquery_plans_as_semi_join(spark, sf_dir):
+    """Correlated EXISTS must execute as one (semi) hash join on the
+    correlation key — never a per-row probe or nested loop."""
+    plan = _plan(QUERIES["subquery_exists_late_returns"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_in_subquery_sql_rewrites_to_semi_join(spark, sf_dir):
+    """SQL-text IN-subquery goes through RewritePredicateSubquery: the
+    optimized plan contains a LeftSemi join, not an in-list."""
+    opt = _optimized(QUERIES["subquery_in_bulk_parts"].fn(spark, sf_dir))
+    assert "LeftSemi" in opt, opt
+
+
+def test_scalar_subquery_stays_cluster_side(spark, sf_dir):
+    """The uncorrelated scalar average is a broadcast one-row join —
+    no driver-side collect materializes in the plan."""
+    plan = _plan(QUERIES["subquery_not_exists_dormant"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_disjunctive_join_stays_hash_based(spark, sf_dir):
+    """Q19-shape OR-of-ANDs must not demote the equi-join to a
+    nested-loop: the partkey equality keeps it a BroadcastHashJoin with
+    the disjunction as residual."""
+    plan = _plan(QUERIES["analytics_disjunctive_join"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
