@@ -4,6 +4,7 @@ from rpa_etl_investing_spark.plans import (  # noqa: F401
     advanced,
     aggregates,
     analytics,
+    curation_queries,
     etl_queries,
     llm_queries,
     multimodal_queries,
