@@ -13,6 +13,7 @@ from rpa_etl_investing_spark.plans import (  # noqa: F401
     source_queries,
     streaming_queries,
     subqueries,
+    timeseries,
     udf_surface,
     windows,
 )

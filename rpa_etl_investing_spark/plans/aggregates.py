@@ -328,3 +328,45 @@ def agg_string_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
         )
     )
+
+
+@register(
+    "agg_moment_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           ROUND(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           ROUND(var_samp(l_extendedprice), 4) AS price_var,
+           ROUND(kurtosis(l_extendedprice), 4) AS price_kurtosis
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 gen: higher-moment statistical aggregates (correlation,
+    covariance, stddev/variance, kurtosis) per group — single-pass
+    moment accumulation, partial+final like any hash aggregate.
+
+    Oracle parity: moments are float-accumulation-order sensitive, so
+    results are quantized (ROUND to 4-6 dp, chosen empirically stable
+    across engines at every fixture scale). Skewness is excluded: its
+    third-moment accumulation diverges past 6 dp at small n.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "qty_price_corr"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_covar"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            F.round(F.var_samp("l_extendedprice"), 4).alias("price_var"),
+            F.round(F.kurtosis("l_extendedprice"), 4).alias("price_kurtosis"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,116 @@
+"""Time-series surface: calendar spines, gap filling, LOCF.
+
+The reference's fact table is an append-only timeline of snapshots
+(``/root/reference/main.py:44``); real consumers of that timeline need
+*dense* series — every (entity, period) present, missing periods
+carried forward — before charting or joining. These queries build the
+spine and fill it, the hypertable-rollup companion to the as-of join
+(operators/asof.py).
+
+Scale shape: the spine is rows-per-entity × periods, generated
+executor-side (``sequence``+``explode`` — no driver loop); the fill is
+one window pass per entity partition. At 100 TB the spine join keys on
+(entity, period) and shuffles once; ``last(..., ignorenulls)`` is a
+running frame, not a self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rpa_etl_investing_spark.catalog import tbl
+from rpa_etl_investing_spark.plans.aggregates import dsum
+from rpa_etl_investing_spark.plans.registry import register
+
+
+@register(
+    "timeseries_gap_fill_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    users AS (SELECT DISTINCT user_id FROM events),
+    spine AS (
+      SELECT user_id,
+             UNNEST(generate_series(TIMESTAMP '2024-01-01',
+                                    TIMESTAMP '2024-01-30',
+                                    INTERVAL 1 DAY)) AS day
+      FROM users),
+    j AS (
+      SELECT s.user_id, s.day, d.v
+      FROM spine s LEFT JOIN daily d
+        ON d.user_id = s.user_id AND d.day = s.day)
+    SELECT user_id, day,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM j
+    """,
+)
+def timeseries_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series per user with last-observation-carried-forward:
+    build the full (user × day) spine executor-side, left-join the
+    day's total, and fill holes with a running ``last(ignorenulls)``
+    frame. Days before a user's first event stay NULL (nothing to
+    carry). The fixture window (2024-01-01..30) is fixed across scale
+    factors, so the spine bounds are literals."""
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(dsum("value", 4).alias("v"))
+    spine = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01").cast("timestamp"),
+                    F.lit("2024-01-30").cast("timestamp"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
+
+
+_MONTH_SPINE_SQL = """
+    WITH RECURSIVE months(month_start) AS (
+      SELECT TIMESTAMP '1995-01-01'
+      UNION ALL
+      SELECT month_start + INTERVAL 1 MONTH FROM months
+      WHERE month_start < TIMESTAMP '2001-12-01')
+    SELECT m.month_start,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM months m
+    LEFT JOIN orders o ON DATE_TRUNC('month', o.o_orderdate) = m.month_start
+    GROUP BY m.month_start
+    ORDER BY m.month_start
+"""
+
+
+@register("sql_recursive_month_spine", oracle=_MONTH_SPINE_SQL)
+def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the SQL front-end (Spark ≥4.0
+    ``WITH RECURSIVE``): generate the 1995-2001 month spine by
+    recursion, then left-join order counts so empty months surface as
+    zero — the same SQL text runs verbatim on both engines. The
+    recursion is bounded (84 rows) and evaluated iteratively by
+    Catalyst's UnionLoop; data-sized work stays in the join, not the
+    recursion."""
+    from rpa_etl_investing_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_MONTH_SPINE_SQL)
