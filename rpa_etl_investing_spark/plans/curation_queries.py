@@ -123,3 +123,145 @@ def curation_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(diameter) label-propagation rounds (operators/components.py)."""
     docs = tbl(spark, sf_dir, "documents")
     return connected_components(ngram_jaccard_pairs(docs))
+
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "curation_pack_offsets",
+    oracle=f"""
+    WITH tokd AS (
+      SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS n_tok
+      FROM documents),
+    s AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+      FROM tokd)
+    SELECT doc_id, source,
+           CAST(end_off - n_tok AS BIGINT) AS start_off,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(FLOOR((end_off - n_tok) / {_PACK_BUDGET}.0) AS BIGINT) AS first_bin,
+           CAST(FLOOR((end_off - 1) / {_PACK_BUDGET}.0) AS BIGINT) AS last_bin
+    FROM s
+    """,
+)
+def curation_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): lay documents end-to-end in
+    deterministic (source, doc_id) order and record each doc's token
+    offset and the fixed-size training bins it lands in — how a
+    pretraining pipeline turns a corpus into equal-length samples.
+    One windowed prefix-sum per source partition; packing within the
+    shard (source) rather than globally is what keeps the prefix sum
+    parallel at 100 TB — a global pack would serialize on one
+    partition."""
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_off = docs.select(
+        "doc_id", "source", n_tok.alias("n_tok")
+    ).withColumn("end_off", F.sum("n_tok").over(w))
+    return with_off.select(
+        "doc_id",
+        "source",
+        (F.col("end_off") - F.col("n_tok")).alias("start_off"),
+        "n_tok",
+        F.floor((F.col("end_off") - F.col("n_tok")) / _PACK_BUDGET).alias("first_bin"),
+        F.floor((F.col("end_off") - 1) / _PACK_BUDGET).alias("last_bin"),
+    )
+
+
+@register(
+    "curation_balanced_sample",
+    oracle="""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 10
+    """,
+)
+def curation_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-source subset: exactly 10 docs per source, chosen by
+    md5 order — an unbiased, rerun-stable draw (hash order is
+    uncorrelated with doc content or insertion order), the deterministic
+    stand-in for per-group reservoir sampling. One windowed rank per
+    source partition, no global shuffle."""
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source")
+    )
+
+
+def _stop_in() -> str:
+    from rpa_etl_investing_spark.operators.text import STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "curation_quality_filter",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    q AS (
+      SELECT doc_id,
+             CASE WHEN LEN(t) < 5 THEN 0.0
+                  WHEN LEN(LIST_FILTER(t, x -> x IN ({{stops}}))) / LEN(t) > 0.5 THEN 0.25
+                  ELSE 1.0 - LEN(LIST_FILTER(t, x -> x IN ({{stops}}))) / LEN(t) END AS quality
+      FROM tok),
+    r AS (
+      SELECT d.lang, q.quality,
+             PERCENT_RANK() OVER (PARTITION BY d.lang
+               ORDER BY q.quality DESC, q.doc_id) AS pr
+      FROM q JOIN documents d USING (doc_id))
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(quality AS DECIMAL(27,12))) AS DOUBLE) AS total_quality
+    FROM r WHERE pr <= 0.5
+    GROUP BY lang ORDER BY lang
+    """.replace("{stops}", _stop_in()),
+)
+def curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quality filtering: keep each language's top half by
+    composite quality score (percent_rank with a doc_id tie-break, so
+    the cut is deterministic — no threshold-boundary float compare).
+    The real-pipeline form of "filter to the best X% per language"; one
+    window pass per lang partition, then a grouped audit count."""
+    from pyspark.sql import Window
+
+    from rpa_etl_investing_spark.operators.text import quality_score
+
+    docs = tbl(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality")
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), "doc_id")
+    ranked = (
+        docs.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .withColumn("pr", F.percent_rank().over(w))
+    )
+    return (
+        ranked.filter(F.col("pr") <= 0.5)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(F.col("quality").cast("decimal(27,12)"))
+            .cast("double")
+            .alias("total_quality"),
+        )
+        .orderBy("lang")
+    )

@@ -116,3 +116,46 @@ def source_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+_ORC_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: write ``orders`` to ORC (columnar, built into Spark like
+    parquet — same vectorized reader, pushdown, and pruning paths) and
+    aggregate from the ORC scan; the oracle aggregates the original
+    parquet, so the round-trip must preserve every value bit-exactly."""
+    path = scratch_dir(_sf_tag(sf_dir), "orders_orc")
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.schema(_ORC_SCHEMA).orc(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
