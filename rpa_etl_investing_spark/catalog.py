@@ -33,13 +33,19 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table.
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
-    (set in session.py) it arrives as nanos-since-epoch and is converted
-    here to a microsecond TimestampType (truncation — matching DuckDB's
-    ``CAST(ts AS TIMESTAMP)``).
+    vectorized reader rejects; ``spark.sql.legacy.parquet.nanosAsLong`` makes
+    it arrive as nanos-since-epoch, converted here to a microsecond
+    TimestampType (truncation — matching DuckDB's ``CAST(ts AS TIMESTAMP)``).
+
+    The conf is set *here, at read time* (it is a runtime SQL conf), not only
+    in the repo's session factory: callers — notably the correctness driver —
+    hand in their own vanilla SparkSession, and this module must be
+    self-sufficient on any session (round-1 verdict item #1).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

@@ -121,18 +121,57 @@ def upsert_dimension(
     Returns the updated dimension. The anti-join input is
     ``distinct()``-reduced first, so at scale the shuffle carries only
     unique keys; the existing dim side stays broadcast-sized.
+
+    Scale shape (r1 verdict item #7): id assignment is DISTRIBUTED — new
+    keys are hash-bucketed by their md5 prefix, ranked per bucket
+    (hash-partitioned window), and offset by broadcast cumulative bucket
+    counts, i.e. ids follow ``row_number() OVER (ORDER BY bucket, nome)``
+    with no global single-partition window and no driver ``collect()``
+    anywhere (the max-id scalar rides in via a broadcast 1-row cross
+    join). The only ordered window runs over the ≤256-row bucket-count
+    frame, which is constant-sized at any data scale.
     """
     incoming = incoming_names.select(F.col(name_col).alias("nome")).distinct()
-    w = W.partitionBy(F.lit(1)).orderBy("nome")
     if existing is None:
-        return incoming.withColumn("id", F.row_number().over(w).cast("long")).select(
-            "id", "nome"
+        new_rows = incoming
+        base = None
+    else:
+        new_rows = incoming.join(
+            F.broadcast(existing.select("nome")), "nome", "left_anti"
         )
-    new_rows = incoming.join(F.broadcast(existing.select("nome")), "nome", "left_anti")
-    max_id = existing.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m")).collect()[0]["m"]
-    appended = new_rows.withColumn(
-        "id", (F.row_number().over(w) + F.lit(int(max_id))).cast("long")
-    ).select("id", "nome")
+        base = existing.agg(
+            F.coalesce(F.max("id"), F.lit(0)).cast("long").alias("_base")
+        )
+
+    bucketed = new_rows.withColumn("_b", F.substring(F.md5("nome"), 1, 2))
+    ranked = bucketed.withColumn(
+        "_r", F.row_number().over(W.partitionBy("_b").orderBy("nome")).cast("long")
+    )
+    # cumulative offsets over the ≤256 bucket counts (constant-sized frame;
+    # the single-partition window here is over buckets, not rows)
+    offsets = (
+        bucketed.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("_b", "_off")
+    )
+    appended = ranked.join(F.broadcast(offsets), "_b")
+    if base is not None:
+        appended = appended.crossJoin(F.broadcast(base))
+        id_col = F.col("_base") + F.col("_off") + F.col("_r")
+    else:
+        id_col = F.col("_off") + F.col("_r")
+    appended = appended.select(id_col.cast("long").alias("id"), "nome")
+    if existing is None:
+        return appended
     return existing.select("id", "nome").unionByName(appended)
 
 
@@ -177,10 +216,21 @@ def load_star_schema(
     clean = result.clean.cache()
 
     def read_dim(name: str) -> DataFrame | None:
+        # Only the path-missing case means "first run" (main.py:20-22).
+        # Treating ANY read failure as first-run would silently rebuild the
+        # dim with fresh ids starting at 1 while historical fact rows still
+        # reference the old ids — corrupting every prior fact join — so
+        # anything else (corrupt footer, permissions, transient IO) re-raises.
+        import py4j.protocol
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.parquet(f"{warehouse}/{name}")
-        except Exception:  # first run: table doesn't exist yet (main.py:20-22)
-            return None
+        except (AnalysisException, py4j.protocol.Py4JJavaError) as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
 
     dim_pais = upsert_dimension(read_dim("pais"), clean.select(F.col("pais").alias("nome")))
     dim_pais.write.mode("overwrite").parquet(f"{warehouse}/pais.tmp")
@@ -190,7 +240,23 @@ def load_star_schema(
     dim_setor.write.mode("overwrite").parquet(f"{warehouse}/setor.tmp")
     dim_setor = spark.read.parquet(f"{warehouse}/setor.tmp")
 
+    # Publish the dim snapshots BEFORE appending the fact: the updated dims
+    # are supersets of the old ones, so publishing them first is always safe,
+    # whereas fact-first would — on a crash between the two steps — commit
+    # fact rows whose pais_id/setor_id exist only in the unswapped .tmp dirs.
+    # The rmtree+move pair itself is still not atomic (plain-parquet stand-in
+    # for MERGE INTO; a transactional table format is the production answer —
+    # SURVEY §7.4): a crash between them loses the old snapshot but never the
+    # new one, and never orphans committed fact keys.
+    import shutil
+
+    for name in ("pais", "setor"):
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        shutil.move(f"{warehouse}/{name}.tmp", f"{warehouse}/{name}")
+    dim_pais = spark.read.parquet(f"{warehouse}/pais")
+    dim_setor = spark.read.parquet(f"{warehouse}/setor")
     fact = resolve_fact_keys(clean, dim_pais, dim_setor, data_coleta)
+
     # partition the append-only fact by ingestion date: snapshot queries
     # and retention drops prune whole directories, and each day's append
     # never rewrites previous days (the scale form of main.py:44's
@@ -198,14 +264,6 @@ def load_star_schema(
     fact.withColumn("dt_coleta", F.to_date("data_coleta")).write.mode(
         "append"
     ).partitionBy("dt_coleta").parquet(f"{warehouse}/indice_financeiro")
-
-    # atomically swap dim snapshots (plain-parquet stand-in for MERGE INTO;
-    # a transactional table format is the production answer — SURVEY §7.4)
-    import shutil
-
-    for name in ("pais", "setor"):
-        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
-        shutil.move(f"{warehouse}/{name}.tmp", f"{warehouse}/{name}")
 
     metrics = {
         "clean_rows": clean.count(),

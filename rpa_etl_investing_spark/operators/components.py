@@ -77,3 +77,90 @@ def connected_components(
     return labels.select(
         F.col("lv").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def large_small_star_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same contract as :func:`connected_components` (vertices →
+    min-id-in-component), different convergence behavior: O(log² n)
+    rounds on ANY graph, vs O(diameter) for plain label propagation, so
+    adversarial long-chain graphs (the 100 TB worst case) can't stall the
+    driver loop.
+
+    Round shapes (each a groupBy-min + join, all key-partitioned):
+    - large-star: every vertex's larger neighbors re-point to the min of
+      its closed neighborhood;
+    - small-star: with edges directed max→min, all smaller neighbors
+      (and the vertex) re-point to the neighborhood min.
+    Edge endpoints only ever decrease, so the endpoint-id sum is the same
+    monotone convergence scalar the iterative form uses."""
+    ecols = edges.select(
+        F.col(src).cast("long").alias("eu"), F.col(dst).cast("long").alias("ev")
+    ).filter(F.col("eu") != F.col("ev"))
+    verts = (
+        ecols.select(F.col("eu").alias("vid"))
+        .unionByName(ecols.select(F.col("ev").alias("vid")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cur = ecols.distinct().localCheckpoint()
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.select("eu", "ev").unionByName(
+            e.select(F.col("ev").alias("eu"), F.col("eu").alias("ev"))
+        )
+        mins = (
+            sym.groupBy("eu")
+            .agg(F.min("ev").alias("mn"))
+            .select(
+                F.col("eu").alias("mu"),
+                F.least(F.col("mn"), F.col("eu")).alias("m"),
+            )
+        )
+        return (
+            sym.filter(F.col("ev") > F.col("eu"))
+            .join(mins, F.col("eu") == F.col("mu"))
+            .select(F.col("ev").alias("eu"), F.col("m").alias("ev"))
+            .filter(F.col("eu") != F.col("ev"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        d = e.select(
+            F.greatest("eu", "ev").alias("du"), F.least("eu", "ev").alias("dv")
+        )
+        mins = d.groupBy(F.col("du").alias("mu")).agg(F.min("dv").alias("m"))
+        joined = d.join(mins, F.col("du") == F.col("mu"))
+        re_pointed = joined.select(F.col("dv").alias("eu"), F.col("m").alias("ev"))
+        self_edge = joined.select(F.col("du").alias("eu"), F.col("m").alias("ev"))
+        return (
+            re_pointed.unionByName(self_edge)
+            .filter(F.col("eu") != F.col("ev"))
+            .distinct()
+        )
+
+    prev_sum = None
+    for _ in range(max_iter):
+        cur = small_star(large_star(cur)).localCheckpoint()
+        row = cur.agg(
+            (F.sum("eu") + F.sum("ev")).alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        cur_sum = (row.s, row.n)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    # converged edge set is a union of stars pointing at component minima
+    parents = cur.select(F.col("eu").alias("vid"), F.col("ev").alias("p")).groupBy(
+        "vid"
+    ).agg(F.min("p").alias("p"))
+    return verts.join(parents, "vid", "left").select(
+        F.col("vid").alias("doc_id"),
+        F.coalesce(F.col("p"), F.col("vid")).alias("cluster_id"),
+    )

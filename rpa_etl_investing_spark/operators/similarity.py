@@ -4,23 +4,48 @@
 small query set against the corpus — at 100 TB the corpus side stays
 partitioned and never shuffles; only the query side broadcasts.
 ``sign_lsh_*`` is the scale path: bucket vectors by the sign pattern of
-their leading components (axis-aligned hyperplane LSH), turning ANN
-into an equi-join on bucket key. A production system would use random
-hyperplanes or IVF centroids; the sign bucket keeps the plan identical
-while staying reproducible in the SQL oracle.
+seeded pseudo-random ±1 (Rademacher) hyperplane projections, turning
+ANN into an equi-join on bucket key. Round 1 bucketed on the *first
+n_bits components' signs*, which skews buckets when dimensions are
+correlated (r1 verdict item #6); random hyperplanes keep the exact same
+equi-join plan with balanced buckets, and the md5-derived coefficients
+are deterministic on any machine and mirrored verbatim into the SQL
+oracle (``hyperplane_bucket_sql``).
 
 Determinism: every dot product quantizes each term onto a 1e-10 integer
 grid (``floor(x*y*1e10 + 0.5)`` — pure double ops) and sums BIGINTs, so
 accumulation order can't change the result; cosine then uses IEEE-exact
-sqrt and division.
+sqrt and division. Hyperplane projections use the same grid, with the
+±1 coefficients applied to the quantized integers.
 """
 
 from __future__ import annotations
+
+import hashlib
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 1e10
+
+LSH_SEED = "spark-graft-lsh-v1"
+
+
+def rademacher_hyperplanes(
+    n_bits: int, dim: int, seed: str = LSH_SEED
+) -> list[list[int]]:
+    """Deterministic pseudo-random ±1 hyperplane coefficients: the sign of
+    hyperplane j, component i is the parity of ``md5(seed:j:i)``'s first
+    byte — engine-, process-, and machine-independent (no Python ``hash``),
+    so the Spark plan and the DuckDB oracle share the exact matrix."""
+    return [
+        [
+            1 if hashlib.md5(f"{seed}:{j}:{i}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
 
 
 def _quantized_dot(a: Column, b: Column) -> Column:
@@ -86,19 +111,48 @@ def sign_lsh_buckets(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
-    """Bucket key = sign pattern of the first ``n_bits`` components."""
+    """Bucket key = sign pattern of ``n_bits`` seeded random-hyperplane
+    projections: bit j is ``sign(Σ_i s_ji · q_i)`` where ``s_ji`` are the
+    Rademacher coefficients and ``q_i`` the 1e-10-grid-quantized vector
+    components (exact BIGINTs, so the projection is order-independent).
+
+    ``dim`` must equal the embedding dimensionality — the projection is a
+    fixed column expression, all JVM-side, no UDF."""
+    planes = rademacher_hyperplanes(n_bits, dim)
+    q = [
+        F.floor(
+            F.element_at(F.col(vec_col), i + 1).cast("double") * SCALE + 0.5
+        ).cast("bigint")
+        for i in range(dim)
+    ]
     bits = F.concat(
         *[
-            F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit("1")).otherwise(
-                F.lit("0")
-            )
-            for i in range(n_bits)
+            F.when(
+                reduce(lambda a, b: a + b, [q[i] if s > 0 else -q[i] for i, s in enumerate(row)])
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for row in planes
         ]
     )
-    return vectors.select(
-        F.col(id_col), F.col(vec_col), bits.alias("bucket")
-    )
+    return vectors.select(F.col(id_col), F.col(vec_col), bits.alias("bucket"))
+
+
+def hyperplane_bucket_sql(vec_expr: str, n_bits: int = 8, dim: int = 64) -> str:
+    """The DuckDB mirror of ``sign_lsh_buckets``'s bucket expression,
+    generated from the SAME coefficient matrix (1-based array indexing on
+    both SQL dialects)."""
+    planes = rademacher_hyperplanes(n_bits, dim)
+    bits = []
+    for row in planes:
+        terms = " + ".join(
+            f"({s} * CAST(FLOOR({vec_expr}[{i + 1}] * 1e10 + 0.5) AS BIGINT))"
+            for i, s in enumerate(row)
+        )
+        bits.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
 
 
 def ivf_assign_cells(
@@ -135,6 +189,40 @@ def ivf_assign_cells(
     )
 
 
+def lloyd_refine_centroids(
+    corpus_cells: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One deterministic Lloyd (k-means) step: each cell's new centroid is
+    the elementwise mean of its member vectors, accumulated as exact
+    integers on the 1e-10 grid so the result is partition-order-independent.
+
+    Plan shape: posexplode (n·dim rows) → hash aggregate on (cell, pos) →
+    per-cell array re-assembly — two key-partitioned shuffles, no driver
+    data movement, scales with corpus size like any aggregation."""
+    pe = corpus_cells.select(
+        "cell_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    comp = pe.groupBy("cell_id", "pos").agg(
+        (
+            F.sum(F.floor(F.col("val").cast("double") * SCALE + 0.5).cast("bigint"))
+            / F.count(F.lit(1))
+            / F.lit(SCALE)
+        ).alias("cval")
+    )
+    return (
+        comp.groupBy("cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda x: x["cval"],
+            ).alias(vec_col)
+        )
+        .select(F.col("cell_id").alias(id_col), vec_col)
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -143,6 +231,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     queries_in_corpus: bool = False,
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF-flat ANN (SURVEY §2.10 L3 scale path): corpus partitioned
     into centroid cells; each query searches only its own cell (nprobe=1).
@@ -156,9 +245,18 @@ def ivf_topk(
 
     ``queries_in_corpus=True`` declares the query set a subset of the
     corpus (selected by ``id_col``): query cells are then a filter of
-    the corpus assignment instead of a second assignment pass."""
+    the corpus assignment instead of a second assignment pass.
+
+    ``lloyd_iters > 0`` refines the seed centroids with that many
+    deterministic k-means steps (``lloyd_refine_centroids``) before the
+    final assignment — better-centered cells → higher recall at the same
+    nprobe; the oracle-checked registry query keeps ``lloyd_iters=0``
+    (seed centroids) and the recall gain is asserted in tests."""
     centroids = corpus.filter(F.col(id_col) < n_centroids)
     corpus_cells = ivf_assign_cells(corpus, centroids, id_col, vec_col)
+    for _ in range(lloyd_iters):
+        centroids = lloyd_refine_centroids(corpus_cells, id_col, vec_col)
+        corpus_cells = ivf_assign_cells(corpus, centroids, id_col, vec_col)
     if queries_in_corpus:
         qkeys = queries.select(id_col).distinct()
         query_cells = corpus_cells.join(F.broadcast(qkeys), id_col, "left_semi")
@@ -192,13 +290,14 @@ def embedding_near_dup_pairs(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Near-duplicate detection by embedding cosine (SURVEY §2.10): LSH
     self-join — only vectors sharing a sign-bucket are compared, so the
     candidate set scales with bucket occupancy, not n² — then an exact
     cosine filter at ``threshold``. The embedding-space analogue of
     MinHash band-bucket dedup."""
-    b = sign_lsh_buckets(vectors, n_bits, id_col, vec_col)
+    b = sign_lsh_buckets(vectors, n_bits, id_col, vec_col, dim)
     a = b.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("a_vec"), "bucket"
     )
@@ -224,13 +323,14 @@ def sign_lsh_bucket_topk(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """ANN: candidates limited to the query's LSH bucket (equi-join on
     bucket key → shuffle partitions by bucket, no cross join)."""
-    qb = sign_lsh_buckets(queries, n_bits, id_col, vec_col).select(
+    qb = sign_lsh_buckets(queries, n_bits, id_col, vec_col, dim).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
     )
-    cb = sign_lsh_buckets(corpus, n_bits, id_col, vec_col).select(
+    cb = sign_lsh_buckets(corpus, n_bits, id_col, vec_col, dim).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
     )
     scored = (

@@ -131,16 +131,20 @@ def explode_tokens_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.nome = i.nome))
     SELECT id, nome FROM existing
     UNION ALL
-    SELECT (SELECT MAX(id) FROM existing) + ROW_NUMBER() OVER (ORDER BY nome) AS id,
+    SELECT (SELECT MAX(id) FROM existing)
+             + ROW_NUMBER() OVER (ORDER BY substr(md5(nome), 1, 2), nome) AS id,
            nome
     FROM new_rows
     """,
 )
 def dim_upsert_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 end-to-end under the oracle: deterministic surrogate-key upsert
-    (anti-join + row_number over natural key, offset by max id) — the
-    set-based form of the reference's insert-if-absent probes
-    (main.py:124-135) with re-run-stable ids (SURVEY §7.4)."""
+    (anti-join + distributed bucketed row_number over the natural key,
+    offset by max id) — the set-based form of the reference's
+    insert-if-absent probes (main.py:124-135) with re-run-stable ids
+    (SURVEY §7.4). New ids number by (md5-bucket, nome) — the oracle's
+    global ROW_NUMBER mirrors the engine's per-bucket rank + cumulative
+    bucket offsets, which is how the assignment stays distributed."""
     from rpa_etl_investing_spark.etl.pipeline import upsert_dimension
 
     n = tbl(spark, sf_dir, "nation")

@@ -113,17 +113,53 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # approx sketch — no exact oracle; rows-only check
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_within_tol,
+           TRUE AS orders_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: HyperLogLog++ approximate count-distinct (the 100 TB-scale
-    substitute for exact distinct; sketch values are engine-specific so
-    the driver records the weaker rows-only check)."""
+    substitute for exact distinct).
+
+    The raw sketch estimate is engine-specific, so the checked output is
+    deterministic-by-construction (r1 verdict item #3): the exact count
+    plus ``|approx − exact| / exact ≤ 5%`` booleans. The sketch runs at
+    rsd=1%, so 5% is a 5σ bound — a healthy sketch always lands inside
+    (the default rsd of 5% would put 1σ ON the tolerance and flip the
+    boolean for ~1/3 of groups, as observed at sf0.001). The oracle
+    returns the exact counts and literal TRUE. The sketch-accuracy bound
+    itself is also asserted directly in tests/test_plans.py."""
     return (
         tbl(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_orders",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= F.lit(0.05)
+            ).alias("parts_within_tol"),
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                / F.col("exact_orders")
+                <= F.lit(0.05)
+            ).alias("orders_within_tol"),
         )
     )
 
@@ -330,43 +366,119 @@ def agg_string_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_moment_stats",
-    oracle="""
-    SELECT l_returnflag,
-           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
-           ROUND(stddev_samp(l_extendedprice), 4) AS price_stddev,
-           ROUND(var_samp(l_extendedprice), 4) AS price_var,
-           ROUND(kurtosis(l_extendedprice), 4) AS price_kurtosis
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
-    """,
+# --- exact moment statistics ------------------------------------------------
+# Shared closed forms for agg_moment_stats. The fixture prices are exact
+# cents and quantities exact integers, so both engines first quantize to the
+# integer lattice (ix = price cents, iq = quantity) and accumulate EXACT
+# integer power sums: Spark in DECIMAL(38,0), DuckDB in HUGEINT — both
+# overflow-free up to sf1 (Σix⁴ ≤ ~1e35 < 1e38). The derived statistics are
+# then one identical, fully-parenthesized DOUBLE expression per engine using
+# only + - * / SQRT (all IEEE-correctly-rounded; no POW, whose libm results
+# differ across engines), so the comparison is bit-stable with NO rounding —
+# this replaces round 1's ROUND(...,4) quantization, whose rounding boundary
+# flipped per scale factor (r1 verdict item #2), and restores skewness
+# (verdict item #5), which ROUND could never stabilize.
+_M2 = "(s2d - ((s1d * s1d) / nd))"
+_M3 = "(s3d - (((3.0 * s2d) * s1d) / nd) + ((((2.0 * s1d) * s1d) * s1d) / (nd * nd)))"
+_M4 = (
+    "(s4d - (((4.0 * s3d) * s1d) / nd)"
+    " + (((((6.0 * s2d) * s1d) * s1d)) / (nd * nd))"
+    " - (((((3.0 * s1d) * s1d) * s1d) * s1d) / ((nd * nd) * nd)))"
 )
-def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 gen: higher-moment statistical aggregates (correlation,
-    covariance, stddev/variance, kurtosis) per group — single-pass
-    moment accumulation, partial+final like any hash aggregate.
+_MOMENT_FORMULAS = {
+    "qty_price_corr": (
+        "(((nd * sqpd) - (q1d * s1d))"
+        " / (SQRT((nd * q2d) - (q1d * q1d)) * SQRT((nd * s2d) - (s1d * s1d))))"
+    ),
+    # price is in cents → /100 (covar is linear in price); corr/skew/kurt are
+    # scale-invariant; var and stddev divide by 100² and 100.
+    "qty_price_covar": "(((sqpd - ((q1d * s1d) / nd)) / (nd - 1.0)) / 100.0)",
+    "price_stddev": f"(SQRT({_M2} / (nd - 1.0)) / 100.0)",
+    "price_var": f"(({_M2} / (nd - 1.0)) / 10000.0)",
+    "price_skewness": f"((SQRT(nd) * {_M3}) / ({_M2} * SQRT({_M2})))",
+    "price_kurtosis": f"(((nd * {_M4}) / ({_M2} * {_M2})) - 3.0)",
+}
+_MOMENT_SELECT = ",\n           ".join(
+    f"{expr} AS {name}" for name, expr in _MOMENT_FORMULAS.items()
+)
 
-    Oracle parity: moments are float-accumulation-order sensitive, so
-    results are quantized (ROUND to 4-6 dp, chosen empirically stable
-    across engines at every fixture scale). Skewness is excluded: its
-    third-moment accumulation diverges past 6 dp at small n.
+_MOMENT_ORACLE = f"""
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS ix,
+             CAST(l_quantity AS BIGINT) AS iq
+      FROM lineitem
+    ), sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(ix AS HUGEINT)) AS s1,
+             SUM(CAST(ix AS HUGEINT) * ix) AS s2,
+             SUM(CAST(ix AS HUGEINT) * ix * ix) AS s3,
+             SUM(CAST(ix AS HUGEINT) * ix * ix * ix) AS s4,
+             SUM(CAST(iq AS HUGEINT)) AS q1,
+             SUM(CAST(iq AS HUGEINT) * iq) AS q2,
+             SUM(CAST(iq AS HUGEINT) * ix) AS sqp
+      FROM base GROUP BY l_returnflag
+    ), d AS (
+      SELECT l_returnflag,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+             CAST(s3 AS DOUBLE) AS s3d, CAST(s4 AS DOUBLE) AS s4d,
+             CAST(q1 AS DOUBLE) AS q1d, CAST(q2 AS DOUBLE) AS q2d,
+             CAST(sqp AS DOUBLE) AS sqpd
+      FROM sums
+    )
+    SELECT l_returnflag,
+           {_MOMENT_SELECT}
+    FROM d
+    ORDER BY l_returnflag
     """
+
+
+@register("agg_moment_stats", oracle=_MOMENT_ORACLE)
+def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 gen: higher-moment statistics (correlation, covariance,
+    stddev/variance, skewness, kurtosis) per group — single-pass exact
+    integer power-sum accumulation (partial+final hash aggregate, fully
+    map-side-combinable), with the moments derived in one closed-form
+    DOUBLE expression shared verbatim with the oracle.
+
+    Statistics are computed over cent-quantized prices (the fixture's
+    exact value lattice), so the integer sums — and therefore every
+    derived double — are bit-identical across engines at any scale
+    factor and any partitioning: integer addition is order-independent,
+    unlike the float moment accumulation of the engines' native
+    corr/kurtosis. Skewness/kurtosis use the population (g1 / excess-g2)
+    convention, matching ``pyspark.sql.functions.skewness/kurtosis``.
+    """
+    ix = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    iq = "CAST(l_quantity AS BIGINT)"
     li = tbl(spark, sf_dir, "lineitem")
+    sums = li.groupBy("l_returnflag").agg(
+        F.expr("COUNT(*)").alias("n"),
+        F.expr(f"SUM(CAST({ix} AS DECIMAL(38,0)))").alias("s1"),
+        F.expr(f"SUM(CAST({ix} AS DECIMAL(38,0)) * {ix})").alias("s2"),
+        F.expr(f"SUM(CAST({ix} AS DECIMAL(38,0)) * {ix} * {ix})").alias("s3"),
+        F.expr(f"SUM(CAST({ix} AS DECIMAL(38,0)) * {ix} * {ix} * {ix})").alias("s4"),
+        F.expr(f"SUM(CAST({iq} AS DECIMAL(38,0)))").alias("q1"),
+        F.expr(f"SUM(CAST({iq} AS DECIMAL(38,0)) * {iq})").alias("q2"),
+        F.expr(f"SUM(CAST({iq} AS DECIMAL(38,0)) * {ix})").alias("sqp"),
+    )
+    d = sums.select(
+        "l_returnflag",
+        F.expr("CAST(n AS DOUBLE)").alias("nd"),
+        F.expr("CAST(s1 AS DOUBLE)").alias("s1d"),
+        F.expr("CAST(s2 AS DOUBLE)").alias("s2d"),
+        F.expr("CAST(s3 AS DOUBLE)").alias("s3d"),
+        F.expr("CAST(s4 AS DOUBLE)").alias("s4d"),
+        F.expr("CAST(q1 AS DOUBLE)").alias("q1d"),
+        F.expr("CAST(q2 AS DOUBLE)").alias("q2d"),
+        F.expr("CAST(sqp AS DOUBLE)").alias("sqpd"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
-                "qty_price_corr"
-            ),
-            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
-                "qty_price_covar"
-            ),
-            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
-            F.round(F.var_samp("l_extendedprice"), 4).alias("price_var"),
-            F.round(F.kurtosis("l_extendedprice"), 4).alias("price_kurtosis"),
+        d.select(
+            "l_returnflag",
+            *[F.expr(expr).alias(name) for name, expr in _MOMENT_FORMULAS.items()],
         )
         .orderBy("l_returnflag")
     )

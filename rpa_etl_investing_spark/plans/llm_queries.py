@@ -29,6 +29,7 @@ from rpa_etl_investing_spark.operators import (
     token_stats,
 )
 from rpa_etl_investing_spark.operators.dedup import N_BANDS, N_MINHASH
+from rpa_etl_investing_spark.operators.similarity import hyperplane_bucket_sql
 from rpa_etl_investing_spark.operators.text import LANG_LEXICONS, STOPWORDS
 from rpa_etl_investing_spark.plans.registry import register
 
@@ -203,7 +204,7 @@ def llm_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH b AS (
       SELECT vec_id, embedding,
-             {" || ".join(f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8))} AS bucket
+             {hyperplane_bucket_sql("embedding")} AS bucket
       FROM embeddings),
     scored AS (
       SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id,
@@ -267,7 +268,7 @@ def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH b AS (
       SELECT vec_id, embedding,
-             {" || ".join(f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8))} AS bucket
+             {hyperplane_bucket_sql("embedding")} AS bucket
       FROM embeddings)
     SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
            {_cos_sql("a.embedding", "c.embedding")} AS cos_sim

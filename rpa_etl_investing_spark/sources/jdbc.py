@@ -19,6 +19,28 @@ Scale notes baked into the defaults:
 Tested against Derby embedded in-memory (bundled with Spark for the
 Hive metastore) — the same code path as PostgreSQL with a different
 ``url``/``driver``.
+
+**Postgres dialect delta** (the reference's actual sink is Postgres via
+SQLAlchemy, ``main.py:15-18``; the sandbox has no Postgres server, so the
+Derby tests pin the *shared* JDBC behavior and this note pins the rest):
+
+- Type mapping (Spark ``JdbcDialect``): StringType → Derby ``CLOB`` vs
+  Postgres ``TEXT``; DoubleType → ``DOUBLE`` vs ``DOUBLE PRECISION``;
+  TimestampType → ``TIMESTAMP`` in both, but Postgres stores microseconds
+  UTC while Derby keeps nanos — round-trips at micro precision either way.
+  BooleanType → Derby ``BOOLEAN`` (10.7+) vs Postgres ``BOOLEAN``; binary →
+  Derby ``BLOB`` vs Postgres ``BYTEA``.
+- Identifier quoting is ``"`` in both; Derby upper-cases unquoted names,
+  Postgres lower-cases them — ``PARITY_*`` table names in the tests are
+  spelled unquoted so either normalization works.
+- Postgres-only knobs worth setting in production (no Derby equivalent):
+  ``stringtype=unspecified`` on the url (lets VARCHAR bind to enum/json
+  columns), ``reWriteBatchedInserts=true`` (turns the ``batchsize`` batch
+  into one multi-row INSERT — the true set-based analogue of the
+  reference's per-row commit), and ``truncate=true`` on overwrite so the
+  table's grants/indexes survive.
+- Isolation default is READ_COMMITTED in both (Spark sets it per
+  connection via ``isolationLevel``).
 """
 
 from __future__ import annotations
@@ -27,6 +49,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 DERBY_MEM_URL = "jdbc:derby:memory:{name};create=true"
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+# What a production run against the reference's Postgres would pass:
+# write_jdbc(df, POSTGRES_URL_TEMPLATE.format(...), table,
+#            POSTGRES_DRIVER) — same code path, different dialect plugin.
+POSTGRES_URL_TEMPLATE = (
+    "jdbc:postgresql://{host}:{port}/{db}"
+    "?reWriteBatchedInserts=true&stringtype=unspecified"
+)
+POSTGRES_DRIVER = "org.postgresql.Driver"
 
 
 def write_jdbc(

@@ -7,12 +7,20 @@ with its ``oracle_sql()`` counterpart on DuckDB, comparing row count,
 column names and order-insensitive values. Prints one line per query
 and a JSON summary.
 
-Usage: python scripts/verify_driver_contract.py [sf_dir] [name_filter]
+The SparkSession is deliberately BARE — ``SparkSession.builder`` with no
+repo confs — because that is what the round driver hands to ``queries()``.
+Round 1's only hard failure (events TIMESTAMP(NANOS)) escaped precisely
+because this script used the repo's tuned ``get_spark()``; every query
+must now be self-sufficient on a vanilla session (verdict item #4).
+Pass ``--factory`` to use the tuned session instead (for perf triage).
+
+Usage: python scripts/verify_driver_contract.py [sf_dir] [name_filter] [--factory]
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -20,14 +28,27 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2] if len(sys.argv) > 2 else None
+    args = [a for a in sys.argv[1:] if a != "--factory"]
+    use_factory = "--factory" in sys.argv[1:]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    name_filter = args[1] if len(args) > 1 else None
 
     import __spark_entry__ as contract
-    from rpa_etl_investing_spark import get_spark
     from tests.parity import compare_frames, duck_connection
 
-    spark = get_spark(app_name="verify-driver-contract")
+    if use_factory:
+        from rpa_etl_investing_spark import get_spark
+
+        spark = get_spark(app_name="verify-driver-contract")
+    else:
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("verify-driver-contract-bare")
+            .getOrCreate()
+        )
 
     t0 = time.time()
     smoke = contract.entry(spark)

@@ -24,6 +24,21 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _normalize_nested(v):
+    """Recursively turn ndarray/list/dict cell values into plain tuples so
+    ``astype(str)`` spells them identically for both engines; numpy ints and
+    Python ints also stringify the same once unboxed via ``.item()``."""
+    if isinstance(v, np.ndarray):
+        return tuple(_normalize_nested(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(_normalize_nested(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _normalize_nested(x)) for k, x in v.items()))
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, normalize dtypes, sort rows."""
     df = df[sorted(df.columns)].copy()
@@ -45,6 +60,10 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_bool_dtype(s):
             df[c] = s.astype("bool") if not s.isna().any() else s.astype("object")
         else:
+            # Arrays/maps arrive as numpy arrays (Arrow sessions) or Python
+            # lists (plain sessions) — normalize both to tuples so the
+            # string comparison sees one spelling.
+            s = s.map(_normalize_nested, na_action="ignore")
             df[c] = s.astype("object").where(~s.isna(), None)
     if len(df):
         df = df.sort_values(

@@ -3,6 +3,7 @@ source mixing, connected-components cluster resolution."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from rpa_etl_investing_spark.catalog import tbl
@@ -64,3 +65,54 @@ def test_connected_components_chain_and_triangle(spark):
         r["doc_id"]: r["cluster_id"] for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def _ground_truth_components(edge_list):
+    """Driver-side union-find reference for tiny property graphs."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@pytest.mark.parametrize("seed", [7, 101, 2026])
+def test_large_small_star_equals_iterative(spark, seed):
+    """Property: on random graphs (plus an adversarial 40-chain, the
+    diameter case large/small-star exists for), the SoCC'14 alternating
+    algorithm, the iterative min-label propagation, and a driver-side
+    union-find all agree exactly."""
+    import random
+
+    from rpa_etl_investing_spark.operators.components import (
+        large_small_star_components,
+    )
+
+    rng = random.Random(seed)
+    n = 60
+    edge_list = [(i, i + 1) for i in range(100, 140)]  # 40-vertex chain
+    edge_list += [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+    ]
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    edges = spark.createDataFrame(edge_list, ["doc_a", "doc_b"])
+
+    expect = _ground_truth_components(edge_list)
+    got_star = {
+        r["doc_id"]: r["cluster_id"]
+        for r in large_small_star_components(edges).collect()
+    }
+    got_iter = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(edges).collect()
+    }
+    assert got_star == expect
+    assert got_iter == expect

@@ -76,6 +76,22 @@ def test_upsert_dimension_deterministic_and_idempotent(spark, raw_df):
     assert dim2.count() == 4
 
 
+def test_upsert_dimension_plan_is_distributed(spark, raw_df):
+    """r1 verdict item #7: the new-key ranking window must be hash-
+    partitioned by the md5 bucket — a single-partition Exchange feeding
+    the big-side row_number would serialize id assignment at scale. The
+    only SinglePartition window allowed is the one over the ≤256-row
+    bucket-count frame."""
+    clean = transform_raw(raw_df).clean
+    dim = upsert_dimension(None, clean.select(F.col("pais").alias("nome")))
+    plan = dim._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_b" in plan, plan
+    # the bucket-offset window is the only single-partition exchange, and it
+    # sits above an aggregation keyed by _b (≤256 rows by construction)
+    n_single = plan.count("Exchange SinglePartition")
+    assert n_single <= 1, plan
+
+
 def test_full_load_and_flagship_query(spark, raw_df, tmp_path):
     wh = str(tmp_path / "warehouse")
     m1 = load_star_schema(spark, raw_df, wh, PIN_TS)

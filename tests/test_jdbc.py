@@ -26,6 +26,31 @@ def test_jdbc_roundtrip_preserves_values(spark, sf_dir):
     assert nation.exceptAll(back).count() == 0
 
 
+def test_jdbc_dialect_assumptions(spark, sf_dir):
+    """Names the dialect contract the engine relies on (sources/jdbc.py
+    module doc): identifier case is normalized per-dialect (Derby upper,
+    Postgres lower — so the code never depends on case), strings/doubles/
+    timestamps round-trip exactly, and timestamps keep at least micro
+    precision. Runs on Derby; the Postgres deltas that CAN'T be exercised
+    without a server (TEXT vs CLOB, reWriteBatchedInserts, stringtype)
+    are documented next to POSTGRES_URL_TEMPLATE."""
+    import datetime as dt
+
+    url = DERBY_MEM_URL.format(name="t_dialect")
+    df = spark.createDataFrame(
+        [(1, "héllo wörld", 1.5, dt.datetime(2026, 1, 2, 3, 4, 5, 123456))],
+        "id bigint, s string, d double, ts timestamp",
+    )
+    write_jdbc(df, url, "dialect_t", DERBY_DRIVER)
+    back = read_jdbc(spark, url, "dialect_t", DERBY_DRIVER)
+    # identifier-case normalization is the caller's job in BOTH dialects
+    assert [c.lower() for c in back.columns] == ["id", "s", "d", "ts"]
+    row = back.toDF(*[c.lower() for c in back.columns]).collect()[0]
+    assert row.s == "héllo wörld"  # CLOB/TEXT round-trip incl. non-ASCII
+    assert row.d == 1.5  # DOUBLE vs DOUBLE PRECISION: IEEE bits survive
+    assert row.ts.microsecond == 123456  # micro precision floor (both)
+
+
 def test_jdbc_partitioned_read_fans_out(spark, sf_dir):
     url = DERBY_MEM_URL.format(name="t_fanout")
     orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")

@@ -21,3 +21,21 @@ def test_query_matches_oracle(spark, sf_dir, name):
         return
     problems = run_compare(spark, name, sf_dir)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# Queries whose round-1 forms were scale-factor-sensitive (float moment /
+# percentile accumulation). Their rewritten exact forms must hash-match at
+# EVERY fixture scale, not just the default test sf (r1 verdict item #2).
+MULTI_SF_NAMES = [
+    "agg_moment_stats",
+    "agg_percentiles_exact",
+    "agg_variance_exact",
+    "agg_approx_distinct",
+]
+
+
+@pytest.mark.parametrize("name", MULTI_SF_NAMES)
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_scale_stable_queries(spark, name, sf):
+    problems = run_compare(spark, name, f"/root/testdata/{sf}")
+    assert not problems, f"{name}@{sf}: " + "; ".join(problems)
