@@ -82,6 +82,127 @@ def token_stats(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFra
     return counts.orderBy(F.desc("freq"), F.asc("token")).limit(k)
 
 
+def tf_idf_topk(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Per-document top-k salient terms by tf-idf (raw-idf variant:
+    ``tf · N / df`` — log-free so one integer multiply and one double
+    division reproduce bit-exactly on any engine; log-idf reorders terms
+    only across widely different df magnitudes).
+
+    Scale shape: explode → (doc,term) hash aggregate for tf; (term)
+    aggregate for df; tf⋈df is a key-partitioned equi-join on term (df
+    side is vocab-sized — aggregated, but NOT assumed broadcastable at
+    corpus scale); N rides in as a broadcast 1-row cross join; per-doc
+    top-k is one window partitioned by doc_id."""
+    from pyspark.sql.window import Window as W
+
+    ex = spread(docs, "doc_id").select(
+        "doc_id", F.explode(tokens_col(text_col)).alias("term")
+    )
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        ex.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def vocab_coverage(docs: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Tokenizer-vocabulary building: global token frequencies, top-k by
+    frequency, each with its cumulative corpus-coverage fraction — the
+    "how much of the corpus do the first k vocab entries explain" curve.
+
+    The corpus-wide count is one hash aggregate; the cumulative window
+    runs AFTER the top-k limit, so the single-partition prefix sum only
+    ever sees k rows regardless of corpus size."""
+    from pyspark.sql.window import Window as W
+
+    ex = docs.select(F.explode(tokens_col(text_col)).alias("token"))
+    counts = ex.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = counts.agg(F.sum("freq").alias("total_tokens"))
+    top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(k)
+    w = (
+        W.orderBy(F.desc("freq"), F.asc("token"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        top.withColumn("cum_freq", F.sum("freq").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "freq",
+            "cum_freq",
+            (F.col("cum_freq").cast("double") / F.col("total_tokens")).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+def repetition_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document: the most
+    frequent token's share of the doc and the distinct-token ratio —
+    high top-token share / low distinct ratio flags degenerate repetitive
+    text that a pre-training filter drops.
+
+    Scale shape: explode → (doc, token) hash aggregate → per-doc argmax
+    window + per-doc totals from the same aggregate (one explode, one
+    shuffle on doc_id, ratios are single exact-int divisions)."""
+    from pyspark.sql.window import Window as W
+
+    ex = spread(docs, "doc_id").select(
+        "doc_id", F.explode(tokens_col(text_col)).alias("token")
+    )
+    per_tok = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("freq"))
+    w = W.partitionBy("doc_id")
+    w_rank = w.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        per_tok.withColumn("n_tokens", F.sum("freq").over(w))
+        .withColumn("n_distinct", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.col("token").alias("top_token"),
+            F.col("freq").alias("top_freq"),
+            (F.col("freq").cast("double") / F.col("n_tokens")).alias("top_ratio"),
+            (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+                "distinct_ratio"
+            ),
+        )
+    )
+
+
+def bigram_counts(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Bigram language-model counts: adjacent token pairs (2-shingles),
+    global top-k with deterministic tie-break — the n-gram-LM/statistics
+    sibling of :func:`token_stats`. Map-side explode with partial
+    aggregation; one shuffle on the bigram key."""
+    ex = docs.select(F.explode(shingles(text_col, k=2)).alias("bigram"))
+    counts = ex.groupBy("bigram").agg(F.count(F.lit(1)).alias("freq"))
+    return counts.orderBy(F.desc("freq"), F.asc("bigram")).limit(k)
+
+
 ROLLING_BASE = 257
 ROLLING_MOD = 2_147_483_647  # 2^31 − 1: base·mod product stays in int64
 

@@ -125,6 +125,74 @@ def curation_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(ngram_jaccard_pairs(docs))
 
 
+@register(
+    "curation_canonical_docs",
+    oracle=f"""
+    WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
+    ex AS (SELECT DISTINCT doc_id, sh FROM shx),
+    keep AS (SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) <= 1000),
+    exf AS (SELECT ex.* FROM ex JOIN keep USING (sh)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM exf GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM exf a JOIN exf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
+    edges AS (
+      SELECT doc_a AS v, doc_b AS u FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(v, u) AS (
+      SELECT v, v FROM (SELECT DISTINCT v FROM edges) AS verts
+      UNION
+      SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v),
+    clusters AS (
+      SELECT v AS doc_id, MIN(u) AS cluster_id FROM reach GROUP BY v)
+    SELECT cluster_id,
+           CAST(doc_id AS BIGINT) AS kept_doc,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_chars AS BIGINT) AS kept_chars
+    FROM (
+      SELECT c.cluster_id, c.doc_id, d.n_chars,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM clusters c JOIN documents d USING (doc_id))
+    WHERE rn = 1
+    """,
+)
+def curation_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after clustering: pick ONE document to keep per duplicate
+    cluster — the longest text, doc_id as tie-break (a deterministic
+    "best representative" rule; a production pipeline would swap in its
+    quality score). Completes the dedup pipeline: pairs → components →
+    canonical survivors. One window over cluster_id; cluster metadata
+    (size) comes from the same partitioning, so clustering adds exactly
+    one extra shuffle beyond the components themselves."""
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    clusters = connected_components(ngram_jaccard_pairs(docs))
+    j = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id")
+    w_rank = w.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        j.withColumn("n_members", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("n_chars").cast("bigint").alias("kept_chars"),
+        )
+    )
+
+
 _PACK_BUDGET = 512
 
 

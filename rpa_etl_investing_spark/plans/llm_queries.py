@@ -369,6 +369,149 @@ def llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_tfidf_topk",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    ex AS (SELECT doc_id, UNNEST(t) AS term FROM tok),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY doc_id, term),
+    idf AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             CAST(tf * n_docs AS DOUBLE) / df AS tfidf
+      FROM tf JOIN idf USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def llm_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: per-doc top-3 salient terms by tf-idf (raw N/df idf — see
+    operators/text.py tf_idf_topk for the engine-exactness rationale)."""
+    from rpa_etl_investing_spark.operators.text import tf_idf_topk
+
+    return tf_idf_topk(tbl(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "llm_vocab_coverage",
+    oracle="""
+    WITH ex AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+    counts AS (SELECT token, COUNT(*) AS freq FROM ex GROUP BY token),
+    total AS (SELECT SUM(freq) AS total_tokens FROM counts),
+    top AS (SELECT token, freq FROM counts ORDER BY freq DESC, token LIMIT 50)
+    SELECT token, freq,
+           CAST(SUM(freq) OVER (ORDER BY freq DESC, token
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_freq,
+           CAST(SUM(freq) OVER (ORDER BY freq DESC, token
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / (SELECT total_tokens FROM total) AS coverage
+    FROM top
+    """,
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: tokenizer-vocab building — top-50 tokens with cumulative
+    corpus-coverage fractions (the vocab-size/coverage trade-off curve)."""
+    from rpa_etl_investing_spark.operators.text import vocab_coverage
+
+    return vocab_coverage(tbl(spark, sf_dir, "documents"), k=50)
+
+
+@register(
+    "llm_repetition_ratio",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    ex AS (SELECT doc_id, UNNEST(t) AS token FROM tok),
+    per_tok AS (
+      SELECT doc_id, token, COUNT(*) AS freq FROM ex GROUP BY doc_id, token),
+    stats AS (
+      SELECT doc_id, token, freq,
+             CAST(SUM(freq) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_distinct,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY freq DESC, token) AS rn
+      FROM per_tok)
+    SELECT doc_id, n_tokens, n_distinct,
+           token AS top_token, freq AS top_freq,
+           CAST(freq AS DOUBLE) / n_tokens AS top_ratio,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio
+    FROM stats WHERE rn = 1
+    """,
+)
+def llm_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: Gopher-style repetition signals — top-token share and
+    distinct-token ratio per document (degenerate-text filter inputs)."""
+    from rpa_etl_investing_spark.operators.text import repetition_ratio
+
+    return repetition_ratio(tbl(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_doc_length_histogram",
+    oracle="""
+    WITH lens AS (
+      SELECT LEN(STRING_SPLIT(text, ' ')) AS n_tok, source FROM documents)
+    SELECT source,
+           CASE WHEN n_tok < 16 THEN '<16' WHEN n_tok < 32 THEN '16-31'
+                WHEN n_tok < 64 THEN '32-63' WHEN n_tok < 128 THEN '64-127'
+                ELSE '128+' END AS len_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM lens
+    GROUP BY source, len_bin
+    ORDER BY source, len_bin
+    """,
+)
+def llm_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4/corpus stats: doc-length distribution per source in power-of-2
+    token bins — the sizing input for sequence packing and curriculum
+    decisions. Pure map-side binning + one grouped count."""
+    d = tbl(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    len_bin = (
+        F.when(n_tok < 16, "<16")
+        .when(n_tok < 32, "16-31")
+        .when(n_tok < 64, "32-63")
+        .when(n_tok < 128, "64-127")
+        .otherwise("128+")
+    )
+    return (
+        d.select(F.col("source"), n_tok.alias("n_tok"), len_bin.alias("len_bin"))
+        .groupBy("source", "len_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source", "len_bin")
+    )
+
+
+@register(
+    "llm_bigram_counts",
+    oracle="""
+    WITH tok AS (SELECT STRING_SPLIT(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT UNNEST(CASE WHEN LEN(t) < 2 THEN CAST([] AS VARCHAR[])
+                    ELSE LIST_TRANSFORM(RANGE(1, LEN(t)),
+                                        i -> t[i] || ' ' || t[i+1]) END) AS bigram
+      FROM tok)
+    SELECT bigram, COUNT(*) AS freq
+    FROM bg GROUP BY bigram
+    ORDER BY freq DESC, bigram
+    LIMIT 20
+    """,
+)
+def llm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: bigram language-model counts — global top-20 adjacent token
+    pairs (map-side explode + partial agg, one shuffle on the bigram)."""
+    from rpa_etl_investing_spark.operators.text import bigram_counts
+
+    return bigram_counts(tbl(spark, sf_dir, "documents"), k=20)
+
+
+@register(
     "llm_fingerprint",
     oracle=f"""
     WITH {_TOK_CTE}, {_SH_CTE},
