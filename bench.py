@@ -74,13 +74,14 @@ def main() -> int:
         except Exception:
             pass  # warm-up failures surface in the timed pass
 
-    # min of 2 reps: first executions still pay per-plan codegen + JIT,
-    # and the host occasionally steals CPU in bursts; the min is the
-    # engine's actual cost
+    # min of 3 reps: first executions still pay per-plan codegen + JIT,
+    # and the host steals CPU in multi-second bursts (measured: identical
+    # code varies ±30% run-to-run); the min over 3 is the engine's actual
+    # cost and keeps round-over-round ratios comparable
     timings: dict[str, float] = {}
     for bench_name, reg_name in HEADLINE.items():
         timings[bench_name] = round(
-            min(_run(spark, QUERIES[reg_name].fn, sf_dir) for _ in range(2)), 3
+            min(_run(spark, QUERIES[reg_name].fn, sf_dir) for _ in range(3)), 3
         )
 
     out = {

@@ -44,11 +44,17 @@ def main() -> int:
         from pyspark.sql import SparkSession
 
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        spark = (
-            SparkSession.builder.master(f"local[{cpus}]")
-            .appName("verify-driver-contract-bare")
-            .getOrCreate()
+        builder = SparkSession.builder.master(f"local[{cpus}]").appName(
+            "verify-driver-contract-bare"
         )
+        # The default heap stays Spark's default (driver-identical). The
+        # sf0.1 stress run (10× the driver's correctness scale) needs more
+        # than the 1g default under local[32] — opt in explicitly:
+        #   SPARK_GRAFT_DRIVER_MEM=8g python scripts/verify_driver_contract.py /root/testdata/sf0.1
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+        if mem:
+            builder = builder.config("spark.driver.memory", mem)
+        spark = builder.getOrCreate()
 
     t0 = time.time()
     smoke = contract.entry(spark)
