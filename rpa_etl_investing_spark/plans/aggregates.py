@@ -345,6 +345,56 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           QUANTILE_CONT(l_extendedprice, 0.49) AS p50_lo,
+           QUANTILE_CONT(l_extendedprice, 0.51) AS p50_hi,
+           QUANTILE_CONT(l_extendedprice, 0.89) AS p90_lo,
+           QUANTILE_CONT(l_extendedprice, 0.91) AS p90_hi,
+           TRUE AS p50_within_tol,
+           TRUE AS p90_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 gen: approximate percentiles (Greenwald-Khanna sketch via
+    ``percentile_approx`` — the 100 TB substitute for exact percentile,
+    which needs a per-group sort). Like ``agg_approx_distinct``, the
+    checked output is deterministic-by-construction: the sketch runs at
+    accuracy 1000 (rank error ≤ 0.1%), and the booleans assert the
+    approximate value lies between the exact 0.49/0.51 (resp. 0.89/0.91)
+    quantiles — a 10× margin, so a healthy sketch is always inside. The
+    oracle returns the same exact quantile bounds and literal TRUE."""
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.49)").alias("p50_lo"),
+            F.expr("percentile(l_extendedprice, 0.51)").alias("p50_hi"),
+            F.expr("percentile(l_extendedprice, 0.89)").alias("p90_lo"),
+            F.expr("percentile(l_extendedprice, 0.91)").alias("p90_hi"),
+            F.expr("percentile_approx(l_extendedprice, 0.5, 1000)").alias("ap50"),
+            F.expr("percentile_approx(l_extendedprice, 0.9, 1000)").alias("ap90"),
+        )
+        .select(
+            "l_returnflag",
+            "p50_lo",
+            "p50_hi",
+            "p90_lo",
+            "p90_hi",
+            F.col("ap50").between(F.col("p50_lo"), F.col("p50_hi")).alias(
+                "p50_within_tol"
+            ),
+            F.col("ap90").between(F.col("p90_lo"), F.col("p90_hi")).alias(
+                "p90_within_tol"
+            ),
+        )
+    )
+
+
+@register(
     "agg_string_listagg",
     oracle="""
     SELECT n_regionkey,

@@ -31,6 +31,10 @@ MULTI_SF_NAMES = [
     "agg_percentiles_exact",
     "agg_variance_exact",
     "agg_approx_distinct",
+    "agg_approx_percentiles",
+    "llm_tfidf_topk",
+    "llm_vocab_coverage",
+    "llm_repetition_ratio",
 ]
 
 
