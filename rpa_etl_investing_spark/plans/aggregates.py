@@ -136,16 +136,24 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the default rsd of 5% would put 1σ ON the tolerance and flip the
     boolean for ~1/3 of groups, as observed at sf0.001). The oracle
     returns the exact counts and literal TRUE. The sketch-accuracy bound
-    itself is also asserted directly in tests/test_plans.py."""
+    itself is also asserted directly in tests/test_plans.py.
+
+    Plan note: the exact and approximate aggregations run as SEPARATE
+    aggregates joined on the (3-row) group key — mixing countDistinct
+    with other aggregates triggers Expand (one row replica per distinct
+    clause), which would feed the HLL sketch 3× the rows for nothing
+    (measured 12.9s → ~4s at sf0.01 on a 200-partition session)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
     return (
-        tbl(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("exact_parts"),
-            F.countDistinct("l_orderkey").alias("exact_orders"),
-            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-        )
+        exact.join(F.broadcast(approx), "l_returnflag")
         .select(
             "l_returnflag",
             "exact_parts",
