@@ -70,7 +70,10 @@ def connected_components(
             )
             .localCheckpoint()  # truncate lineage; materializes this round
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        # DECIMAL(38,0) accumulation: a bigint label-sum could overflow at
+        # ~1e12 vertices × 1e12-range ids; the monotone-scalar argument
+        # needs the sum to be exact
+        cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -149,7 +152,11 @@ def large_small_star_components(
     for _ in range(max_iter):
         cur = small_star(large_star(cur)).localCheckpoint()
         row = cur.agg(
-            (F.sum("eu") + F.sum("ev")).alias("s"), F.count(F.lit(1)).alias("n")
+            (
+                F.sum(F.col("eu").cast("decimal(38,0)"))
+                + F.sum(F.col("ev").cast("decimal(38,0)"))
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
         ).collect()[0]
         cur_sum = (row.s, row.n)
         if cur_sum == prev_sum:

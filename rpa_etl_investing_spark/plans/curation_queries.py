@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from rpa_etl_investing_spark.catalog import tbl
 from rpa_etl_investing_spark.operators.components import connected_components
-from rpa_etl_investing_spark.operators.dedup import ngram_jaccard_pairs
+from rpa_etl_investing_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
 from rpa_etl_investing_spark.operators.sampling import (
     deterministic_split,
     frac_to_hex,
@@ -190,6 +190,89 @@ def curation_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("bigint").alias("n_members"),
             F.col("n_chars").cast("bigint").alias("kept_chars"),
         )
+    )
+
+
+@register(
+    "curation_final_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
+    ex AS (SELECT DISTINCT doc_id, sh FROM shx),
+    keep AS (SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) <= 1000),
+    exf AS (SELECT ex.* FROM ex JOIN keep USING (sh)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM exf GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM exf a JOIN exf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
+    edges AS (
+      SELECT doc_a AS v, doc_b AS u FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(v, u) AS (
+      SELECT v, v FROM (SELECT DISTINCT v FROM edges) AS verts
+      UNION
+      SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v),
+    clusters AS (
+      SELECT v AS doc_id, MIN(u) AS cluster_id FROM reach GROUP BY v),
+    near_losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+    exact_groups AS (
+      SELECT sha256(text) AS h, MIN(doc_id) AS keep_id
+      FROM documents GROUP BY sha256(text)),
+    exact_losers AS (
+      SELECT d.doc_id FROM documents d
+      JOIN exact_groups g ON sha256(d.text) = g.h
+      WHERE d.doc_id <> g.keep_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars_kept
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM exact_losers x WHERE x.doc_id = d.doc_id)
+      AND NOT EXISTS (SELECT 1 FROM near_losers nl WHERE nl.doc_id = d.doc_id)
+    GROUP BY source ORDER BY source
+    """,
+)
+def curation_final_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole dedup pipeline composed into the number that matters:
+    what actually ships to training. Exact duplicates (sha256 groups,
+    min-id survivor) and near-duplicate cluster members (3-gram-Jaccard
+    pairs → connected components, min-id canonical) are dropped via two
+    LEFT ANTI joins, then the kept corpus is audited per source.
+
+    Composition stays set-based end-to-end: the loser frames carry only
+    doc_ids (never text), both anti-joins shuffle on doc_id, and every
+    constituent operator is the same one verified individually
+    (exact_dedup, ngram_jaccard_pairs, connected_components)."""
+    docs = tbl(spark, sf_dir, "documents")
+
+    exact_groups = exact_dedup(docs)  # (content_hash, canonical_id, n_copies)
+    hashed = docs.select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("content_hash")
+    )
+    exact_losers = (
+        hashed.join(exact_groups, "content_hash")
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id")
+    )
+    near_losers = (
+        connected_components(ngram_jaccard_pairs(docs))
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.join(exact_losers, "doc_id", "left_anti")
+        .join(near_losers, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_chars").cast("bigint").alias("total_chars_kept"),
+        )
+        .orderBy("source")
     )
 
 
