@@ -273,13 +273,19 @@ def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
            {_cos_sql("a.embedding", "c.embedding")} AS cos_sim
     FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE {_cos_sql("a.embedding", "c.embedding")} >= 0.8
+    WHERE {_cos_sql("a.embedding", "c.embedding")} >= 0.4
     """,
 )
 def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2/L3: embedding-cosine near-dup pairs — sign-LSH bucket self-join
-    + exact cosine threshold (the embedding-space MinHash analogue)."""
-    return embedding_near_dup_pairs(tbl(spark, sf_dir, "embeddings"), threshold=0.8)
+    + exact cosine threshold (the embedding-space MinHash analogue).
+
+    Threshold 0.4: the fixture embeddings are random (no planted dups),
+    so a production-style 0.8 cutoff verifies only the empty set; 0.4
+    yields actual pairs at the driver's sf0.01, making the oracle check
+    evidence of the full candidate-score-filter path, not just of an
+    empty join."""
+    return embedding_near_dup_pairs(tbl(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 @register(

@@ -11,6 +11,14 @@ Scale notes: state lives in the executors' state store keyed by
 micro-batch touches only keys present in that batch. State size is
 O(distinct keys), not O(events); eviction for idle keys would use a
 ``GroupStateTimeout`` in production.
+
+Spark 4's successor API, ``transformWithStateInPandas`` (typed ValueState/
+ListState/MapState, timers, TTL, RocksDB-backed), is the production choice
+for new code; its Python worker requires ``google.protobuf``, which this
+environment does not provide (verified: the worker dies with
+``ImportError: cannot import name 'descriptor'``), so the operator here
+uses the protobuf-free ``applyInPandasWithState`` — same state semantics,
+same per-key shuffle shape.
 """
 
 from __future__ import annotations
