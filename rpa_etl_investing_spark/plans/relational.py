@@ -185,16 +185,19 @@ def filter_full_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_name, p_type, p_brand
     FROM part
-    WHERE p_type LIKE 'PROMO%' AND p_name LIKE '%part%' AND p_brand NOT LIKE 'Brand#1%'
+    WHERE p_type LIKE 'PROMO%' AND p_name LIKE '%e%' AND p_brand NOT LIKE 'Brand#1%'
     """,
 )
 def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7: LIKE / NOT LIKE patterns."""
+    """P7: LIKE / NOT LIKE patterns (prefix, contains, negated prefix —
+    patterns chosen to select a real subset of the fixture: the previous
+    ``'%part%'`` contains-pattern matched zero fixture names, so the
+    check only ever verified the empty set)."""
     return (
         tbl(spark, sf_dir, "part")
         .filter(
             F.col("p_type").like("PROMO%")
-            & F.col("p_name").like("%part%")
+            & F.col("p_name").like("%e%")
             & ~F.col("p_brand").like("Brand#1%")
         )
         .select("p_partkey", "p_name", "p_type", "p_brand")
@@ -303,14 +306,18 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'F')
     """,
 )
 def join_anti_upsert_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 seed: left-anti join — the set-based form of the reference's
-    insert-if-absent dimension probe (``main.py:124-135``)."""
+    insert-if-absent dimension probe (``main.py:124-135``): customers
+    with no completed ('F') order, i.e. the keys an upsert would insert.
+    (The unfiltered probe matched zero rows — every fixture customer has
+    at least one order — so it only ever verified the empty set.)"""
     c = tbl(spark, sf_dir, "customer")
-    o = tbl(spark, sf_dir, "orders")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
