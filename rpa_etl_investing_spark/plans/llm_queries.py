@@ -28,7 +28,12 @@ from rpa_etl_investing_spark.operators import (
     simhash_signatures,
     token_stats,
 )
-from rpa_etl_investing_spark.operators.dedup import N_BANDS, N_MINHASH
+from rpa_etl_investing_spark.operators.dedup import (
+    MINHASH_PRIME,
+    N_BANDS,
+    N_MINHASH,
+    minhash_mix_params,
+)
 from rpa_etl_investing_spark.operators.similarity import hyperplane_bucket_sql
 from rpa_etl_investing_spark.operators.text import LANG_LEXICONS, STOPWORDS
 from rpa_etl_investing_spark.plans.registry import register
@@ -43,8 +48,27 @@ _SH_LIST = (
 )
 _SH_CTE = f"shx AS (SELECT doc_id, UNNEST({_SH_LIST}) AS sh FROM tok)"
 
+# Universal-hash minhash mirror (operators/dedup.py minhash_signatures):
+# one md5 per shingle; its first 7 hex digits parsed to a 28-bit integer
+# (DuckDB has no hex-to-int conv, so the parse is spelled out digit by
+# digit), then each hash function is the same (a_j·x + b_j) mod 2³¹−1 mix.
+_HSH_SQL = (
+    "("
+    + " + ".join(
+        f"(STRPOS('0123456789abcdef', SUBSTR(md5(sh), {i}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(1, 8)
+    )
+    + ")"
+)
 _MINHASH_COLS = ", ".join(
-    f"MIN(md5('{j}:' || sh)) AS h{j}" for j in range(N_MINHASH)
+    "MIN(({a} * {h} + {b}) % {p}) AS h{j}".format(
+        a=minhash_mix_params(j)[0],
+        b=minhash_mix_params(j)[1],
+        h=_HSH_SQL,
+        p=MINHASH_PRIME,
+        j=j,
+    )
+    for j in range(N_MINHASH)
 )
 _SIG_CTE = f"sig AS (SELECT doc_id, {_MINHASH_COLS} FROM shx GROUP BY doc_id)"
 
@@ -52,7 +76,9 @@ _ROWS_PER_BAND = N_MINHASH // N_BANDS
 _BANDS_UNION = " UNION ALL ".join(
     "SELECT doc_id, {b} AS band_no, {key} AS band_key FROM sig".format(
         b=b,
-        key="||".join(f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)),
+        key="CONCAT_WS('_', "
+        + ", ".join(f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND))
+        + ")",
     )
     for b in range(N_BANDS)
 )
@@ -87,7 +113,9 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llm_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: 16 md5-minhashes per doc (shingle → minhash stage of LSH)."""
+    """L2: 16 universal-hash minhashes per doc (shingle → minhash stage
+    of LSH): one md5 per shingle + 16 modular mixes, mirrored exactly in
+    the oracle."""
     return minhash_signatures(tbl(spark, sf_dir, "documents"))
 
 
