@@ -101,8 +101,10 @@ def large_small_star_components(
       its closed neighborhood;
     - small-star: with edges directed max→min, all smaller neighbors
       (and the vertex) re-point to the neighborhood min.
-    Edge endpoints only ever decrease, so the endpoint-id sum is the same
-    monotone convergence scalar the iterative form uses."""
+    Unlike the label frame (pointwise monotone, so a stable sum IS a
+    fixpoint), the edge SET mutates — rows appear and vanish — so the
+    (endpoint-sum, count) scalar is used only as a cheap candidate
+    signal and the stop is confirmed by an exact set compare."""
     ecols = edges.select(
         F.col(src).cast("long").alias("eu"), F.col(dst).cast("long").alias("ev")
     ).filter(F.col("eu") != F.col("ev"))
@@ -150,8 +152,8 @@ def large_small_star_components(
 
     prev_sum = None
     for _ in range(max_iter):
-        cur = small_star(large_star(cur)).localCheckpoint()
-        row = cur.agg(
+        nxt = small_star(large_star(cur)).localCheckpoint()
+        row = nxt.agg(
             (
                 F.sum(F.col("eu").cast("decimal(38,0)"))
                 + F.sum(F.col("ev").cast("decimal(38,0)"))
@@ -159,9 +161,17 @@ def large_small_star_components(
             F.count(F.lit(1)).alias("n"),
         ).collect()[0]
         cur_sum = (row.s, row.n)
-        if cur_sum == prev_sum:
-            break
+        # scalar repeat is only a convergence CANDIDATE: two different
+        # edge sets can share (sum, count) — e.g. {(4,1),(3,2)} vs
+        # {(3,1),(4,2)} — so confirm with a set compare before stopping.
+        # Both frames are distinct with equal counts, so one-directional
+        # exceptAll emptiness is set equality; it runs only on the
+        # candidate round, not per iteration.
+        converged = cur_sum == prev_sum and nxt.exceptAll(cur).isEmpty()
         prev_sum = cur_sum
+        cur = nxt
+        if converged:
+            break
 
     # converged edge set is a union of stars pointing at component minima
     parents = cur.select(F.col("eu").alias("vid"), F.col("ev").alias("p")).groupBy(

@@ -135,7 +135,10 @@ def sign_lsh_buckets(
     components (exact BIGINTs, so the projection is order-independent).
 
     ``dim`` must equal the embedding dimensionality — the projection is a
-    fixed column expression, all JVM-side, no UDF."""
+    fixed column expression, all JVM-side, no UDF. The expression guards
+    the assumption per row: a vector of any other width raises
+    immediately (``raise_error``) instead of silently NULL-projecting
+    past the array end and collapsing buckets."""
     planes = rademacher_hyperplanes(n_bits, dim)
     q = [
         F.floor(
@@ -153,7 +156,15 @@ def sign_lsh_buckets(
             for row in planes
         ]
     )
-    return vectors.select(F.col(id_col), F.col(vec_col), bits.alias("bucket"))
+    checked = F.when(F.size(F.col(vec_col)) == dim, bits).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"sign_lsh_buckets: expected {dim}-dim {vec_col}, got "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
+    return vectors.select(F.col(id_col), F.col(vec_col), checked.alias("bucket"))
 
 
 def hyperplane_bucket_sql(vec_expr: str, n_bits: int = 8, dim: int = 64) -> str:

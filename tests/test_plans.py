@@ -174,6 +174,19 @@ def test_lsh_buckets_are_balanced(spark, sf_dir):
     assert occ.max_occ <= max(0.1 * occ.n, 8), occ
 
 
+def test_lsh_fails_fast_on_width_mismatch(spark):
+    """A vector narrower than the hyperplane matrix must raise (per-row
+    guard), not silently NULL-project past the array end into collapsed
+    buckets."""
+    import pytest
+
+    from rpa_etl_investing_spark.operators.similarity import sign_lsh_buckets
+
+    df = spark.createDataFrame([(1, [0.1] * 8)], ["vec_id", "embedding"])
+    with pytest.raises(Exception, match="sign_lsh_buckets"):
+        sign_lsh_buckets(df).collect()
+
+
 def test_ivf_lloyd_refinement_recall(spark, sf_dir):
     """IVF accuracy vs the exact baseline: recall@5 of seed-centroid IVF
     and of one deterministic Lloyd iteration, both against brute force.
@@ -204,6 +217,9 @@ def test_ivf_lloyd_refinement_recall(spark, sf_dir):
     r0, r1 = recall(0), recall(1)
     assert r1 >= 0.3, (r0, r1)  # far above the 1/8 random-cell floor
     assert r1 >= r0 - 0.05, (r0, r1)  # refinement must not hurt
+
+
+def test_exists_subquery_plans_as_semi_join(spark, sf_dir):
     """Correlated EXISTS must execute as one (semi) hash join on the
     correlation key — never a per-row probe or nested loop."""
     plan = _plan(QUERIES["subquery_exists_late_returns"].fn(spark, sf_dir))
