@@ -4,18 +4,34 @@ Media payloads are opaque ``binary`` columns + typed metadata; decode /
 feature-extract runs as an Arrow-batched ``mapInPandas`` operator so
 bytes stream through Python in columnar batches, never row-at-a-time.
 
-The container has no image/audio codecs (TESTDATA has no media either),
-so the actual codec call is STUBBED: ``decode_media_metadata`` uses a
-deterministic fake decoder (documented formulas over the raw bytes)
-unless a real ``decoder`` callable is injected. Everything around the
-stub — binary column handling, metadata schema, partition-preserving
-batch iteration, UDF signature — is real and tested, and the fake's
-determinism keeps even this path oracle-checkable.
+The codec is REAL byte parsing — no image libraries needed for header
+metadata, and the container lacks them anyway (r2 verdict item #1):
+
+- **PNG**: signature check, chunk walk with CRC32 validation of every
+  chunk, width/height from the IHDR big-endian fields, embedded content
+  from the ``tEXt`` chunk (spec: https://www.w3.org/TR/png-3/).
+- **JPEG**: marker-segment scan from SOI, frame dimensions from the
+  first SOF0/SOF1/SOF2 segment (big-endian height, width), content from
+  the COM (0xFFFE) segment (ITU-T T.81 §B.2).
+- **AVI**: RIFF chunk walk (little-endian sizes, even-byte padding),
+  ``dwTotalFrames``/``dwWidth``/``dwHeight`` at their fixed offsets in
+  the ``avih`` main header inside ``LIST hdrl``. A WAV/audio parse is
+  the identical RIFF walk reading ``fmt `` instead of ``avih``.
+
+Fixture payloads (``attach_binary_media``) are genuine containers built
+around the document text — real signatures, real CRCs, real marker
+lengths — so the decode stage exercises the same code path actual media
+would, and a corrupted byte fails loudly (CRC/marker errors) instead of
+passing silently. Dimensions/frame counts are deterministic functions
+of the text, which is what lets the DuckDB oracle verify the decoded
+metadata without itself parsing binaries.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -28,68 +44,220 @@ MEDIA_META_SCHEMA = (
     "n_frames int, checksum string"
 )
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-def attach_binary_media(docs: DataFrame) -> DataFrame:
-    """Turn the documents fixture into a media table: payload = utf-8
-    bytes of the text (stand-in for real image/audio/video bytes),
-    media_type assigned deterministically.
+# ---- encoders: real container construction --------------------------------
 
-    The scan is spread across the cluster first: media decode is the
-    canonical CPU-heavy per-row stage, and a small or few-file input
-    would otherwise pin the whole mapInPandas decode to as many cores
-    as there are input splits."""
-    from rpa_etl_investing_spark.operators.dedup import spread
 
-    docs = spread(docs, "doc_id")
-    return docs.select(
-        "doc_id",
-        F.encode("text", "UTF-8").alias("payload"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
-        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
-        .otherwise(F.lit("video"))
-        .alias("media_type"),
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
     )
 
 
-def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
-    """Deterministic stand-in for a codec: dimensions derived from the
-    byte length, frame count from the first checksum byte. A real
-    deployment injects e.g. a PIL/ffmpeg-backed callable instead."""
-    n = len(payload)
+def encode_png(content: bytes, width: int, height: int) -> bytes:
+    """Minimal valid PNG stream: signature, IHDR (8-bit truecolor), a
+    tEXt chunk carrying ``content``, IEND — every chunk CRC32-correct.
+    Fixed overhead: 65 bytes + len(content)."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tEXt", b"comment\x00" + content)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_jpeg(content: bytes, width: int, height: int) -> bytes:
+    """Minimal JPEG marker stream: SOI, JFIF APP0, SOF0 (baseline, 3
+    components) carrying height/width, COM segment carrying ``content``,
+    EOI. Fixed overhead: 45 bytes + len(content)."""
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    com = b"\xff\xfe" + struct.pack(">H", len(content) + 2) + content
+    return b"\xff\xd8" + app0 + sof0 + com + b"\xff\xd9"
+
+
+def encode_avi(content: bytes, width: int, height: int, n_frames: int) -> bytes:
+    """Minimal RIFF/AVI: ``LIST hdrl`` holding the 56-byte ``avih`` main
+    header (dwTotalFrames at data offset 16, dwWidth/dwHeight at 32/36,
+    all little-endian) plus a ``00tx`` chunk carrying ``content`` with
+    RIFF even-byte padding. Fixed overhead: 96 bytes + len(content) +
+    (len(content) % 2) pad."""
+    avih = struct.pack(
+        "<14I", 33333, 0, 0, 0, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    lst = b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+    txt = (
+        b"00tx"
+        + struct.pack("<I", len(content))
+        + content
+        + (b"\x00" if len(content) % 2 else b"")
+    )
+    body = b"AVI " + lst + txt
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---- decoder: real header parsing -----------------------------------------
+
+
+def parse_media_payload(payload: bytes) -> tuple[str, int, int, int, bytes]:
+    """Sniff the container from its magic bytes and parse its headers:
+    ``(media_type, width, height, n_frames, content)``. Raises
+    ``ValueError`` on structural corruption (bad CRC, bad marker); an
+    unrecognized signature returns ``("unknown", 0, 0, 0, b"")`` so a
+    mixed corpus can route rejects instead of dying."""
+    if payload[:8] == PNG_SIG:
+        pos, width, height, content = 8, 0, 0, b""
+        while pos + 12 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            (crc,) = struct.unpack(
+                ">I", payload[pos + 8 + length : pos + 12 + length]
+            )
+            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"PNG {ctype!r} chunk CRC mismatch")
+            if ctype == b"IHDR":
+                width, height = struct.unpack(">II", data[:8])
+            elif ctype == b"tEXt":
+                content = data.split(b"\x00", 1)[1]
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        return ("png", width, height, 1, content)
+
+    if payload[:2] == b"\xff\xd8":
+        pos, width, height, content = 2, 0, 0, b""
+        while pos + 2 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError(f"JPEG marker expected at {pos}")
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            data = payload[pos + 4 : pos + 2 + seglen]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
+                height, width = struct.unpack(">HH", data[1:5])
+            elif marker == 0xFE:  # COM
+                content = data
+            pos += 2 + seglen
+        return ("jpeg", width, height, 1, content)
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        pos, width, height, frames, content = 12, 0, 0, 0, b""
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            data = payload[pos + 8 : pos + 8 + clen]
+            if cid == b"LIST" and data[:4] == b"hdrl":
+                sp = 4
+                while sp + 8 <= len(data):
+                    scid = data[sp : sp + 4]
+                    (sclen,) = struct.unpack("<I", data[sp + 4 : sp + 8])
+                    sdata = data[sp + 8 : sp + 8 + sclen]
+                    if scid == b"avih":
+                        (frames,) = struct.unpack("<I", sdata[16:20])
+                        width, height = struct.unpack("<II", sdata[32:40])
+                    sp += 8 + sclen + (sclen % 2)
+            elif cid == b"00tx":
+                content = data
+            pos += 8 + clen + (clen % 2)
+        return ("avi", width, height, frames, content)
+
+    return ("unknown", 0, 0, 0, b"")
+
+
+# ---- fixture: documents table → real binary media -------------------------
+
+
+def media_payload_for(doc_id: int, text: str) -> bytes:
+    """Deterministic fixture payload: a REAL container (PNG / JPEG / AVI
+    by ``doc_id % 3``) whose dimensions derive from the text length and
+    whose embedded content IS the text bytes — so the oracle can verify
+    the decoded metadata arithmetically while the Spark side genuinely
+    parses bytes."""
+    data = text.encode("utf-8")
+    n = len(data)
     width = 32 + n % 64
     height = 32 + (n * 7) % 64
-    if media_type == "video":
-        n_frames = 1 + hashlib.md5(payload).digest()[0] % 30
-    else:
-        n_frames = 1
-    return width, height, n_frames
+    m = doc_id % 3
+    if m == 0:
+        return encode_png(data, width, height)
+    if m == 1:
+        return encode_jpeg(data, width, height)
+    n_frames = 1 + hashlib.md5(data).digest()[0] % 30
+    return encode_avi(data, width, height, n_frames)
+
+
+def attach_binary_media(docs: DataFrame) -> DataFrame:
+    """Turn the documents fixture into a media table of real encoded
+    binary payloads (see :func:`media_payload_for`) — the ingest-side
+    mapInPandas stage a real pipeline would run to wrap raw media bytes
+    into a binary column.
+
+    The scan is spread across the cluster first: media encode/decode is
+    the canonical CPU-heavy per-row stage, and a small or few-file input
+    would otherwise pin the whole mapInPandas to as many cores as there
+    are input splits."""
+    from rpa_etl_investing_spark.operators.dedup import spread
+
+    docs = spread(docs, "doc_id").select("doc_id", "text")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        media_payload_for(int(i), t)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(fn, "doc_id long, payload binary")
 
 
 def decode_media_metadata(
     media: DataFrame,
-    decoder: Callable[[bytes, str], tuple[int, int, int]] | None = None,
+    decoder: Callable[[bytes], tuple[str, int, int, int, bytes]] | None = None,
 ) -> DataFrame:
-    """Decode stage as mapInPandas: batches of (doc_id, payload,
-    media_type) in, typed metadata out. ``decoder=None`` → deterministic
-    fake (see module docstring); pass a real codec callable to decode
-    actual media."""
-    decode = decoder or _fake_decode
+    """Decode stage as mapInPandas: batches of (doc_id, payload) in,
+    typed metadata out. The default decoder is :func:`parse_media_payload`
+    — real PNG/JPEG/AVI header parsing with CRC/marker validation; the
+    media type comes from the bytes' own magic numbers, never from a
+    trusted column. ``checksum`` is the md5 of the decoded embedded
+    content (the payload body, headers excluded). Inject ``decoder`` to
+    swap in e.g. a PIL/ffmpeg-backed callable with the same signature."""
+    decode = decoder or parse_media_payload
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [
-                decode(bytes(p), m)
-                for p, m in zip(pdf["payload"], pdf["media_type"])
-            ]
+            parsed = [decode(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
+                    "media_type": [p[0] for p in parsed],
                     "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
-                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
-                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
-                    "n_frames": pd.Series([d[2] for d in dims], dtype="int32"),
-                    "checksum": [hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]],
+                    "width": pd.Series([p[1] for p in parsed], dtype="int32"),
+                    "height": pd.Series([p[2] for p in parsed], dtype="int32"),
+                    "n_frames": pd.Series([p[3] for p in parsed], dtype="int32"),
+                    "checksum": [hashlib.md5(p[4]).hexdigest() for p in parsed],
                 }
             )
 
@@ -129,6 +297,6 @@ def sample_video_frames(meta: DataFrame, every_n: int = 5) -> DataFrame:
     JVM-side generator (sequence + explode), no Python in the loop."""
     frames = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
     return (
-        meta.filter(F.col("media_type") == "video")
+        meta.filter(F.col("media_type") == "avi")
         .select("doc_id", "n_frames", F.explode(frames).alias("frame_no"))
     )

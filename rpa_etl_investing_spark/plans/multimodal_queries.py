@@ -1,6 +1,21 @@
-"""Multimodal-column queries (SURVEY §2.10): binary payload plumbing
-with the decode stub's deterministic formulas reproduced by the oracle
-(hex-digit arithmetic stands in for the codec)."""
+"""Multimodal-column queries (SURVEY §2.10): binary payload plumbing.
+
+The Spark side builds REAL PNG/JPEG/AVI containers around each document
+and decodes them by parsing bytes (chunk walks, marker scans, CRC checks
+— multimodal/binary_ops.py); the oracle verifies the decoded metadata
+arithmetically, because the fixture encodes dimensions/frame counts as
+deterministic functions of the text:
+
+- media_type: doc_id % 3 → png / jpeg / avi (Spark re-derives it from
+  the payload's magic bytes; the oracle from the modulus).
+- n_bytes: text length + the container's fixed header overhead (PNG 65,
+  JPEG 45, AVI 96 + even-byte pad).
+- width/height: 32 + n % 64 and 32 + 7n % 64 (encoded into IHDR / SOF0 /
+  avih, decoded back from those offsets).
+- n_frames: AVI dwTotalFrames = 1 + (first md5(text) byte) % 30.
+- checksum: md5 of the embedded content (the text bytes) that the
+  parser extracts from the tEXt / COM / 00tx chunk.
+"""
 
 from __future__ import annotations
 
@@ -22,9 +37,12 @@ _MD5_BYTE = (
 
 _META_SQL = f"""
   SELECT doc_id,
-         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-              ELSE 'video' END AS media_type,
-         CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+              ELSE 'avi' END AS media_type,
+         CAST(OCTET_LENGTH(ENCODE(text)) +
+              CASE CAST(doc_id % 3 AS INT)
+                   WHEN 0 THEN 65 WHEN 1 THEN 45
+                   ELSE 96 + OCTET_LENGTH(ENCODE(text)) % 2 END AS BIGINT) AS n_bytes,
          CAST(32 + OCTET_LENGTH(ENCODE(text)) % 64 AS INT) AS width,
          CAST(32 + (OCTET_LENGTH(ENCODE(text)) * 7) % 64 AS INT) AS height,
          CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + {_MD5_BYTE} % 30 ELSE 1 END AS INT) AS n_frames,
@@ -35,8 +53,9 @@ _META_SQL = f"""
 
 @register("multimodal_decode_meta", oracle=_META_SQL)
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media decode via Arrow-batched mapInPandas (codec stubbed
-    deterministically — see multimodal/binary_ops.py)."""
+    """Binary media decode via Arrow-batched mapInPandas — real header
+    parsing (PNG IHDR + CRC, JPEG SOF scan, AVI avih), see
+    multimodal/binary_ops.py parse_media_payload."""
     media = attach_binary_media(tbl(spark, sf_dir, "documents"))
     return decode_media_metadata(media)
 
@@ -46,7 +65,7 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id, n_frames, UNNEST(RANGE(0, n_frames, 5)) AS frame_no
     FROM ({_META_SQL})
-    WHERE media_type = 'video'
+    WHERE media_type = 'avi'
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
