@@ -156,7 +156,11 @@ def sign_lsh_buckets(
             for row in planes
         ]
     )
-    checked = F.when(F.size(F.col(vec_col)) == dim, bits).otherwise(
+    # Guard as a tiny empty-string prefix, NOT a CASE around `bits`:
+    # wrapping the 512-term projection in a conditional branch overflows
+    # the whole-stage-codegen method and drops the stage to interpreted
+    # mode (measured: "Failed to compile" fallback).
+    guard = F.when(F.size(F.col(vec_col)) == dim, F.lit("")).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"sign_lsh_buckets: expected {dim}-dim {vec_col}, got "),
@@ -164,7 +168,9 @@ def sign_lsh_buckets(
             )
         )
     )
-    return vectors.select(F.col(id_col), F.col(vec_col), checked.alias("bucket"))
+    return vectors.select(
+        F.col(id_col), F.col(vec_col), F.concat(guard, bits).alias("bucket")
+    )
 
 
 def hyperplane_bucket_sql(vec_expr: str, n_bits: int = 8, dim: int = 64) -> str:
@@ -187,13 +193,17 @@ def ivf_assign_cells(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (max cosine, centroid
-    id as tie-break) — the IVF 'coarse quantizer'. Centroids broadcast;
-    assignment is a map-side cross join + per-vector argmax, no shuffle
-    of the corpus. Vector and centroid norms are computed once per
-    vector (not per pair), and the vector norm is carried through as
-    ``vec_norm`` so downstream scoring never recomputes it."""
+    """Assign each vector to its ``nprobe`` nearest centroids (max
+    cosine, centroid id as tie-break) — the IVF 'coarse quantizer'
+    (nprobe=1, the storage assignment) and the multi-cell query probe
+    (nprobe>1) are the same ranked argmax with a different cutoff.
+    Centroids broadcast; assignment is a map-side cross join + per-vector
+    rank, no shuffle of the corpus. Vector and centroid norms are
+    computed once per vector (not per pair), and the vector norm is
+    carried through as ``vec_norm`` so downstream scoring never
+    recomputes it."""
     from rpa_etl_investing_spark.operators.dedup import spread
 
     c = centroids.select(
@@ -223,8 +233,14 @@ def ivf_assign_cells(
     w = W.partitionBy(id_col).orderBy(F.desc("cent_cos"), F.asc("centroid_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "vec_norm", F.col("centroid_id").alias("cell_id"))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            id_col,
+            vec_col,
+            "vec_norm",
+            F.col("centroid_id").alias("cell_id"),
+            F.col("rn").alias("probe_rank"),
+        )
     )
 
 
@@ -271,36 +287,42 @@ def ivf_topk(
     vec_col: str = "embedding",
     queries_in_corpus: bool = False,
     lloyd_iters: int = 0,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-flat ANN (SURVEY §2.10 L3 scale path): corpus partitioned
-    into centroid cells; each query searches only its own cell (nprobe=1).
+    into centroid cells; each query searches its ``nprobe`` nearest
+    cells.
 
-    Centroids are the ``n_centroids`` lowest-id vectors — a deterministic
-    stand-in for k-means training (which is an offline step in any IVF
-    system); the *index structure and query plan* are the real thing:
-    cell assignment is a broadcast argmax, search is an equi-join on
-    cell id, so candidate count scales with cell occupancy, not corpus
-    size.
+    Centroids seed as the ``n_centroids`` lowest-id vectors — a
+    deterministic stand-in for offline k-means init; the *index
+    structure and query plan* are the real thing: cell assignment is a
+    broadcast argmax, search is an equi-join on cell id, so candidate
+    count scales with probed-cell occupancy, not corpus size.
 
     ``queries_in_corpus=True`` declares the query set a subset of the
-    corpus (selected by ``id_col``): query cells are then a filter of
-    the corpus assignment instead of a second assignment pass.
+    corpus (selected by ``id_col``): at nprobe=1 query cells are then a
+    filter of the corpus assignment instead of a second assignment pass.
 
     ``lloyd_iters > 0`` refines the seed centroids with that many
     deterministic k-means steps (``lloyd_refine_centroids``) before the
     final assignment — better-centered cells → higher recall at the same
-    nprobe; the oracle-checked registry query keeps ``lloyd_iters=0``
-    (seed centroids) and the recall gain is asserted in tests."""
+    nprobe.
+
+    ``nprobe > 1`` unions the candidates of the n nearest cells per
+    query — the SAME cell-id equi-join plan with n× the probe rows; a
+    (query, neighbor) pair can't duplicate because each corpus vector
+    lives in exactly one cell. The registered query runs lloyd_iters=1,
+    nprobe=2 (r2 verdict item #3) with the oracle mirroring both."""
     centroids = corpus.filter(F.col(id_col) < n_centroids)
     corpus_cells = ivf_assign_cells(corpus, centroids, id_col, vec_col)
     for _ in range(lloyd_iters):
         centroids = lloyd_refine_centroids(corpus_cells, id_col, vec_col)
         corpus_cells = ivf_assign_cells(corpus, centroids, id_col, vec_col)
-    if queries_in_corpus:
+    if queries_in_corpus and nprobe == 1:
         qkeys = queries.select(id_col).distinct()
         query_cells = corpus_cells.join(F.broadcast(qkeys), id_col, "left_semi")
     else:
-        query_cells = ivf_assign_cells(queries, centroids, id_col, vec_col)
+        query_cells = ivf_assign_cells(queries, centroids, id_col, vec_col, nprobe)
     q = query_cells.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),

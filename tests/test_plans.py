@@ -183,7 +183,13 @@ def test_lsh_fails_fast_on_width_mismatch(spark):
     from rpa_etl_investing_spark.operators.similarity import sign_lsh_buckets
 
     df = spark.createDataFrame([(1, [0.1] * 8)], ["vec_id", "embedding"])
-    with pytest.raises(Exception, match="sign_lsh_buckets"):
+    # either the explicit guard fires or the out-of-range element access
+    # itself throws first (evaluation order inside the projection isn't
+    # pinned) — both are the required fail-fast, never a NULL bucket
+    with pytest.raises(
+        Exception,
+        match="sign_lsh_buckets|ArrayIndexOutOfBounds|INVALID_ARRAY_INDEX",
+    ):
         sign_lsh_buckets(df).collect()
 
 
@@ -204,12 +210,12 @@ def test_ivf_lloyd_refinement_recall(spark, sf_dir):
         for r in brute_force_topk(queries, emb, k=5).collect()
     }
 
-    def recall(lloyd_iters: int) -> float:
+    def recall(lloyd_iters: int, nprobe: int = 1) -> float:
         got = {
             (r.query_id, r.neighbor_id)
             for r in ivf_topk(
                 queries, emb, n_centroids=8, k=5,
-                queries_in_corpus=True, lloyd_iters=lloyd_iters,
+                queries_in_corpus=True, lloyd_iters=lloyd_iters, nprobe=nprobe,
             ).collect()
         }
         return len(got & truth) / len(truth)
@@ -217,6 +223,10 @@ def test_ivf_lloyd_refinement_recall(spark, sf_dir):
     r0, r1 = recall(0), recall(1)
     assert r1 >= 0.3, (r0, r1)  # far above the 1/8 random-cell floor
     assert r1 >= r0 - 0.05, (r0, r1)  # refinement must not hurt
+    # nprobe=2 (the registered configuration) searches a strict superset
+    # of nprobe=1's candidates per query → recall can only improve
+    r2 = recall(1, nprobe=2)
+    assert r2 >= r1, (r1, r2)
 
 
 def test_exists_subquery_plans_as_semi_join(spark, sf_dir):
