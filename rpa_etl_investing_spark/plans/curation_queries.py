@@ -15,13 +15,28 @@ from pyspark.sql import functions as F
 
 from rpa_etl_investing_spark.catalog import tbl
 from rpa_etl_investing_spark.operators.components import connected_components
-from rpa_etl_investing_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
+from rpa_etl_investing_spark.operators.dedup import (
+    N_MINHASH,
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+)
 from rpa_etl_investing_spark.operators.sampling import (
     deterministic_split,
     frac_to_hex,
     weighted_source_mix,
 )
-from rpa_etl_investing_spark.plans.llm_queries import _SH_CTE, _TOK_CTE
+from rpa_etl_investing_spark.operators.similarity import (
+    embedding_near_dup_pairs,
+    hyperplane_bucket_sql,
+)
+from rpa_etl_investing_spark.plans.llm_queries import (
+    _BANDS_UNION,
+    _cos_sql,
+    _SH_CTE,
+    _SIG_CTE,
+    _TOK_CTE,
+)
 from rpa_etl_investing_spark.plans.registry import register
 
 _BUCKET_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
@@ -193,10 +208,37 @@ def curation_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MH_EST = "(" + " + ".join(
+    f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END" for j in range(N_MINHASH)
+) + f") / {float(N_MINHASH)}"
+
+# closure template: pair CTE (cols doc_a/doc_b) → per-family losers
+_CLOSURE = """
+    {p}_edges AS (
+      SELECT doc_a AS v, doc_b AS u FROM {pairs}
+      UNION SELECT doc_b, doc_a FROM {pairs}),
+    {p}_reach(v, u) AS (
+      SELECT v, v FROM (SELECT DISTINCT v FROM {p}_edges) AS {p}_verts
+      UNION
+      SELECT r.v, e.u FROM {p}_reach r JOIN {p}_edges e ON r.u = e.v),
+    {p}_losers AS (
+      SELECT v AS doc_id FROM {p}_reach GROUP BY v HAVING v <> MIN(u))
+"""
+
+
 @register(
     "curation_final_corpus",
     oracle=f"""
     WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
+    -- family 1: exact sha256 groups
+    exact_groups AS (
+      SELECT sha256(text) AS h, MIN(doc_id) AS keep_id
+      FROM documents GROUP BY sha256(text)),
+    exact_losers AS (
+      SELECT d.doc_id FROM documents d
+      JOIN exact_groups g ON sha256(d.text) = g.h
+      WHERE d.doc_id <> g.keep_id),
+    -- family 2: exact 3-gram Jaccard pairs
     ex AS (SELECT DISTINCT doc_id, sh FROM shx),
     keep AS (SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) <= 1000),
     exf AS (SELECT ex.* FROM ex JOIN keep USING (sh)),
@@ -205,49 +247,78 @@ def curation_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
       FROM exf a JOIN exf b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id),
-    pairs AS (
+    ng_pairs AS (
       SELECT doc_a, doc_b
       FROM shared
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
-    edges AS (
-      SELECT doc_a AS v, doc_b AS u FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs),
-    reach(v, u) AS (
-      SELECT v, v FROM (SELECT DISTINCT v FROM edges) AS verts
-      UNION
-      SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v),
-    clusters AS (
-      SELECT v AS doc_id, MIN(u) AS cluster_id FROM reach GROUP BY v),
-    near_losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
-    exact_groups AS (
-      SELECT sha256(text) AS h, MIN(doc_id) AS keep_id
-      FROM documents GROUP BY sha256(text)),
-    exact_losers AS (
-      SELECT d.doc_id FROM documents d
-      JOIN exact_groups g ON sha256(d.text) = g.h
-      WHERE d.doc_id <> g.keep_id)
+    {_CLOSURE.format(p="ng", pairs="ng_pairs").strip().rstrip()},
+    -- family 3: MinHash band-bucket pairs at est_jaccard >= 0.5
+    {_SIG_CTE},
+    bands AS ({_BANDS_UNION}),
+    mh_cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_no = b.band_no AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    mh_pairs AS (
+      SELECT p.doc_a, p.doc_b
+      FROM mh_cand p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b
+      WHERE {_MH_EST} >= 0.5),
+    {_CLOSURE.format(p="mh", pairs="mh_pairs").strip().rstrip()},
+    -- family 4: embedding-cosine near-dups (vec_id aligns with doc_id)
+    eb AS (
+      SELECT vec_id, embedding,
+             {hyperplane_bucket_sql("embedding")} AS bucket
+      FROM embeddings),
+    em_pairs AS (
+      SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
+      FROM eb a JOIN eb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE {_cos_sql("a.embedding", "c.embedding")} >= 0.4),
+    {_CLOSURE.format(p="em", pairs="em_pairs").strip().rstrip()}
     SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars_kept
+           CAST(SUM(CASE WHEN xe.doc_id IS NULL AND xn.doc_id IS NULL
+                          AND xm.doc_id IS NULL AND xv.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(CASE WHEN xe.doc_id IS NULL AND xn.doc_id IS NULL
+                          AND xm.doc_id IS NULL AND xv.doc_id IS NULL
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS total_chars_kept,
+           CAST(SUM(CASE WHEN xe.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dropped,
+           CAST(SUM(CASE WHEN xn.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ngram_dropped,
+           CAST(SUM(CASE WHEN xm.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_minhash_dropped,
+           CAST(SUM(CASE WHEN xv.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_embed_dropped
     FROM documents d
-    WHERE NOT EXISTS (SELECT 1 FROM exact_losers x WHERE x.doc_id = d.doc_id)
-      AND NOT EXISTS (SELECT 1 FROM near_losers nl WHERE nl.doc_id = d.doc_id)
+    LEFT JOIN exact_losers xe USING (doc_id)
+    LEFT JOIN ng_losers xn USING (doc_id)
+    LEFT JOIN mh_losers xm USING (doc_id)
+    LEFT JOIN em_losers xv USING (doc_id)
     GROUP BY source ORDER BY source
     """,
 )
 def curation_final_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The whole dedup pipeline composed into the number that matters:
-    what actually ships to training. Exact duplicates (sha256 groups,
-    min-id survivor) and near-duplicate cluster members (3-gram-Jaccard
-    pairs → connected components, min-id canonical) are dropped via two
-    LEFT ANTI joins, then the kept corpus is audited per source.
+    """The whole dedup stack composed into the number that matters: what
+    actually ships to training. ALL FOUR near/exact-dup families drop
+    their cluster losers (min-id canonical survives): exact sha256
+    groups, 3-gram-Jaccard clusters, MinHash band-bucket clusters (LSH
+    candidates at est_jaccard ≥ 0.5), and embedding-cosine clusters
+    (sign-LSH buckets at cosine ≥ 0.4; embeddings.vec_id aligns 1:1
+    with doc_id) — plus a per-family dropped-count audit per source, so
+    the materialization is also the attribution report ("which stage
+    removed how much").
 
-    Composition stays set-based end-to-end: the loser frames carry only
-    doc_ids (never text), both anti-joins shuffle on doc_id, and every
+    Composition stays set-based end-to-end: each loser frame carries
+    only doc_ids (never text), membership is four LEFT joins on doc_id
+    folded into one grouped pass (kept = no family flagged), and every
     constituent operator is the same one verified individually
-    (exact_dedup, ngram_jaccard_pairs, connected_components)."""
+    (exact_dedup, ngram_jaccard_pairs, minhash_candidate_pairs,
+    embedding_near_dup_pairs, connected_components)."""
     docs = tbl(spark, sf_dir, "documents")
 
     exact_groups = exact_dedup(docs)  # (content_hash, canonical_id, n_copies)
@@ -259,18 +330,53 @@ def curation_final_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("canonical_id"))
         .select("doc_id")
     )
-    near_losers = (
-        connected_components(ngram_jaccard_pairs(docs))
-        .filter(F.col("doc_id") != F.col("cluster_id"))
-        .select("doc_id")
+
+    def cluster_losers(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+        return (
+            connected_components(pairs, src=src, dst=dst)
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id")
+        )
+
+    ngram_losers = cluster_losers(ngram_jaccard_pairs(docs))
+    minhash_losers = cluster_losers(
+        minhash_candidate_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    )
+    embed_losers = cluster_losers(
+        embedding_near_dup_pairs(
+            tbl(spark, sf_dir, "embeddings"), threshold=0.4
+        ).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+    )
+
+    flagged = docs.select("doc_id", "source", "n_chars")
+    for losers, name in [
+        (exact_losers, "x_exact"),
+        (ngram_losers, "x_ngram"),
+        (minhash_losers, "x_minhash"),
+        (embed_losers, "x_embed"),
+    ]:
+        flagged = flagged.join(
+            losers.distinct().withColumn(name, F.lit(1)), "doc_id", "left"
+        )
+    kept = (
+        F.col("x_exact").isNull()
+        & F.col("x_ngram").isNull()
+        & F.col("x_minhash").isNull()
+        & F.col("x_embed").isNull()
     )
     return (
-        docs.join(exact_losers, "doc_id", "left_anti")
-        .join(near_losers, "doc_id", "left_anti")
-        .groupBy("source")
+        flagged.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs_kept"),
-            F.sum("n_chars").cast("bigint").alias("total_chars_kept"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_docs_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("total_chars_kept"),
+            F.sum(F.coalesce("x_exact", F.lit(0))).cast("bigint").alias("n_exact_dropped"),
+            F.sum(F.coalesce("x_ngram", F.lit(0))).cast("bigint").alias("n_ngram_dropped"),
+            F.sum(F.coalesce("x_minhash", F.lit(0))).cast("bigint").alias("n_minhash_dropped"),
+            F.sum(F.coalesce("x_embed", F.lit(0))).cast("bigint").alias("n_embed_dropped"),
         )
         .orderBy("source")
     )
