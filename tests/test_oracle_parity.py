@@ -23,9 +23,11 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
-# Queries whose round-1 forms were scale-factor-sensitive (float moment /
-# percentile accumulation). Their rewritten exact forms must hash-match at
-# EVERY fixture scale, not just the default test sf (r1 verdict item #2).
+# Float-sensitive queries (moment/percentile accumulation, cosine dot
+# products, tf-idf ratios, LOCF interpolation, codec checksums): the class
+# that produced r1's rounding flake. Their exact/quantized forms must
+# hash-match at EVERY fixture scale, not just the default test sf
+# (r1 verdict item #2, extended per r2 verdict item #6).
 MULTI_SF_NAMES = [
     "agg_moment_stats",
     "agg_percentiles_exact",
@@ -35,6 +37,15 @@ MULTI_SF_NAMES = [
     "llm_tfidf_topk",
     "llm_vocab_coverage",
     "llm_repetition_ratio",
+    "llm_similarity_bruteforce",
+    "llm_similarity_lsh",
+    "llm_similarity_ivf",
+    "llm_embedding_near_dup",
+    "llm_minhash_pairs",
+    "llm_quality_score",
+    "curation_quality_filter",
+    "timeseries_gap_fill_locf",
+    "multimodal_decode_meta",
 ]
 
 

@@ -10,6 +10,7 @@ and fatal at 100 TB.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from rpa_etl_investing_spark.catalog import tbl
@@ -94,6 +95,27 @@ def test_dim_joins_auto_broadcast_in_star_query(spark, sf_dir):
 def test_spread_partitions_match_shuffle_setting(spark, sf_dir):
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert spread(tbl(spark, sf_dir, "documents"), "doc_id").rdd.getNumPartitions() == n
+
+
+@pytest.mark.parametrize("n_shuffle", [4, 32])
+def test_spread_invariant_across_partition_settings(spark, sf_dir, n_shuffle):
+    """The minhash pipeline's key scale property (r2 verdict item #7):
+    the shuffle moves compact PRE-explode rows, and the post-explode
+    aggregate reuses that partitioning — exactly one Exchange, on the
+    groupBy key, regardless of the shuffle-partition setting. Guards
+    spread() against refactors that would double-shuffle the (much
+    larger) exploded dataset."""
+    spark.catalog.clearCache()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+    try:
+        plan = _plan(minhash_signatures_long(tbl(spark, sf_dir, "documents")))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "hashpartitioning(doc_id" in plan, plan
+    # the one exchange sits BELOW the explode (pre-fan-out rows move)
+    assert plan.index("Exchange hashpartitioning") > plan.index("Generate explode"), plan
 
 
 def test_pricing_summary_partial_aggregates_map_side(spark, sf_dir):

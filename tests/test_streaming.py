@@ -48,6 +48,58 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_streaming_session_window_matches_batch_sf01(spark, tmp_path):
+    """ST3 under a real stream, at the bench scale factor (r2 verdict
+    stretch #8): session windows (30-min gap per user) computed by
+    ``session_window`` under readStream + watermark must equal the batch
+    sessionize over the same sf0.1 events — the merge-as-events-arrive
+    state machine converges to the batch answer."""
+    from rpa_etl_investing_spark.streaming import sessionize
+
+    sf_dir = "/root/testdata/sf0.1"
+    batch_events = tbl(spark, sf_dir, "events")
+    expected = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["first_event_id"],
+        )
+        for r in sessionize(batch_events).collect()
+    }
+    assert expected  # sf0.1 must actually produce sessions
+
+    stream_dir = tmp_path / "events_session_stream"
+    stream_dir.mkdir()
+    (stream_dir / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(str(stream_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        sessionize(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("session_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"]): (
+                r["session_end"],
+                r["n_events"],
+                r["first_event_id"],
+            )
+            for r in spark.sql("SELECT * FROM session_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+
 def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
     """ST6: applyInPandasWithState — final per-user state equals the
     batch aggregate."""
