@@ -22,7 +22,6 @@ sqrt and division. Hyperplane projections use the same grid, with the
 from __future__ import annotations
 
 import hashlib
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -138,24 +137,30 @@ def sign_lsh_buckets(
     fixed column expression, all JVM-side, no UDF. The expression guards
     the assumption per row: a vector of any other width raises
     immediately (``raise_error``) instead of silently NULL-projecting
-    past the array end and collapsing buckets."""
+    (a mismatched ``zip_with`` pads with NULLs, which would otherwise
+    collapse every bit to '0').
+
+    Each projection is a higher-order ``zip_with``/``aggregate`` over
+    the quantized vector and a literal coefficient array — generated
+    code LOOPS over the arrays. The earlier form unrolled n_bits×dim
+    (512) element_at terms inline, which overflowed Janino in fused
+    stages (join + scoring) and silently dropped the whole stage to
+    interpreted mode."""
     planes = rademacher_hyperplanes(n_bits, dim)
-    q = [
-        F.floor(
-            F.element_at(F.col(vec_col), i + 1).cast("double") * SCALE + 0.5
-        ).cast("bigint")
-        for i in range(dim)
-    ]
-    bits = F.concat(
-        *[
-            F.when(
-                reduce(lambda a, b: a + b, [q[i] if s > 0 else -q[i] for i, s in enumerate(row)])
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for row in planes
-        ]
+    qarr = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * SCALE + 0.5).cast("bigint"),
     )
+    bit_cols = []
+    for row in planes:
+        sarr = F.array(*[F.lit(s).cast("bigint") for s in row])
+        proj = F.aggregate(
+            F.zip_with(qarr, sarr, lambda q, s: q * s),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        )
+        bit_cols.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    bits = F.concat(*bit_cols)
     # Guard as a tiny empty-string prefix, NOT a CASE around `bits`:
     # wrapping the 512-term projection in a conditional branch overflows
     # the whole-stage-codegen method and drops the stage to interpreted
@@ -188,35 +193,45 @@ def hyperplane_bucket_sql(vec_expr: str, n_bits: int = 8, dim: int = 64) -> str:
     return " || ".join(bits)
 
 
+def prep_vectors(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Spread the corpus and hoist per-vector norms: the shared input
+    shape every assignment pass needs. Spreading first parallelizes the
+    centroid-scoring cross join past a few-split scan AND pre-satisfies
+    the argmax window's (id) shuffle; computing ``vec_norm`` here means
+    no downstream stage ever re-derives it. Callers running several
+    passes over the same corpus (Lloyd refinement) persist THIS frame so
+    the scan+shuffle+norm work happens once, not once per pass."""
+    from rpa_etl_investing_spark.operators.dedup import spread
+
+    return spread(vectors, id_col).withColumn("vec_norm", _norm(F.col(vec_col)))
+
+
 def ivf_assign_cells(
     vectors: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    prepared: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids (max
     cosine, centroid id as tie-break) — the IVF 'coarse quantizer'
     (nprobe=1, the storage assignment) and the multi-cell query probe
     (nprobe>1) are the same ranked argmax with a different cutoff.
     Centroids broadcast; assignment is a map-side cross join + per-vector
-    rank, no shuffle of the corpus. Vector and centroid norms are
-    computed once per vector (not per pair), and the vector norm is
-    carried through as ``vec_norm`` so downstream scoring never
-    recomputes it."""
-    from rpa_etl_investing_spark.operators.dedup import spread
-
+    rank, no shuffle of the corpus beyond the one in
+    :func:`prep_vectors` (``prepared=True`` declares ``vectors`` is
+    already that shape and skips it)."""
     c = centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("cent_vec"),
         _norm(F.col(vec_col)).alias("cent_norm"),
     )
-    # spread first: the broadcast cross join runs inside the scan stage,
-    # so a few-split corpus would score all centroid dots on few cores —
-    # and partitioning by id pre-satisfies the argmax window's shuffle
+    prepped = vectors if prepared else prep_vectors(vectors, id_col, vec_col)
     scored = (
-        spread(vectors, id_col)
-        .withColumn("vec_norm", _norm(F.col(vec_col)))
+        prepped
         .join(F.broadcast(c))
         .select(
             id_col,
@@ -314,13 +329,29 @@ def ivf_topk(
     lives in exactly one cell. The registered query runs lloyd_iters=1,
     nprobe=2 (r2 verdict item #3) with the oracle mirroring both."""
     centroids = corpus.filter(F.col(id_col) < n_centroids)
-    corpus_cells = ivf_assign_cells(corpus, centroids, id_col, vec_col)
+    # one corpus scan+shuffle+norm pass shared by every assignment
+    # (1 + lloyd_iters of them) — the classic cache-the-working-set
+    # k-means shape; tiny per row (id, vec, norm), evicted LRU
+    prep = prep_vectors(corpus, id_col, vec_col)
+    if lloyd_iters:
+        prep = prep.persist()
+    corpus_cells = ivf_assign_cells(
+        prep, centroids, id_col, vec_col, prepared=True
+    )
     for _ in range(lloyd_iters):
         centroids = lloyd_refine_centroids(corpus_cells, id_col, vec_col)
-        corpus_cells = ivf_assign_cells(corpus, centroids, id_col, vec_col)
-    if queries_in_corpus and nprobe == 1:
+        corpus_cells = ivf_assign_cells(
+            prep, centroids, id_col, vec_col, prepared=True
+        )
+    if queries_in_corpus:
         qkeys = queries.select(id_col).distinct()
-        query_cells = corpus_cells.join(F.broadcast(qkeys), id_col, "left_semi")
+        if nprobe == 1:
+            query_cells = corpus_cells.join(F.broadcast(qkeys), id_col, "left_semi")
+        else:
+            qprep = prep.join(F.broadcast(qkeys), id_col, "left_semi")
+            query_cells = ivf_assign_cells(
+                qprep, centroids, id_col, vec_col, nprobe, prepared=True
+            )
     else:
         query_cells = ivf_assign_cells(queries, centroids, id_col, vec_col, nprobe)
     q = query_cells.select(
