@@ -175,7 +175,16 @@ def window_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: RANGE frame over a numeric ordering key (value-based frame —
-    count of orders within $10k below each price)."""
+    count of orders within $10k below each price).
+
+    Scale note: an unpartitioned window is single-partition by
+    construction (Spark warns accordingly) — fine for this W3 frame-spec
+    demo, a hazard on a 100 TB fact. The scale form of this exact
+    computation is a range-join against bucketed price boundaries or a
+    two-pass histogram (bucket counts + intra-bucket scan), both
+    key-partitioned; global-window queries in this registry exist to
+    cover the frame-spec surface, not as the recommended big-table
+    plan."""
     w = W.orderBy("o_totalprice").rangeBetween(-10000, W.currentRow)
     return tbl(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -198,7 +207,14 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1/W3: ntile bucketing + first_value/last_value with a full frame."""
+    """W1/W3: ntile bucketing + first_value/last_value with a full frame.
+
+    Scale note: global ntile/first/last requires a total order →
+    single-partition window (see window_range_frame). At 100 TB the same
+    answer comes from quantile boundaries (approx_percentile or the
+    exact power-sum percentiles in plans/aggregates.py) broadcast and
+    mapped — one pass, no global sort; this query covers the W1/W3
+    function surface."""
     w = W.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return tbl(spark, sf_dir, "customer").select(
