@@ -112,6 +112,53 @@ def encode_avi(content: bytes, width: int, height: int, n_frames: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_wav(content: bytes, sample_rate: int, n_channels: int) -> bytes:
+    """Minimal RIFF/WAVE: 16-byte PCM ``fmt `` chunk (16-bit samples) +
+    ``data`` chunk carrying ``content`` with RIFF even-byte padding.
+    Fixed overhead: 44 bytes + len(content) + (len(content) % 2) pad —
+    the canonical WAV header layout."""
+    bits = 16
+    block_align = n_channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # PCM
+        n_channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+    data = (
+        b"data"
+        + struct.pack("<I", len(content))
+        + content
+        + (b"\x00" if len(content) % 2 else b"")
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav_payload(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """RIFF/WAVE walk (the audio twin of the AVI parse): returns
+    ``(sample_rate, n_channels, bits_per_sample, n_samples, content)``
+    from the ``fmt `` and ``data`` chunks. Raises ``ValueError`` when
+    the RIFF/WAVE signature is absent."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, rate, channels, bits, content = 12, 0, 0, 0, b""
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        data = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack("<HHIIHH", data[:16])
+        elif cid == b"data":
+            content = data
+        pos += 8 + clen + (clen % 2)
+    block_align = max(1, channels * bits // 8)
+    return (rate, channels, bits, len(content) // block_align, content)
+
+
 # ---- decoder: real header parsing -----------------------------------------
 
 
@@ -231,6 +278,65 @@ def attach_binary_media(docs: DataFrame) -> DataFrame:
             )
 
     return docs.mapInPandas(fn, "doc_id long, payload binary")
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id long, n_bytes long, sample_rate int, n_channels int, "
+    "bits_per_sample int, n_samples long, duration_us long, checksum string"
+)
+
+
+def attach_binary_audio(docs: DataFrame) -> DataFrame:
+    """Audio twin of :func:`attach_binary_media`: wrap each document's
+    bytes in a real PCM WAV container. Sample rate and channel count are
+    deterministic functions of the text length (rate = 8000 + (n%8)·1000
+    Hz, channels = 1 + n%2) so the oracle can verify the decoded
+    metadata arithmetically."""
+    from rpa_etl_investing_spark.operators.dedup import spread
+
+    docs = spread(docs, "doc_id").select("doc_id", "text")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                data = t.encode("utf-8")
+                n = len(data)
+                payloads.append(
+                    encode_wav(data, 8000 + (n % 8) * 1000, 1 + n % 2)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(fn, "doc_id long, payload binary")
+
+
+def decode_audio_metadata(media: DataFrame) -> DataFrame:
+    """Audio decode stage: RIFF/WAVE header parse per payload inside the
+    Arrow-batched mapInPandas — sample rate / channels / bit depth from
+    the ``fmt `` chunk, sample count and exact integer duration from the
+    ``data`` chunk, checksum over the decoded PCM content."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_wav_payload(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "sample_rate": pd.Series([p[0] for p in parsed], dtype="int32"),
+                    "n_channels": pd.Series([p[1] for p in parsed], dtype="int32"),
+                    "bits_per_sample": pd.Series(
+                        [p[2] for p in parsed], dtype="int32"
+                    ),
+                    "n_samples": [p[3] for p in parsed],
+                    "duration_us": [
+                        p[3] * 1_000_000 // p[0] if p[0] else 0 for p in parsed
+                    ],
+                    "checksum": [hashlib.md5(p[4]).hexdigest() for p in parsed],
+                }
+            )
+
+    return media.mapInPandas(fn, AUDIO_META_SCHEMA)
 
 
 def decode_media_metadata(

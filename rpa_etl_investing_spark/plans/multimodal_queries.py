@@ -61,6 +61,42 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_meta",
+    oracle="""
+    WITH n AS (SELECT doc_id, text,
+                      CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS nb
+               FROM documents),
+    f AS (SELECT doc_id, text, nb,
+                 8000 + CAST(nb % 8 AS INT) * 1000 AS rate,
+                 1 + CAST(nb % 2 AS INT) AS chans
+          FROM n)
+    SELECT doc_id,
+           nb + 44 + nb % 2 AS n_bytes,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(chans AS INT) AS n_channels,
+           CAST(16 AS INT) AS bits_per_sample,
+           nb // (chans * 2) AS n_samples,
+           (nb // (chans * 2)) * 1000000 // rate AS duration_us,
+           md5(text) AS checksum
+    FROM f
+    """,
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality: real RIFF/WAVE construction + fmt-chunk parse
+    (sample rate, channels, bit depth, sample count, integer-exact
+    duration) through the same Arrow mapInPandas plumbing as the
+    image/video decode."""
+    from rpa_etl_investing_spark.multimodal import (
+        attach_binary_audio,
+        decode_audio_metadata,
+    )
+
+    return decode_audio_metadata(
+        attach_binary_audio(tbl(spark, sf_dir, "documents"))
+    )
+
+
+@register(
     "multimodal_frame_sample",
     oracle=f"""
     SELECT doc_id, n_frames, UNNEST(RANGE(0, n_frames, 5)) AS frame_no

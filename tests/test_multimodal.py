@@ -86,6 +86,23 @@ def test_avi_roundtrip_with_riff_padding(content):
     assert struct.unpack("<I", p[4:8])[0] + 8 == len(p)
 
 
+@pytest.mark.parametrize("content", [b"pcm samples!", b"odd"])
+def test_wav_roundtrip(content):
+    from rpa_etl_investing_spark.multimodal.binary_ops import (
+        encode_wav,
+        parse_wav_payload,
+    )
+
+    p = encode_wav(content, 44100, 2)
+    rate, chans, bits, n_samples, got = parse_wav_payload(p)
+    assert (rate, chans, bits) == (44100, 2, 16)
+    assert n_samples == len(content) // 4  # 2 ch x 16 bit = 4-byte frames
+    assert got == content
+    assert struct.unpack("<I", p[4:8])[0] + 8 == len(p)  # RIFF size field
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        parse_wav_payload(b"RIFF\x00\x00\x00\x00AVI ")
+
+
 def test_unknown_signature_routes_not_raises():
     assert parse_media_payload(b"\x00\x01\x02 garbage") == ("unknown", 0, 0, 0, b"")
 
