@@ -247,3 +247,50 @@ def document_fingerprint(docs: DataFrame, text_col: str = "text", n: int = 4) ->
         F.count("*").alias("n_shingles"),
     )
     return agg
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench_max_id: int = 10,
+    text_col: str = "text",
+    k: int = 3,
+    flag_ratio: float = 0.1,
+) -> DataFrame:
+    """Decontamination scan: how much of each corpus document's k-gram
+    set also appears in a benchmark/eval set — the check a training
+    pipeline runs so eval data doesn't leak into the training corpus
+    (corpus docs overlapping a benchmark get flagged and dropped).
+
+    The benchmark here is the fixture docs with ``doc_id < bench_max_id``
+    (a stand-in for an external eval suite); its DISTINCT shingle set is
+    small by construction, so the overlap probe is a broadcast semi-ish
+    join on the shingle — the corpus side explodes once (spread first,
+    one pre-fan-out shuffle) and aggregates per doc_id on its existing
+    partitioning. Output: per-doc shingle count, contaminated-shingle
+    count, ratio, and the drop flag at ``flag_ratio``.
+    """
+    ex = (
+        spread(docs, "doc_id")
+        .select("doc_id", F.explode(shingles(text_col, k)).alias("sh"))
+        .distinct()
+    )
+    bench_sh = (
+        ex.filter(F.col("doc_id") < bench_max_id).select("sh").distinct()
+    )
+    corpus = ex.filter(F.col("doc_id") >= bench_max_id)
+    hit = F.broadcast(bench_sh.withColumn("_hit", F.lit(1)))
+    joined = corpus.join(hit, "sh", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_contaminated",
+            (F.col("n_contaminated") / F.col("n_sh")).alias("contamination_ratio"),
+            (F.col("n_contaminated") / F.col("n_sh") >= flag_ratio).alias("flagged"),
+        )
+    )

@@ -574,6 +574,35 @@ def llm_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_benchmark_contamination",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    ex AS (SELECT DISTINCT doc_id, sh FROM shx),
+    bench AS (SELECT DISTINCT sh FROM ex WHERE doc_id < 10),
+    corpus AS (SELECT * FROM ex WHERE doc_id >= 10)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sh,
+           CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*)
+             AS contamination_ratio,
+           SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*) >= 0.1
+             AS flagged
+    FROM corpus c LEFT JOIN bench b USING (sh)
+    GROUP BY c.doc_id
+    """,
+)
+def llm_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: per-doc 3-gram overlap against a benchmark set
+    (fixture stand-in: doc_id < 10) with a drop flag — broadcast shingle
+    probe, one pre-fan-out shuffle (operators/text.py
+    benchmark_contamination)."""
+    from rpa_etl_investing_spark.operators.text import benchmark_contamination
+
+    return benchmark_contamination(tbl(spark, sf_dir, "documents"))
+
+
+@register(
     "llm_fingerprint",
     oracle=f"""
     WITH {_TOK_CTE}, {_SH_CTE},
