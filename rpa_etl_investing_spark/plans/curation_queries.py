@@ -518,6 +518,69 @@ def _stop_in() -> str:
     return ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
+_TOKEN_BUDGET = 2000
+
+
+@register(
+    "curation_token_budget",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    q AS (
+      SELECT doc_id, LEN(t) AS n_tok,
+             CASE WHEN LEN(t) < 5 THEN 0.0
+                  WHEN LEN(LIST_FILTER(t, x -> x IN ({{stops}}))) / LEN(t) > 0.5 THEN 0.25
+                  ELSE 1.0 - LEN(LIST_FILTER(t, x -> x IN ({{stops}}))) / LEN(t) END AS quality
+      FROM tok),
+    ranked AS (
+      SELECT d.source, q.doc_id, q.n_tok,
+             SUM(q.n_tok) OVER (PARTITION BY d.source
+                                ORDER BY q.quality DESC, q.doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tok
+      FROM q JOIN documents d USING (doc_id))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM ranked WHERE cum_tok <= {_TOKEN_BUDGET}
+    GROUP BY source ORDER BY source
+    """.replace("{stops}", _stop_in()),
+)
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted selection: per source, keep the highest-quality
+    documents (doc_id tie-break) until a fixed token budget fills — the
+    "best N tokens per source" step that turns quality scores into an
+    actual training mixture. One windowed prefix sum per source
+    partition (parallel across sources, the same shard-local pattern as
+    curation_pack_offsets), then a grouped audit; no global sort."""
+    from pyspark.sql import Window
+
+    from rpa_etl_investing_spark.operators.text import quality_score
+
+    docs = tbl(spark, sf_dir, "documents")
+    q = quality_score(docs).select(
+        "doc_id", F.col("n_tokens").alias("n_tok"), "quality"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+    )
+    return (
+        ranked.filter(F.col("cum_tok") <= _TOKEN_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "curation_quality_filter",
     oracle=f"""
