@@ -44,8 +44,11 @@ MULTI_SF_NAMES = [
     "llm_minhash_pairs",
     "llm_quality_score",
     "curation_quality_filter",
+    "curation_token_budget",
     "timeseries_gap_fill_locf",
     "multimodal_decode_meta",
+    "multimodal_audio_meta",
+    "llm_benchmark_contamination",
 ]
 
 
