@@ -74,7 +74,14 @@ def encode_png(content: bytes, width: int, height: int) -> bytes:
 def encode_jpeg(content: bytes, width: int, height: int) -> bytes:
     """Minimal JPEG marker stream: SOI, JFIF APP0, SOF0 (baseline, 3
     components) carrying height/width, COM segment carrying ``content``,
-    EOI. Fixed overhead: 45 bytes + len(content)."""
+    EOI. Fixed overhead: 45 bytes + len(content). JPEG segment lengths
+    are 16-bit, so a single COM caps content at 65533 bytes — enforced
+    here rather than left to struct.pack's opaque error."""
+    if len(content) > 65533:
+        raise ValueError(
+            "JPEG COM segment caps content at 65533 bytes "
+            f"(got {len(content)}); chunk it or use the PNG/AVI container"
+        )
     app0 = (
         b"\xff\xe0"
         + struct.pack(">H", 16)
@@ -141,20 +148,24 @@ def encode_wav(content: bytes, sample_rate: int, n_channels: int) -> bytes:
 def parse_wav_payload(payload: bytes) -> tuple[int, int, int, int, bytes]:
     """RIFF/WAVE walk (the audio twin of the AVI parse): returns
     ``(sample_rate, n_channels, bits_per_sample, n_samples, content)``
-    from the ``fmt `` and ``data`` chunks. Raises ``ValueError`` when
-    the RIFF/WAVE signature is absent."""
+    from the ``fmt `` and ``data`` chunks. Raises ``ValueError`` on a
+    missing RIFF/WAVE signature or a truncated/length-corrupted chunk
+    (struct.error normalized, as in :func:`parse_media_payload`)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos, rate, channels, bits, content = 12, 0, 0, 0, b""
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        data = payload[pos + 8 : pos + 8 + clen]
-        if cid == b"fmt ":
-            _, channels, rate, _, _, bits = struct.unpack("<HHIIHH", data[:16])
-        elif cid == b"data":
-            content = data
-        pos += 8 + clen + (clen % 2)
+    try:
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            data = payload[pos + 8 : pos + 8 + clen]
+            if cid == b"fmt ":
+                _, channels, rate, _, _, bits = struct.unpack("<HHIIHH", data[:16])
+            elif cid == b"data":
+                content = data
+            pos += 8 + clen + (clen % 2)
+    except struct.error as e:
+        raise ValueError(f"truncated or length-corrupted WAV: {e}") from e
     block_align = max(1, channels * bits // 8)
     return (rate, channels, bits, len(content) // block_align, content)
 
@@ -165,9 +176,18 @@ def parse_wav_payload(payload: bytes) -> tuple[int, int, int, int, bytes]:
 def parse_media_payload(payload: bytes) -> tuple[str, int, int, int, bytes]:
     """Sniff the container from its magic bytes and parse its headers:
     ``(media_type, width, height, n_frames, content)``. Raises
-    ``ValueError`` on structural corruption (bad CRC, bad marker); an
-    unrecognized signature returns ``("unknown", 0, 0, 0, b"")`` so a
-    mixed corpus can route rejects instead of dying."""
+    ``ValueError`` on structural corruption (bad CRC, bad marker,
+    truncation — struct.error from a length field pointing past the
+    buffer is normalized to ValueError so callers have ONE reject
+    type); an unrecognized signature returns ``("unknown", 0, 0, 0,
+    b"")`` so a mixed corpus can route rejects instead of dying."""
+    try:
+        return _parse_media_payload(payload)
+    except struct.error as e:
+        raise ValueError(f"truncated or length-corrupted container: {e}") from e
+
+
+def _parse_media_payload(payload: bytes) -> tuple[str, int, int, int, bytes]:
     if payload[:8] == PNG_SIG:
         pos, width, height, content = 8, 0, 0, b""
         while pos + 12 <= len(payload):

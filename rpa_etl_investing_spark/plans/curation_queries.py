@@ -299,7 +299,7 @@ _CLOSURE = """
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
-    {_CLOSURE.format(p="ng", pairs="ng_pairs").strip().rstrip()},
+    {_CLOSURE.format(p="ng", pairs="ng_pairs").strip()},
     -- family 3: MinHash band-bucket pairs at est_jaccard >= 0.5
     {_SIG_CTE},
     bands AS ({_BANDS_UNION}),
@@ -314,7 +314,7 @@ _CLOSURE = """
       JOIN sig sa ON sa.doc_id = p.doc_a
       JOIN sig sb ON sb.doc_id = p.doc_b
       WHERE {_MH_EST} >= 0.5),
-    {_CLOSURE.format(p="mh", pairs="mh_pairs").strip().rstrip()},
+    {_CLOSURE.format(p="mh", pairs="mh_pairs").strip()},
     -- family 4: embedding-cosine near-dups (vec_id aligns with doc_id)
     eb AS (
       SELECT vec_id, embedding,
@@ -324,7 +324,7 @@ _CLOSURE = """
       SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
       FROM eb a JOIN eb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
       WHERE {_cos_sql("a.embedding", "c.embedding")} >= 0.4),
-    {_CLOSURE.format(p="em", pairs="em_pairs").strip().rstrip()}
+    {_CLOSURE.format(p="em", pairs="em_pairs").strip()}
     SELECT source,
            CAST(SUM(CASE WHEN xe.doc_id IS NULL AND xn.doc_id IS NULL
                           AND xm.doc_id IS NULL AND xv.doc_id IS NULL
@@ -377,9 +377,10 @@ def curation_final_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    def cluster_losers(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    def cluster_losers(pairs: DataFrame) -> DataFrame:
+        # one row per doc_id by construction (components groups per vertex)
         return (
-            connected_components(pairs, src=src, dst=dst)
+            connected_components(pairs)
             .filter(F.col("doc_id") != F.col("cluster_id"))
             .select("doc_id")
         )
@@ -403,9 +404,7 @@ def curation_final_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (minhash_losers, "x_minhash"),
         (embed_losers, "x_embed"),
     ]:
-        flagged = flagged.join(
-            losers.distinct().withColumn(name, F.lit(1)), "doc_id", "left"
-        )
+        flagged = flagged.join(losers.withColumn(name, F.lit(1)), "doc_id", "left")
     kept = (
         F.col("x_exact").isNull()
         & F.col("x_ngram").isNull()
