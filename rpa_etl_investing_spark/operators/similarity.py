@@ -331,7 +331,11 @@ def ivf_topk(
     centroids = corpus.filter(F.col(id_col) < n_centroids)
     # one corpus scan+shuffle+norm pass shared by every assignment
     # (1 + lloyd_iters of them) — the classic cache-the-working-set
-    # k-means shape; tiny per row (id, vec, norm), evicted LRU
+    # k-means shape. The entry stays in the CacheManager after the query
+    # completes (same documented posture as the minhash signature
+    # persist): tiny per row (id, vec, norm), MEMORY_AND_DISK evicts
+    # LRU under pressure; sessions running many index builds can
+    # spark.catalog.clearCache() between them.
     prep = prep_vectors(corpus, id_col, vec_col)
     if lloyd_iters:
         prep = prep.persist()
