@@ -29,13 +29,35 @@ TABLES = [
 SMALL_DIMS = {"region", "nation", "supplier"}
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Make ``events.ts`` a microsecond timestamp regardless of how the
+    fixture was written.
+
+    The driver has generated the events fixture two ways across rounds:
+    parquet TIMESTAMP(NANOS) — which arrives as a nanos-since-epoch LONG
+    under ``spark.sql.legacy.parquet.nanosAsLong`` — and plain
+    TIMESTAMP(MICROS), which Spark reads natively as a timestamp. Only
+    the LONG layout needs conversion (truncating nanos → micros, matching
+    DuckDB's ``CAST(ts AS TIMESTAMP)``); converting unconditionally
+    breaks on the native layout, so every raw read (batch or readStream)
+    must normalize through this helper instead.
+    """
+    if dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; ``spark.sql.legacy.parquet.nanosAsLong`` makes
-    it arrive as nanos-since-epoch, converted here to a microsecond
-    TimestampType (truncation — matching DuckDB's ``CAST(ts AS TIMESTAMP)``).
+    When ``events.ts`` is stored as parquet TIMESTAMP(NANOS) (the pre-r3
+    fixture layout), Spark's vectorized reader rejects it;
+    ``spark.sql.legacy.parquet.nanosAsLong`` makes it arrive as
+    nanos-since-epoch, normalized by :func:`normalize_events_ts`. Current
+    fixtures store TIMESTAMP(MICROS), read natively — the conf is then a
+    harmless no-op and the normalizer passes the column through.
 
     The conf is set *here, at read time* (it is a runtime SQL conf), not only
     in the repo's session factory: callers — notably the correctness driver —
@@ -47,10 +69,8 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

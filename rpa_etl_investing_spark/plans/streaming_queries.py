@@ -151,11 +151,11 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     if not os.path.lexists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
 
+    from rpa_etl_investing_spark.catalog import normalize_events_ts
+
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(stream_dir)
     )
     sink = f"stateful_totals_{uuid.uuid4().hex[:8]}"
     q = (

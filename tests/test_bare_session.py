@@ -23,7 +23,8 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Every registry query that reads the events table (nanos timestamps), per
+# Every registry query that reads the events table (timestamp layout varies
+# by fixture generation — see catalog.normalize_events_ts), per
 # `grep '"events"' rpa_etl_investing_spark/plans/*.py` — keep in sync.
 EVENTS_QUERIES = [
     "asof_join_last_purchase",

@@ -6,8 +6,18 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from rpa_etl_investing_spark.catalog import tbl
+from rpa_etl_investing_spark.catalog import normalize_events_ts, tbl
 from rpa_etl_investing_spark.streaming import running_user_totals, tumbling_window_counts
+
+
+def _stream_events(spark, raw_schema, stream_dir):
+    """File-stream over the events fixture, ts normalized to a
+    watermark-compatible TIMESTAMP (watermarks reject TIMESTAMP_NTZ; the
+    session timezone is UTC, so the LTZ cast preserves wall time against
+    the batch side)."""
+    return normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(str(stream_dir))
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
@@ -18,17 +28,14 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, tmp_path):
     }
 
     # the file-stream source wants a directory; expose the fixture file
-    # through one. ts arrives as nanos-long (see catalog.tbl), convert
-    # identically.
+    # through one. ts arrives as nanos-long or a native timestamp
+    # depending on the fixture layout (see catalog.normalize_events_ts).
     stream_dir = tmp_path / "events_stream"
     stream_dir.mkdir()
     (stream_dir / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(str(stream_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "1 hour")
+    stream = _stream_events(spark, raw_schema, stream_dir).withWatermark(
+        "ts", "1 hour"
     )
     q = (
         tumbling_window_counts(stream)
@@ -72,11 +79,8 @@ def test_streaming_session_window_matches_batch_sf01(spark, tmp_path):
     stream_dir.mkdir()
     (stream_dir / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(str(stream_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "1 hour")
+    stream = _stream_events(spark, raw_schema, stream_dir).withWatermark(
+        "ts", "1 hour"
     )
     q = (
         sessionize(stream)
@@ -115,10 +119,8 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
     stream_dir.mkdir()
     (stream_dir / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(str(stream_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(str(stream_dir))
     )
     q = (
         running_user_totals(stream)
@@ -186,9 +188,7 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
 
     def stream_side(etype, alias_prefix=""):
         s = (
-            spark.readStream.schema(raw_schema)
-            .parquet(str(stream_dir))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            _stream_events(spark, raw_schema, stream_dir)
             .filter(F.col("event_type") == etype)
             .select("event_id", "user_id", "ts")
             .withWatermark("ts", "1 hour")
