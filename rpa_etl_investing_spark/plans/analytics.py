@@ -267,3 +267,201 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("nulls_qty"),
     )
+
+
+@register(
+    "analytics_order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def analytics_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, … orders —
+    an OUTER join (zero-order customers must survive) under a join-side
+    predicate, then an aggregate OF an aggregate.
+
+    Scale notes: the ON-clause predicate on the orders side of a LEFT
+    join is equivalent to pre-filtering orders, so it pushes into the
+    scan; the first aggregate shuffles on c_custkey (reusing the join
+    exchange), and the second groupBy's key space is tiny (distinct
+    order counts), so its shuffle is a few bytes per partition — the
+    classic distribution-histogram two-phase shape."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "analytics_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def analytics_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum quarterly
+    revenue — an aggregate reused twice (per-supplier revenue AND its
+    global max) joined against itself on the max.
+
+    The revenue relation is computed once; the global max is a one-row
+    aggregate broadcast into the filter (never a driver collect). The
+    max-equality comparison happens on the exact DECIMAL accumulation —
+    casting to DOUBLE first could merge near-ties — and only the final
+    projection casts for output."""
+    l = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = tbl(spark, sf_dir, "supplier")
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(27,4)"
+            )
+        ).alias("total_rev")
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        s.join(rev, s.s_suppkey == F.col("supplier_no"))
+        .join(F.broadcast(max_rev))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "analytics_large_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(27,2))) > 250)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def analytics_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind bulk orders — an IN-subquery
+    whose subquery is itself a grouped HAVING aggregate, feeding a
+    three-way join and a re-aggregation.
+
+    The HAVING aggregate shuffles lineitem once on l_orderkey; its
+    survivor set is small (bulk orders are rare), so the IN becomes a
+    semi join that prunes orders early, before the fact-fact join. The
+    outer aggregate reuses the o_orderkey partitioning. Top-k is
+    TakeOrderedAndProject."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    l = tbl(spark, sf_dir, "lineitem")
+    bulk = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,2)")).alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    o_bulk = o.join(bulk, o.o_orderkey == bulk.l_orderkey, "left_semi")
+    return (
+        c.join(o_bulk, c.c_custkey == o_bulk.o_custkey)
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,2)")).cast("double").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "analytics_lone_blamed_supplier",
+    oracle="""
+    WITH l1 AS (SELECT * FROM lineitem WHERE l_returnflag = 'R')
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def analytics_lone_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for a returned item
+    on finished multi-supplier orders — a correlated EXISTS **and** a
+    correlated NOT EXISTS against the same fact table, with a non-equi
+    residual (different supplier) on top of the orderkey equi-key.
+
+    Both subqueries become hash joins on l_orderkey (semi then anti)
+    with the supplier-inequality as a residual — three passes over
+    lineitem that all share one orderkey partitioning, so AQE plans a
+    single exchange reused across the semi, the anti, and the orders
+    join."""
+    l = tbl(spark, sf_dir, "lineitem")
+    l1 = l.filter(F.col("l_returnflag") == "R")
+    s = tbl(spark, sf_dir, "supplier")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l2 = l.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = l1.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    blamed = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == F.col("k2")) & (l1.l_suppkey != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )

@@ -162,3 +162,47 @@ def etl_flagship_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("maxima"), F.asc("nome"))
         .limit(10)
     )
+
+
+@register(
+    "etl_scd2_history",
+    oracle="""
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           value AS attr_value,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, version
+    """,
+)
+def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a change-event stream into
+    versioned validity intervals — the dimension-history companion to
+    the reference's type-1 upsert (``/root/reference/main.py:124-135``
+    overwrites in place; SCD2 keeps every version).
+
+    Each purchase event is treated as an attribute change for its user;
+    ``valid_from`` is the event time, ``valid_to`` the next change's
+    time (NULL = current), version a per-user sequence. One window over
+    (user_id) — partitioned by the dimension's natural key, so at 100 TB
+    the sort is per-user-sized and shuffle-partition-parallel; there is
+    no global window anywhere."""
+    ev = tbl(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.row_number().over(w).cast("long").alias("version"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.col("value").alias("attr_value"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )

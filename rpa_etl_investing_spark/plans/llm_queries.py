@@ -642,3 +642,208 @@ def llm_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rpa_etl_investing_spark.operators.text import rolling_hash_fingerprint
 
     return rolling_hash_fingerprint(tbl(spark, sf_dir, "documents"))
+
+
+# ---- curation-adjacent text operators (round 3) ----------------------------
+
+# The fixture corpus is synthetic word-salad with no real PII, so the
+# redaction query plants deterministic PII (doc_id-derived email/phone)
+# into a derived column IN BOTH ENGINES — the oracle then genuinely
+# checks the regex-dialect parity of the scrub itself (Java regex vs
+# RE2), which is the risky part of a redaction pass.
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE = r"555-[0-9]{4}"
+
+_PII_BASE_SQL = (
+    "SELECT doc_id, text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    "         || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' call 555-'"
+    "         || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS raw"
+    " FROM documents"
+)
+
+
+@register(
+    "llm_pii_redaction",
+    oracle=f"""
+    WITH base AS ({_PII_BASE_SQL})
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(raw, '{_PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(raw, '{_PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+           REGEXP_REPLACE(REGEXP_REPLACE(raw, '{_PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PII_PHONE_RE}', '[PHONE]', 'g') AS redacted
+    FROM base
+    WHERE LEN(REGEXP_EXTRACT_ALL(raw, '{_PII_EMAIL_RE}')) > 0
+       OR LEN(REGEXP_EXTRACT_ALL(raw, '{_PII_PHONE_RE}')) > 0
+    """,
+)
+def llm_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: count and redact email/phone matches
+    per document, keeping only documents that had any.
+
+    All JVM-side Column expressions (regexp_extract_all / two chained
+    regexp_replace) — one scan, no shuffle at all until the (absent)
+    aggregate; at 100 TB this is a map-only job that never moves text
+    between executors. The regexes stay inside the RE2-compatible
+    subset (no lookaround, no backrefs) so Spark's Java engine and
+    DuckDB's RE2 agree byte-for-byte."""
+    d = tbl(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    base = d.select("doc_id", raw.alias("raw"))
+    n_emails = F.size(F.regexp_extract_all("raw", F.lit(_PII_EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all("raw", F.lit(_PII_PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace("raw", _PII_EMAIL_RE, "[EMAIL]"), _PII_PHONE_RE, "[PHONE]"
+    )
+    return (
+        base.select(
+            "doc_id",
+            n_emails.cast("long").alias("n_emails"),
+            n_phones.cast("long").alias("n_phones"),
+            redacted.alias("redacted"),
+        )
+        .filter((F.col("n_emails") > 0) | (F.col("n_phones") > 0))
+    )
+
+
+@register(
+    "llm_chunk_overlap",
+    oracle="""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    st AS (SELECT doc_id, t, UNNEST(RANGE(0, LEN(t), 24)) AS s
+           FROM tok WHERE LEN(t) >= 1)
+    SELECT doc_id,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(LEAST(32, LEN(t) - s) AS BIGINT) AS n_tokens,
+           ARRAY_TO_STRING(t[CAST(s + 1 AS INT):CAST(LEAST(s + 32, LEN(t)) AS INT)], ' ')
+             AS chunk_text
+    FROM st
+    """,
+)
+def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for a training pipeline: 32-token
+    chunks every 24 tokens (8-token overlap so no context is lost at
+    chunk boundaries) — the doc→sample explosion step that feeds
+    tokenization.
+
+    ``sequence`` + ``explode`` + ``slice`` are all JVM higher-order
+    array ops: the fan-out happens executor-side with no Python and no
+    shuffle (chunks inherit the document's partition). At 100 TB the
+    output is ~1.3× the input tokens (32/24 overlap factor) and flows
+    straight to the sink — contrast with ``curation_pack_offsets``,
+    which packs rather than splits."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 1
+    )
+    st = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), F.size("t") - 1, F.lit(24))).alias("s"),
+    )
+    return st.select(
+        "doc_id",
+        F.col("s").cast("long").alias("chunk_start"),
+        F.least(F.lit(32), F.size("t") - F.col("s")).cast("long").alias("n_tokens"),
+        F.expr("concat_ws(' ', slice(t, s + 1, 32))").alias("chunk_text"),
+    )
+
+
+@register(
+    "llm_minhash_verified_pairs",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SH_CTE}, {_SIG_CTE},
+    bands AS ({_BANDS_UNION}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_no = b.band_no AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    ex AS (SELECT DISTINCT doc_id, sh FROM shx),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_shared
+      FROM pairs p
+      JOIN ex a ON a.doc_id = p.doc_a
+      JOIN ex b ON b.doc_id = p.doc_b AND b.sh = a.sh
+      GROUP BY p.doc_a, p.doc_b)
+    SELECT p.doc_a, p.doc_b,
+           CAST(COALESCE(i.n_shared, 0) AS BIGINT) AS n_shared,
+           CASE WHEN sa.n_sh + sb.n_sh - COALESCE(i.n_shared, 0) > 0
+                THEN COALESCE(i.n_shared, 0)
+                     / (sa.n_sh + sb.n_sh - COALESCE(i.n_shared, 0))
+                ELSE 0.0 END AS exact_jaccard,
+           (CASE WHEN sa.n_sh + sb.n_sh - COALESCE(i.n_shared, 0) > 0
+                 THEN COALESCE(i.n_shared, 0)
+                      / (sa.n_sh + sb.n_sh - COALESCE(i.n_shared, 0))
+                 ELSE 0.0 END) >= 0.5 AS verified
+    FROM pairs p
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    """,
+)
+def llm_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production MinHash pipeline's SECOND stage: exact-Jaccard
+    verification of the LSH candidate pairs (candidates → verify →
+    drop false positives), which ``llm_minhash_pairs`` alone doesn't do.
+
+    Scale shape: the shingle join is bounded by the CANDIDATE set (pairs
+    × their shingles), never all-pairs — the expensive exact measure
+    runs only on what banding surfaced, which is the whole point of
+    LSH-then-verify. No df-cap is needed here (unlike the open-ended
+    inverted-index join in ``llm_ngram_jaccard``) because the fan-out is
+    per-candidate-bounded."""
+    from rpa_etl_investing_spark.operators.dedup import shingles, spread
+
+    docs = tbl(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    ex = (
+        spread(docs, "doc_id")
+        .select("doc_id", F.explode(shingles("text")).alias("sh"))
+        .distinct()
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = ex.select(F.col("doc_id").alias("kb"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("kb")) & (F.col("sh") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    n_shared = F.coalesce(F.col("n_shared"), F.lit(0))
+    union = F.col("n_a") + F.col("n_b") - n_shared
+    jaccard = F.when(union > 0, n_shared / union).otherwise(F.lit(0.0))
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_shared.cast("long").alias("n_shared"),
+            jaccard.alias("exact_jaccard"),
+            (jaccard >= 0.5).alias("verified"),
+        )
+    )

@@ -180,3 +180,36 @@ def subquery_in_bulk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["part", "lineitem"])
     return spark.sql(_IN_SUBQUERY_SQL)
+
+
+_NOT_IN_SUBQUERY_SQL = """
+    SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part p
+    WHERE p.p_partkey NOT IN (
+        SELECT l.l_partkey FROM lineitem l WHERE l.l_quantity >= 49)
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+"""
+
+
+@register("subquery_not_in_null_aware", oracle=_NOT_IN_SUBQUERY_SQL)
+def subquery_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a subquery — the complement of
+    ``subquery_in_bulk_parts``: parts that NEVER shipped in near-max
+    quantity, counted per brand.
+
+    NOT IN is not the same as NOT EXISTS: its three-valued-logic
+    contract says one NULL in the subquery empties the whole result, so
+    Catalyst plans a **null-aware anti join** (BroadcastHashJoin with
+    ``isNullAwareAntiJoin=true``) rather than a plain left-anti —
+    exercised here through the SQL front-end because the DataFrame API
+    has no NOT IN form. At scale the subquery side is aggregated to its
+    distinct keys and broadcast; if it outgrows the broadcast threshold
+    Spark falls back to a single-key-partitioned plan, which is the
+    documented cost of NOT IN semantics — prefer NOT EXISTS
+    (``subquery_not_exists_dormant``) when nulls are impossible.
+    """
+    from rpa_etl_investing_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["part", "lineitem"])
+    return spark.sql(_NOT_IN_SUBQUERY_SQL)

@@ -42,6 +42,7 @@ MULTI_SF_NAMES = [
     "llm_similarity_ivf",
     "llm_embedding_near_dup",
     "llm_minhash_pairs",
+    "llm_minhash_verified_pairs",
     "llm_quality_score",
     "curation_quality_filter",
     "curation_token_budget",

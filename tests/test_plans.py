@@ -281,3 +281,60 @@ def test_disjunctive_join_stays_hash_based(spark, sf_dir):
     plan = _plan(QUERIES["analytics_disjunctive_join"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """NOT IN must become a null-aware anti join (BroadcastHashJoin
+    LeftAnti with isNullAwareAntiJoin=true — the trailing flag), not a
+    nested-loop three-valued-logic fallback."""
+    plan = _plan(QUERIES["subquery_not_in_null_aware"].fn(spark, sf_dir))
+    assert "LeftAnti, BuildRight, true" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_order_count_distribution_keeps_outer_join(spark, sf_dir):
+    """Q13 shape: the join must stay LeftOuter (zero-order customers
+    survive) and both aggregation levels must be hash aggregates."""
+    plan = _plan(QUERIES["analytics_order_count_distribution"].fn(spark, sf_dir))
+    assert "LeftOuter" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_top_supplier_max_is_broadcast(spark, sf_dir):
+    """Q15 shape: the global-max scalar joins back via a broadcast —
+    no driver-side collect of the aggregate."""
+    plan = _plan(QUERIES["analytics_top_supplier"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_lone_blamed_supplier_semi_and_anti(spark, sf_dir):
+    """Q21 shape: correlated EXISTS and NOT EXISTS on the same fact must
+    plan as one semi and one anti hash join — never a nested loop."""
+    plan = _plan(QUERIES["analytics_lone_blamed_supplier"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_scd2_window_is_partitioned(spark, sf_dir):
+    """SCD2 versioning must run per-dimension-key: the window carries a
+    user_id partition spec, never the single-partition global window."""
+    import re
+
+    plan = _plan(QUERIES["etl_scd2_history"].fn(spark, sf_dir))
+    win = [ln for ln in plan.splitlines() if "Window " in ln]
+    assert win, plan
+    assert all(re.search(r"\[user_id#\d+L\]", ln) for ln in win), win
+
+
+def test_chunk_overlap_is_map_only(spark, sf_dir):
+    """Chunking is scan → explode → project: zero exchanges. A shuffle
+    here would move the full corpus text for no reason."""
+    plan = _plan(QUERIES["llm_chunk_overlap"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_pii_redaction_is_map_only(spark, sf_dir):
+    """The redaction pass is a pure per-row map: zero exchanges."""
+    plan = _plan(QUERIES["llm_pii_redaction"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
