@@ -847,3 +847,115 @@ def llm_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (jaccard >= 0.5).alias("verified"),
         )
     )
+
+
+_SHARED_GE_8 = (
+    "("
+    + " + ".join(f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END" for j in range(N_MINHASH))
+    + ") >= 8"
+)
+
+
+@register(
+    "llm_incremental_dedup",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SH_CTE}, {_SIG_CTE},
+    bands AS ({_BANDS_UNION}),
+    newd AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 3 = 0),
+    corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+    exact_dup AS (
+      SELECT DISTINCT n.doc_id FROM newd n
+      JOIN corp c ON SHA256(n.text) = SHA256(c.text)),
+    bn AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+    bc AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corp_id
+      FROM bn a JOIN bc b
+        ON a.band_no = b.band_no AND a.band_key = b.band_key),
+    near AS (
+      SELECT DISTINCT cand.new_id AS doc_id
+      FROM cand
+      JOIN sig sa ON sa.doc_id = cand.new_id
+      JOIN sig sb ON sb.doc_id = cand.corp_id
+      WHERE {_SHARED_GE_8})
+    SELECT n.doc_id, n.source,
+           (e.doc_id IS NOT NULL) AS is_exact_dup,
+           (nr.doc_id IS NOT NULL) AS is_near_dup,
+           NOT ((e.doc_id IS NOT NULL) OR (nr.doc_id IS NOT NULL)) AS admitted
+    FROM newd n
+    LEFT JOIN exact_dup e ON e.doc_id = n.doc_id
+    LEFT JOIN near nr ON nr.doc_id = n.doc_id
+    """,
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus admission — the continuous-ingestion dedup
+    shape: a NEW batch (doc_id % 3 = 0 stands in for today's crawl) is
+    screened against the EXISTING corpus (the rest), not against itself:
+    exact content-hash collision plus MinHash-band near-dup (est_jaccard
+    ≥ 0.5 ⇔ ≥ 8/16 shared minhashes) each flag the new doc; the output
+    is the per-document admission table.
+
+    Scale shape: both probes are asymmetric joins keyed on (hash) and
+    (band_no, band_key) — the batch side is small relative to the
+    corpus, so at 100 TB these are broadcast-ish joins against
+    PRECOMPUTED corpus-side hashes/signatures (a real deployment stores
+    them with the corpus — the signature relation here is exactly what
+    it would persist; text never shuffles). Admission needs no corpus
+    self-join at all, which is what makes daily ingestion O(batch), not
+    O(corpus²)."""
+    from rpa_etl_investing_spark.operators.dedup import band_keys
+
+    docs = tbl(spark, sf_dir, "documents")
+    newb = docs.filter(F.col("doc_id") % 3 == 0)
+    corp = docs.filter(F.col("doc_id") % 3 != 0)
+
+    sha = lambda c: F.sha2(F.col(c).cast("binary"), 256)  # noqa: E731
+    exact_dup = (
+        newb.select("doc_id", sha("text").alias("h"))
+        .join(corp.select(sha("text").alias("h")).distinct(), "h", "left_semi")
+        .select("doc_id")
+    )
+
+    sig_new = minhash_signatures(newb)
+    sig_corp = minhash_signatures(corp)
+    bn = band_keys(sig_new).select(
+        F.col("doc_id").alias("new_id"), "band_no", "band_key"
+    )
+    bc = band_keys(sig_corp).select(
+        F.col("doc_id").alias("corp_id"), "band_no", "band_key"
+    )
+    cand = bn.join(bc, ["band_no", "band_key"]).select("new_id", "corp_id").distinct()
+    sa = sig_new.select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(N_MINHASH)],
+    )
+    sb = sig_corp.select(
+        F.col("doc_id").alias("corp_id"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(N_MINHASH)],
+    )
+    shared = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(N_MINHASH)
+    )
+    near = (
+        cand.join(sa, "new_id")
+        .join(sb, "corp_id")
+        .filter(shared >= 8)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+
+    is_exact = F.coalesce(F.col("e_flag"), F.lit(False))
+    is_near = F.coalesce(F.col("n_flag"), F.lit(False))
+    return (
+        newb.select("doc_id", "source")
+        .join(exact_dup.withColumn("e_flag", F.lit(True)), "doc_id", "left")
+        .join(near.withColumn("n_flag", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            is_exact.alias("is_exact_dup"),
+            is_near.alias("is_near_dup"),
+            (~(is_exact | is_near)).alias("admitted"),
+        )
+    )

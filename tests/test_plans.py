@@ -338,3 +338,34 @@ def test_pii_redaction_is_map_only(spark, sf_dir):
     """The redaction pass is a pure per-row map: zero exchanges."""
     plan = _plan(QUERIES["llm_pii_redaction"].fn(spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_smj_probe_side(spark, sf_dir):
+    """When a fact-fact join is too big to broadcast, Spark can still
+    push a runtime bloom filter of the selective side's join keys into
+    the probe side's scan (row-level runtime filtering) — the mechanism
+    that cuts shuffle volume at 100 TB where broadcast is impossible.
+    Pin that the optimizer inserts it for the engine's scans (thresholds
+    lowered to fire at fixture scale; broadcast disabled to force SMJ)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = tbl(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = tbl(spark, sf_dir, "lineitem")
+        plan = _optimized(l.join(o, l.l_orderkey == o.o_orderkey))
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
