@@ -959,3 +959,79 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~(is_exact | is_near)).alias("admitted"),
         )
     )
+
+
+@register(
+    "llm_bigram_doc_score",
+    oracle="""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    b AS (
+      SELECT doc_id, s['w1'] AS w1, s['w2'] AS w2 FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(2, LEN(t) + 1),
+                                     i -> {'w1': t[i-1], 'w2': t[i]})) AS s
+        FROM tok WHERE LEN(t) >= 2)),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM b GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM b GROUP BY w1),
+    q AS (SELECT c2.w1, c2.w2,
+                 CAST(FLOOR(1e10 * (n2 / n1) + 0.5) AS BIGINT) AS qp
+          FROM c2 JOIN c1 USING (w1))
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(qp) AS BIGINT) / COUNT(*) / 1e10 AS avg_bigram_prob
+    FROM b JOIN q ON b.w1 = q.w1 AND b.w2 = q.w2
+    GROUP BY b.doc_id
+    """,
+)
+def llm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal: score each document by the
+    average conditional probability of its bigrams under the CORPUS
+    bigram LM — low scores mark documents whose word transitions are
+    unusual for the corpus (a cheap fluency/outlier filter that needs no
+    external model).
+
+    Probabilities are conditional relative frequencies n(w1,w2)/n(w1·),
+    quantized once per distinct bigram to the 1e-10 integer grid; the
+    per-doc reduction is then an exact BIGINT sum, so both engines
+    produce identical doubles (one int/int IEEE division + one final
+    division — no transcendental log whose libm could differ).
+
+    Scale shape: one explode to bigram instances, two hash aggregates
+    (LM numerator/denominator), and one equi-join of instances against
+    the LM on the bigram key — the LM is itself distributed (no
+    broadcast assumption; at corpus scale it exceeds any driver), and
+    text never shuffles, only (doc_id, w1, w2) rows."""
+    from rpa_etl_investing_spark.operators.dedup import spread
+
+    docs = tbl(spark, sf_dir, "documents")
+    toks = spread(docs, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    b = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+    c2 = b.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = b.groupBy("w1").agg(F.count("*").alias("n1"))
+    q = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.floor(F.lit(1e10) * (F.col("n2") / F.col("n1")) + 0.5)
+        .cast("bigint")
+        .alias("qp"),
+    )
+    return (
+        b.join(q, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.sum("qp").cast("bigint") / F.count("*") / F.lit(1e10)).alias(
+                "avg_bigram_prob"
+            ),
+        )
+    )

@@ -140,15 +140,22 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
              / COUNT(*) OVER w AS sliding_avg_price,
            COUNT(*) OVER w AS window_n
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
                  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
     """,
 )
 def window_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3: sliding-frame moving average (decimal-exact numerator)."""
+    """W3: sliding-frame moving average (decimal-exact numerator).
+
+    (orderkey, linenumber) is NOT unique in the fixture, so the ROWS
+    frame's content would be engine-order-dependent under a sort-key
+    tie; ordering additionally by the aggregated column makes any
+    remaining tied rows interchangeable for the frame sum — the
+    tie-hardening rule for ROWS frames over non-unique keys."""
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
         .rowsBetween(-5, W.currentRow)
     )
     return tbl(spark, sf_dir, "lineitem").select(

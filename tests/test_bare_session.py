@@ -28,6 +28,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # `grep '"events"' rpa_etl_investing_spark/plans/*.py` — keep in sync.
 EVENTS_QUERIES = [
     "asof_join_last_purchase",
+    "etl_scd2_history",
+    "stream_stateful_running_totals",
     "json_funcs",
     "json_struct_agg",
     "stream_dedup",

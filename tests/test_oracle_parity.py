@@ -43,6 +43,8 @@ MULTI_SF_NAMES = [
     "llm_embedding_near_dup",
     "llm_minhash_pairs",
     "llm_minhash_verified_pairs",
+    "llm_bigram_doc_score",
+    "window_sliding_avg",
     "llm_quality_score",
     "curation_quality_filter",
     "curation_token_budget",
