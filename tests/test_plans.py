@@ -369,3 +369,20 @@ def test_runtime_bloom_filter_prunes_smj_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_coalesces_overprovisioned_shuffle(spark, sf_dir):
+    """AQE must rewrite an over-partitioned shuffle to fewer reducers at
+    runtime (AQEShuffleRead coalesced) — the knob that makes one static
+    spark.sql.shuffle.partitions setting survive 1000× data-size spread
+    without per-query tuning. Asserted on the executed (adaptive) plan
+    after materialization."""
+    df = (
+        tbl(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    df.collect()  # the adaptive plan is only final on the executed Dataset
+    plan = _plan(df)
+    assert "AQEShuffleRead" in plan, plan
+    assert "coalesced" in plan, plan
