@@ -465,3 +465,230 @@ def analytics_lone_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@register(
+    "analytics_nation_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4)) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+           AND n2.n_name IN ('NATION_5','NATION_6','NATION_7','NATION_8'))
+          OR (n1.n_name IN ('NATION_5','NATION_6','NATION_7','NATION_8')
+           AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01') t
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def analytics_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nation GROUPS by
+    ship year — a five-way join whose selective predicate is an OR
+    ACROSS two different dimension joins (either direction of the pair),
+    so it can't be pushed into a single scan; it lands as a residual
+    after both nation joins while the date range still pushes into the
+    lineitem scan."""
+    s = tbl(spark, sf_dir, "supplier")
+    l = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    n1 = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    grp_a = ["NATION_1", "NATION_2", "NATION_3", "NATION_4"]
+    grp_b = ["NATION_5", "NATION_6", "NATION_7", "NATION_8"]
+    pair = (
+        F.col("supp_nation").isin(grp_a) & F.col("cust_nation").isin(grp_b)
+    ) | (F.col("supp_nation").isin(grp_b) & F.col("cust_nation").isin(grp_a))
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(27,4)"
+    )
+    return (
+        s.join(l, s.s_suppkey == l.l_suppkey)
+        .join(o, o.o_orderkey == F.col("l_orderkey"))
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(volume).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "analytics_market_share",
+    oracle="""
+    WITH flat AS (
+      SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4)) AS volume,
+             n1.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      JOIN region r ON n2.n_regionkey = r.r_regionkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO')
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume
+    FROM flat
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional promo-part revenue
+    per order year — an eight-way star join feeding a conditional-sum /
+    total-sum ratio per group. Both sums accumulate in DECIMAL and cast
+    to DOUBLE before the single division, so the ratio is bit-identical
+    cross-engine."""
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    l = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    n2 = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(27,4)"
+    )
+    zero = F.lit(0).cast("decimal(27,4)")
+    flat = (
+        l.join(F.broadcast(p), F.col("p_partkey") == l.l_partkey)
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, o.o_orderkey == F.col("l_orderkey"))
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        flat.groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share"),
+            F.sum("volume").cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "analytics_promo_revenue",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))
+                         ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE) * 100.0
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))) AS DOUBLE)
+             AS promo_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def analytics_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo share of one month's revenue — the
+    conditional-aggregation ratio (CASE inside SUM) over a fact-dim
+    join, a single global aggregate with no grouping key."""
+    l = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = tbl(spark, sf_dir, "part")
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(27,4)"
+    )
+    zero = F.lit(0).cast("decimal(27,4)")
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+        (
+            F.sum(F.when(F.col("p_type") == "PROMO", volume).otherwise(zero)).cast(
+                "double"
+            )
+            * F.lit(100.0)
+            / F.sum(volume).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "analytics_top_nations_by_balance",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS total_bal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    HAVING SUM(CAST(s.s_acctbal AS DECIMAL(27,2))) > (
+      SELECT SUM(CAST(s2.s_acctbal AS DECIMAL(27,2))) * CAST(0.04 AS DECIMAL(3,2))
+      FROM supplier s2)
+    ORDER BY total_bal DESC, nation
+    """,
+)
+def analytics_top_nations_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups whose aggregate exceeds a fraction of the
+    GLOBAL aggregate — a HAVING against an uncorrelated scalar subquery.
+    The global total is a one-row aggregate broadcast into the
+    post-aggregation filter; the comparison happens entirely in DECIMAL
+    (including the 0.04 fraction as an exact decimal literal), so the
+    threshold can't wobble in the last float bits."""
+    import decimal
+
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    bal = F.col("s_acctbal").cast("decimal(27,2)")
+    glob = s.agg(
+        (F.sum(bal) * F.lit(decimal.Decimal("0.04"))).alias("threshold")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(bal).alias("dec_bal"))
+        .join(F.broadcast(glob))
+        .filter(F.col("dec_bal") > F.col("threshold"))
+        .select("nation", F.col("dec_bal").cast("double").alias("total_bal"))
+        .orderBy(F.desc("total_bal"), F.asc("nation"))
+    )

@@ -386,3 +386,12 @@ def test_aqe_coalesces_overprovisioned_shuffle(spark, sf_dir):
     plan = _plan(df)
     assert "AQEShuffleRead" in plan, plan
     assert "coalesced" in plan, plan
+
+
+def test_nation_volume_or_residual_stays_hash_joined(spark, sf_dir):
+    """Q7 shape: the OR predicate spans TWO different dimension joins,
+    so it cannot push into either scan — it must survive as a residual
+    filter above hash joins, never demote the plan to a nested loop."""
+    plan = _plan(QUERIES["analytics_nation_volume_shipping"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
