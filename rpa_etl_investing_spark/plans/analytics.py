@@ -692,3 +692,105 @@ def analytics_top_nations_by_balance(spark: SparkSession, sf_dir: str) -> DataFr
         .select("nation", F.col("dec_bal").cast("double").alias("total_bal"))
         .orderBy(F.desc("total_bal"), F.asc("nation"))
     )
+
+
+@register(
+    "analytics_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, DATE_TRUNC('day', MIN(ts)) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS active_day
+      FROM events)
+    SELECT f.cohort_day,
+           CAST(DATE_DIFF('day', f.cohort_day, a.active_day) AS BIGINT)
+             AS days_since,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM first_seen f
+    JOIN activity a ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def analytics_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by the day they first
+    appeared, counted on each subsequent day they were active — the
+    canonical event-analytics rollup (day granularity because the
+    fixture's event stream spans days; the month form is the same plan).
+
+    Scale shape: first-seen is one per-user aggregate, activity is one
+    distinct over (user, day); both shuffle on user_id and the join
+    reuses that partitioning, so the whole matrix costs two hash
+    aggregates and one co-partitioned join regardless of event volume.
+    Day arithmetic is integer datediff, no interval floats."""
+    ev = tbl(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("active_day")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("active_day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("days_since"),
+        )
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_day", "days_since")
+    )
+
+
+@register(
+    "analytics_event_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS vt FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS ct FROM events e
+          JOIN v ON v.user_id = e.user_id AND e.ts > v.vt
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS pt FROM events e
+          JOIN c ON c.user_id = e.user_id AND e.ts > c.ct
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_clicked_after_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchased_after_click
+    """,
+)
+def analytics_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: first view → first click strictly
+    after it → first purchase strictly after that, counted per stage —
+    sequential event-pattern matching expressed as three chained
+    per-user aggregates (no per-row state machine).
+
+    Each stage is a groupBy(user_id) min over a semi-filtered join with
+    the previous stage's timestamps — all three reuse one user_id
+    partitioning; the final counts are one-row aggregates combined by a
+    broadcast cross join (never a driver collect)."""
+    ev = tbl(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    nv = v.agg(F.count("*").alias("n_viewed"))
+    nc = c.agg(F.count("*").alias("n_clicked_after_view"))
+    np_ = p.agg(F.count("*").alias("n_purchased_after_click"))
+    return nv.join(F.broadcast(nc)).join(F.broadcast(np_))
