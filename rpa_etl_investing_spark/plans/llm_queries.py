@@ -1035,3 +1035,55 @@ def llm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "llm_edit_distance_pairs",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SH_CTE}, {_SIG_CTE},
+    bands AS ({_BANDS_UNION}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_no = b.band_no AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id)
+    SELECT p.doc_a, p.doc_b,
+           CAST(LEVENSHTEIN(da.text, db.text) AS BIGINT) AS edit_distance,
+           1.0 - CAST(LEVENSHTEIN(da.text, db.text) AS BIGINT)
+                 / CAST(GREATEST(LENGTH(da.text), LENGTH(db.text), 1) AS BIGINT)
+             AS edit_similarity
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    """,
+)
+def llm_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of the LSH candidate pairs:
+    Levenshtein distance and its length-normalized similarity — the
+    third member of the verify family (minhash estimate → exact shingle
+    Jaccard → exact edit distance), each strictly more precise and
+    strictly more expensive per pair.
+
+    Scale shape: the O(len²) DP runs ONLY on candidate pairs the banding
+    surfaced (never all-pairs), and the text join happens after the pair
+    set is fixed, so full documents move exactly twice — once per side
+    of the candidate join. Both engines implement classic Levenshtein
+    with identical integer semantics."""
+    docs = tbl(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    dist = F.levenshtein("text_a", "text_b").cast("long")
+    denom = F.greatest(
+        F.length("text_a"), F.length("text_b"), F.lit(1)
+    ).cast("long")
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_distance"),
+            (F.lit(1.0) - dist / denom).alias("edit_similarity"),
+        )
+    )
