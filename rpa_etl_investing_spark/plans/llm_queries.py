@@ -1087,3 +1087,66 @@ def llm_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1.0) - dist / denom).alias("edit_similarity"),
         )
     )
+
+
+@register(
+    "llm_contamination_spans",
+    oracle="""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    bench AS (
+      SELECT DISTINCT t[p] || ' ' || t[p+1] || ' ' || t[p+2] AS sh
+      FROM (SELECT doc_id, t, UNNEST(RANGE(1, LEN(t) - 1)) AS p
+            FROM tok WHERE doc_id < 10 AND LEN(t) >= 3)),
+    pos AS (
+      SELECT doc_id, p - 1 AS i, t[p] || ' ' || t[p+1] || ' ' || t[p+2] AS sh
+      FROM (SELECT doc_id, t, UNNEST(RANGE(1, LEN(t) - 1)) AS p
+            FROM tok WHERE doc_id >= 10 AND LEN(t) >= 3)),
+    hit AS (SELECT doc_id, i FROM pos JOIN bench USING (sh)),
+    isl AS (
+      SELECT doc_id, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM hit)
+    SELECT doc_id,
+           CAST(MIN(i) AS BIGINT) AS span_start,
+           CAST(MAX(i) - MIN(i) + 3 AS BIGINT) AS span_tokens
+    FROM isl
+    GROUP BY doc_id, grp
+    """,
+)
+def llm_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: WHERE exactly each corpus document
+    overlaps the benchmark set — contaminated 3-gram start positions
+    merged into maximal contiguous token spans (gaps-and-islands), the
+    per-span report a surgical decontamination pass needs to excise
+    matches instead of dropping whole documents
+    (``llm_benchmark_contamination`` is the doc-level drop form).
+
+    Scale shape: benchmark shingles are DISTINCT and broadcast (a
+    benchmark is small by definition); the corpus side is a positional
+    explode probed by one broadcast semi-ish join, and the island merge
+    is a per-document window over hit positions only — hits, not tokens,
+    so the window input is tiny even at corpus scale."""
+    from pyspark.sql import Window as W
+
+    from rpa_etl_investing_spark.operators.dedup import shingles, spread
+
+    docs = tbl(spark, sf_dir, "documents")
+    bench_sh = (
+        docs.filter(F.col("doc_id") < 10)
+        .select(F.explode(shingles("text")).alias("sh"))
+        .distinct()
+    )
+    pos = spread(docs.filter(F.col("doc_id") >= 10), "doc_id").select(
+        "doc_id", F.posexplode(shingles("text")).alias("i", "sh")
+    )
+    hit = pos.join(F.broadcast(bench_sh), "sh").select("doc_id", "i")
+    w = W.partitionBy("doc_id").orderBy("i")
+    return (
+        hit.withColumn("grp", F.col("i") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").cast("long").alias("span_start"),
+            (F.max("i") - F.min("i") + F.lit(3)).cast("long").alias("span_tokens"),
+        )
+        .drop("grp")
+    )
