@@ -630,3 +630,84 @@ def curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "curation_training_samples",
+    oracle=f"""
+    WITH tokd AS (
+      SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS n_tok
+      FROM documents),
+    s AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+      FROM tokd),
+    seg AS (
+      SELECT doc_id, source,
+             end_off - n_tok AS start_off, end_off,
+             UNNEST(RANGE(CAST(FLOOR((end_off - n_tok) / {_PACK_BUDGET}.0) AS BIGINT),
+                          CAST(FLOOR((end_off - 1) / {_PACK_BUDGET}.0) AS BIGINT) + 1))
+               AS bin_id
+      FROM s WHERE n_tok >= 1)
+    SELECT source,
+           CAST(bin_id AS BIGINT) AS bin_id,
+           doc_id,
+           CAST(GREATEST(bin_id * {_PACK_BUDGET}, start_off) - start_off AS BIGINT)
+             AS seg_start,
+           CAST(LEAST((bin_id + 1) * {_PACK_BUDGET}, end_off)
+                - GREATEST(bin_id * {_PACK_BUDGET}, start_off) AS BIGINT)
+             AS seg_tokens
+    FROM seg
+    """,
+)
+def curation_training_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed-sample composition table — the final materialization a
+    pretraining data loader actually reads: for every fixed 512-token
+    training bin (``_PACK_BUDGET``), which token range of which document
+    fills it (``curation_pack_offsets`` gives each doc its bins; this
+    emits the per-(bin, doc) segments, including docs split across
+    bins).
+
+    Pure integer arithmetic over the per-source prefix sums: one window
+    per source shard, one ``sequence``/``explode`` per doc spanning its
+    bins, zero extra shuffles after the offset window — at 100 TB the
+    segment table streams straight to the sink, and a loader groups by
+    (source, bin_id) to assemble samples."""
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = (
+        docs.select("doc_id", "source", n_tok.alias("n_tok"))
+        .withColumn("end_off", F.sum("n_tok").over(w))
+        .filter(F.col("n_tok") >= 1)
+        .withColumn("start_off", F.col("end_off") - F.col("n_tok"))
+        .withColumn("first_bin", F.floor(F.col("start_off") / _PACK_BUDGET))
+        .withColumn("last_bin", F.floor((F.col("end_off") - 1) / _PACK_BUDGET))
+    )
+    seg = s.select(
+        "doc_id",
+        "source",
+        "start_off",
+        "end_off",
+        F.explode(F.sequence(F.col("first_bin"), F.col("last_bin"))).alias("bin_id"),
+    )
+    bin_lo = F.col("bin_id") * _PACK_BUDGET
+    bin_hi = (F.col("bin_id") + 1) * _PACK_BUDGET
+    seg_start = F.greatest(bin_lo, F.col("start_off")) - F.col("start_off")
+    seg_tokens = F.least(bin_hi, F.col("end_off")) - F.greatest(
+        bin_lo, F.col("start_off")
+    )
+    return seg.select(
+        "source",
+        F.col("bin_id").cast("long").alias("bin_id"),
+        "doc_id",
+        seg_start.cast("long").alias("seg_start"),
+        seg_tokens.cast("long").alias("seg_tokens"),
+    )
