@@ -522,3 +522,33 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(c, c.c_custkey == o.o_custkey, "right").select(
         "o_orderkey", "o_totalprice", "c_custkey", "c_name"
     )
+
+
+_LATERAL_SQL = """
+    SELECT s.s_suppkey, t.l_orderkey, t.l_extendedprice
+    FROM supplier s,
+    LATERAL (SELECT l_orderkey, l_extendedprice FROM lineitem l
+             WHERE l.l_suppkey = s.s_suppkey
+             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             LIMIT 2) t
+    ORDER BY s.s_suppkey, t.l_extendedprice DESC, t.l_orderkey
+"""
+
+
+@register("join_lateral_topk_per_key", oracle=_LATERAL_SQL)
+def join_lateral_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL join (J6 surface): each supplier's two most expensive
+    line items via a correlated subquery with ORDER BY + LIMIT — the SQL
+    form of per-key top-k, submitted through the SQL front-end because
+    LATERAL is syntax the DataFrame API has no direct spelling for.
+
+    Catalyst decorrelates the lateral into a window/top-k over the
+    joined relation rather than executing the subquery per outer row —
+    the same plan family as ``window_topk_per_group``, reached from the
+    other entry point. Ordering carries the full tie-break chain; rows
+    that still tie are byte-identical in every projected column, so the
+    LIMIT cut is multiset-stable across engines."""
+    from rpa_etl_investing_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["supplier", "lineitem"])
+    return spark.sql(_LATERAL_SQL)
