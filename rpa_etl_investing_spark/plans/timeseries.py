@@ -114,3 +114,57 @@ def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["orders"])
     return spark.sql(_MONTH_SPINE_SQL)
+
+
+@register(
+    "timeseries_ohlc_resample",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, DATE_TRUNC('hour', ts) AS bucket, ts, event_id, value
+      FROM events WHERE event_type = 'purchase'),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM b)
+    SELECT user_id, bucket,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS volume
+    FROM ranked
+    GROUP BY user_id, bucket
+    """,
+)
+def timeseries_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling — the investing-domain downsample: per user and
+    hour bucket, the opening (earliest) and closing (latest) purchase
+    value, the high/low, the trade count, and the decimal-exact volume.
+
+    Open/close use the struct-min/max trick — ``min(struct(ts,
+    event_id, value))`` picks the lexicographically-first event with
+    event_id as the total-order tie-break, so first/last are
+    deterministic without a window pass: the whole resample is ONE hash
+    aggregate (partial+final, map-side combinable), which is the shape
+    that survives a 100 TB tick stream; the oracle spells the same
+    first/last via ROW_NUMBER."""
+    ev = tbl(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    b = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    return b.groupBy("user_id", "bucket").agg(
+        F.min(F.struct("ts", "event_id", "value")).getField("value").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.struct("ts", "event_id", "value")).getField("value").alias("close"),
+        F.count("*").alias("n_trades"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("volume"),
+    )
