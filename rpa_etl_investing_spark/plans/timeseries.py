@@ -148,10 +148,13 @@ def timeseries_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Open/close use the struct-min/max trick — ``min(struct(ts,
     event_id, value))`` picks the lexicographically-first event with
     event_id as the total-order tie-break, so first/last are
-    deterministic without a window pass: the whole resample is ONE hash
-    aggregate (partial+final, map-side combinable), which is the shape
-    that survives a 100 TB tick stream; the oracle spells the same
-    first/last via ROW_NUMBER."""
+    deterministic without a window pass: the whole resample is ONE
+    aggregate with a single (user, bucket) exchange. Struct-typed
+    min/max buffers make Spark plan it as a partial+final
+    SortAggregate rather than a HashAggregate — still map-side
+    combinable, so the shuffle carries one row per (user, bucket) per
+    mapper, which is the shape that survives a 100 TB tick stream; the
+    oracle spells the same first/last via ROW_NUMBER."""
     ev = tbl(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     b = ev.select(
         "user_id",

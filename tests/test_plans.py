@@ -395,3 +395,24 @@ def test_nation_volume_or_residual_stays_hash_joined(spark, sf_dir):
     plan = _plan(QUERIES["analytics_nation_volume_shipping"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_ohlc_resample_is_one_pass_no_window(spark, sf_dir):
+    """OHLC first/last via struct-min/max must stay a single
+    partial+final aggregate with ONE key exchange — no window pass,
+    whose per-bucket sort would be a second shuffle of the tick
+    stream."""
+    plan = _plan(QUERIES["timeseries_ohlc_resample"].fn(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_min" in plan, plan
+    assert plan.index("partial_min") > plan.index("Exchange hashpartitioning"), plan
+
+
+def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
+    """The LATERAL ORDER BY + LIMIT subquery must decorrelate into one
+    window/top-k over the joined relation — a per-outer-row subquery
+    execution would show as a nested loop over lineitem."""
+    plan = _plan(QUERIES["join_lateral_topk_per_key"].fn(spark, sf_dir))
+    assert "Window" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
