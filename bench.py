@@ -74,21 +74,26 @@ def main() -> int:
         except Exception:
             pass  # warm-up failures surface in the timed pass
 
-    # min of 3 reps: first executions still pay per-plan codegen + JIT,
-    # and the host steals CPU in multi-second bursts (measured: identical
-    # code varies ±30% run-to-run); the min over 3 is the engine's actual
-    # cost and keeps round-over-round ratios comparable
+    # 3 reps per query: first executions still pay per-plan codegen +
+    # JIT, and the host steals CPU in multi-second bursts (measured:
+    # identical code varies ±30% run-to-run). The HEADLINE metric is the
+    # median — min systematically reports the optimistic tail and can
+    # hide a real regression behind one lucky run (r3 verdict item #3);
+    # min is kept as a secondary column so the noise floor stays visible.
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     for bench_name, reg_name in HEADLINE.items():
-        timings[bench_name] = round(
-            min(_run(spark, QUERIES[reg_name].fn, sf_dir) for _ in range(3)), 3
-        )
+        reps = sorted(_run(spark, QUERIES[reg_name].fn, sf_dir) for _ in range(3))
+        timings[bench_name] = round(reps[1], 3)
+        timings_min[bench_name] = round(reps[0], 3)
 
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "min_total": round(sum(timings_min.values()), 3),
         "sf": sf,
     }
     print(json.dumps(out))

@@ -153,6 +153,12 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
 
     from rpa_etl_investing_spark.catalog import normalize_events_ts
 
+    # The schema probe must tolerate BOTH fixture layouts (catalog.tbl
+    # docstring): under the legacy TIMESTAMP(NANOS) layout a bare session
+    # throws "Illegal Parquet type" unless nanosAsLong is set first —
+    # this is a raw read, so it can't rely on tbl() having run earlier
+    # in the same session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = normalize_events_ts(
         spark.readStream.schema(raw_schema).parquet(stream_dir)
