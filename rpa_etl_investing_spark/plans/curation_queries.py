@@ -21,6 +21,12 @@ from rpa_etl_investing_spark.operators.dedup import (
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
 )
+from rpa_etl_investing_spark.operators.prefix import (
+    SHARD,
+    sharded_row_number,
+    sharded_running_sum,
+    with_id_range_shard,
+)
 from rpa_etl_investing_spark.operators.sampling import (
     deterministic_split,
     frac_to_hex,
@@ -31,7 +37,7 @@ from rpa_etl_investing_spark.operators.similarity import (
     hyperplane_bucket_sql,
 )
 from rpa_etl_investing_spark.plans.llm_queries import (
-    _BANDS_UNION,
+    _BANDS_CTES,
     _cos_sql,
     _SH_CTE,
     _SIG_CTE,
@@ -302,7 +308,7 @@ _CLOSURE = """
     {_CLOSURE.format(p="ng", pairs="ng_pairs").strip()},
     -- family 3: MinHash band-bucket pairs at est_jaccard >= 0.5
     {_SIG_CTE},
-    bands AS ({_BANDS_UNION}),
+    {_BANDS_CTES},
     mh_cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -454,22 +460,21 @@ def curation_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (source, doc_id) order and record each doc's token
     offset and the fixed-size training bins it lands in — how a
     pretraining pipeline turns a corpus into equal-length samples.
-    One windowed prefix-sum per source partition; packing within the
-    shard (source) rather than globally is what keeps the prefix sum
-    parallel at 100 TB — a global pack would serialize on one
-    partition."""
-    from pyspark.sql import Window
 
+    The prefix sum is TWO-LEVEL (operators/prefix.py): running sums per
+    (source, doc_id-range shard) + broadcast cumulative shard offsets —
+    bit-identical to a per-source window, but parallelism scales with
+    the shard count, not the source count. A handful of sources at
+    100 TB would otherwise serialize each source's entire corpus into
+    one sorted task (r3 verdict item #1)."""
     docs = tbl(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " ")).cast("bigint")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = with_id_range_shard(
+        docs.select("doc_id", "source", n_tok.alias("n_tok")), "doc_id"
     )
-    with_off = docs.select(
-        "doc_id", "source", n_tok.alias("n_tok")
-    ).withColumn("end_off", F.sum("n_tok").over(w))
+    with_off = sharded_running_sum(
+        base, ["source"], [F.col("doc_id")], "n_tok", "end_off"
+    ).drop(SHARD)
     return with_off.select(
         "doc_id",
         "source",
@@ -519,6 +524,32 @@ def _stop_in() -> str:
 
 _TOKEN_BUDGET = 2000
 
+_N_QSHARDS = 16
+
+
+def _with_quality_shard(df: DataFrame) -> DataFrame:
+    """Monotone shard for the (quality DESC, doc_id ASC) sort order —
+    the contract ``sharded_running_sum`` needs (operators/prefix.py).
+
+    ``quality_score`` emits three disjoint regimes (operators/text.py):
+    a continuum in [0.5, 1.0] and two exact atoms, 0.25 (stopword-heavy)
+    and 0.0 (too short). Equal-width bands over the continuum alone
+    would dump each atom — exactly where a real corpus's mass piles up
+    (short/boilerplate docs) — into a single shard, recreating the
+    serialized-window problem for that shard. So the atoms get their own
+    doc_id-range sub-shards (doc_id is the tie-break within equal
+    quality, so sub-sharding by id stays monotone): continuum → bands
+    0..16, the 0.25 atom → 100+idband, the 0.0 atom → 200+idband.
+    """
+    df = with_id_range_shard(df, "doc_id", n_shards=_N_QSHARDS, out="_idb")
+    cont = F.floor((F.lit(1.0) - F.col("quality")) * _N_QSHARDS).cast("int")
+    shard = (
+        F.when(F.col("quality") == 0.0, F.lit(200) + F.col("_idb"))
+        .when(F.col("quality") == 0.25, F.lit(100) + F.col("_idb"))
+        .otherwise(cont)
+    )
+    return df.withColumn(SHARD, shard.cast("int")).drop("_idb")
+
 
 @register(
     "curation_token_budget",
@@ -548,26 +579,20 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budgeted selection: per source, keep the highest-quality
     documents (doc_id tie-break) until a fixed token budget fills — the
     "best N tokens per source" step that turns quality scores into an
-    actual training mixture. One windowed prefix sum per source
-    partition (parallel across sources, the same shard-local pattern as
-    curation_pack_offsets), then a grouped audit; no global sort."""
-    from pyspark.sql import Window
-
+    actual training mixture. The running token sum is the two-level
+    sharded form (``_with_quality_shard`` + ``sharded_running_sum``):
+    quality-band shards with atom sub-sharding keep the prefix sum
+    parallel within every source, so source cardinality never bounds
+    task count; a grouped audit follows, no per-source global sort."""
     from rpa_etl_investing_spark.operators.text import quality_score
 
     docs = tbl(spark, sf_dir, "documents")
     q = quality_score(docs).select(
         "doc_id", F.col("n_tokens").alias("n_tok"), "quality"
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.desc("quality"), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = (
-        docs.select("doc_id", "source")
-        .join(q, "doc_id")
-        .withColumn("cum_tok", F.sum("n_tok").over(w))
+    base = _with_quality_shard(docs.select("doc_id", "source").join(q, "doc_id"))
+    ranked = sharded_running_sum(
+        base, ["source"], [F.desc("quality"), F.col("doc_id")], "n_tok", "cum_tok"
     )
     return (
         ranked.filter(F.col("cum_tok") <= _TOKEN_BUDGET)
@@ -603,24 +628,32 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-based quality filtering: keep each language's top half by
-    composite quality score (percent_rank with a doc_id tie-break, so
-    the cut is deterministic — no threshold-boundary float compare).
-    The real-pipeline form of "filter to the best X% per language"; one
-    window pass per lang partition, then a grouped audit count."""
-    from pyspark.sql import Window
+    composite quality score (doc_id tie-break, so the cut is
+    deterministic — no threshold-boundary float compare). The
+    real-pipeline form of "filter to the best X% per language".
 
+    TWO-PASS, no per-lang global sort (r3 verdict item #3): pass 1 is a
+    broadcast-sized per-lang count; pass 2 computes each row's exact
+    rank as a sharded row_number (``_with_quality_shard`` +
+    ``sharded_row_number`` — parallel within every lang) and keeps
+    ``rank ≤ floor(0.5·(n−1)) + 1``. With the total-order tie-break,
+    rank is row_number and ``percent_rank = (rank−1)/(n−1)``, so that
+    integer cutoff is EXACTLY the oracle's ``pr <= 0.5`` — the float
+    boundary (n odd → (k−1)/(n−1) = 0.5) is representable, and any
+    off-boundary ratio differs from 0.5 by ≥ 1/(2(n−1)), far above
+    double rounding error."""
     from rpa_etl_investing_spark.operators.text import quality_score
 
     docs = tbl(spark, sf_dir, "documents")
     q = quality_score(docs).select("doc_id", "quality")
-    w = Window.partitionBy("lang").orderBy(F.desc("quality"), "doc_id")
-    ranked = (
-        docs.select("doc_id", "lang")
-        .join(q, "doc_id")
-        .withColumn("pr", F.percent_rank().over(w))
+    base = _with_quality_shard(docs.select("doc_id", "lang").join(q, "doc_id"))
+    ranked = sharded_row_number(
+        base, ["lang"], [F.desc("quality"), F.col("doc_id")], "rn"
     )
+    counts = base.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
     return (
-        ranked.filter(F.col("pr") <= 0.5)
+        ranked.join(F.broadcast(counts), "lang")
+        .filter(F.col("rn") <= F.floor(F.lit(0.5) * (F.col("_n") - 1)) + 1)
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_kept"),
@@ -669,23 +702,20 @@ def curation_training_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits the per-(bin, doc) segments, including docs split across
     bins).
 
-    Pure integer arithmetic over the per-source prefix sums: one window
-    per source shard, one ``sequence``/``explode`` per doc spanning its
-    bins, zero extra shuffles after the offset window — at 100 TB the
+    Pure integer arithmetic over two-level sharded prefix sums
+    (operators/prefix.py — parallelism bounded by shard count, not
+    source count): one ``sequence``/``explode`` per doc spanning its
+    bins, zero extra shuffles after the offset stage — at 100 TB the
     segment table streams straight to the sink, and a loader groups by
     (source, bin_id) to assemble samples."""
-    from pyspark.sql import Window
-
     docs = tbl(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " ")).cast("bigint")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = with_id_range_shard(
+        docs.select("doc_id", "source", n_tok.alias("n_tok")), "doc_id"
     )
     s = (
-        docs.select("doc_id", "source", n_tok.alias("n_tok"))
-        .withColumn("end_off", F.sum("n_tok").over(w))
+        sharded_running_sum(base, ["source"], [F.col("doc_id")], "n_tok", "end_off")
+        .drop(SHARD)
         .filter(F.col("n_tok") >= 1)
         .withColumn("start_off", F.col("end_off") - F.col("n_tok"))
         .withColumn("first_bin", F.floor(F.col("start_off") / _PACK_BUDGET))

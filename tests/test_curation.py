@@ -116,3 +116,115 @@ def test_large_small_star_equals_iterative(spark, seed):
     }
     assert got_star == expect
     assert got_iter == expect
+
+
+# ---- two-level (sharded) prefix sums (operators/prefix.py) ----------------
+
+
+def _single_window_end_off(docs):
+    """Reference: the naive one-window-per-source running sum."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("doc_id", "source", n_tok.alias("n_tok"))
+        .withColumn("end_off", F.sum("n_tok").over(w))
+        .select("doc_id", "end_off")
+    )
+
+
+@pytest.mark.parametrize("n_shards", [1, 3, 32])
+def test_sharded_running_sum_matches_single_window(spark, sf_dir, n_shards):
+    """Bit-equality of the two-level prefix sum with the naive window at
+    several shard counts — including n_shards=1 (degenerate single
+    shard) and more shards than rows per source."""
+    from rpa_etl_investing_spark.operators.prefix import (
+        SHARD,
+        sharded_running_sum,
+        with_id_range_shard,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    base = with_id_range_shard(
+        docs.select("doc_id", "source", n_tok.alias("n_tok")), "doc_id", n_shards
+    )
+    got = {
+        r["doc_id"]: r["end_off"]
+        for r in sharded_running_sum(
+            base, ["source"], [F.col("doc_id")], "n_tok", "end_off"
+        )
+        .drop(SHARD)
+        .collect()
+    }
+    expect = {r["doc_id"]: r["end_off"] for r in _single_window_end_off(docs).collect()}
+    assert got == expect
+
+
+def test_id_range_shard_bounds_and_monotone(spark, sf_dir):
+    """Shards land in [0, n), are monotone in the id, and split the id
+    space into more than one group (parallelism actually exists)."""
+    from rpa_etl_investing_spark.operators.prefix import SHARD, with_id_range_shard
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    rows = with_id_range_shard(docs, "doc_id", 8).orderBy("doc_id").collect()
+    shards = [r[SHARD] for r in rows]
+    assert all(0 <= s < 8 for s in shards)
+    assert shards == sorted(shards)  # monotone in doc_id
+    assert len(set(shards)) > 1
+
+
+def test_quality_shard_is_monotone_in_sort_order(spark, sf_dir):
+    """The atom-aware quality shard must be non-decreasing along the
+    (quality DESC, doc_id ASC) order — the contract the sharded running
+    sum depends on — and must sub-shard the 0.0/0.25 atoms by id."""
+    from rpa_etl_investing_spark.operators.prefix import SHARD
+    from rpa_etl_investing_spark.operators.text import quality_score
+    from rpa_etl_investing_spark.plans.curation_queries import _with_quality_shard
+
+    docs = tbl(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality")
+    rows = (
+        _with_quality_shard(docs.select("doc_id", "source").join(q, "doc_id"))
+        .orderBy(F.desc("quality"), "doc_id")
+        .select("quality", SHARD)
+        .collect()
+    )
+    shards = [r[SHARD] for r in rows]
+    assert shards == sorted(shards), "shard not monotone along sort order"
+    atoms = {r[SHARD] for r in rows if r["quality"] in (0.0, 0.25)}
+    if len([r for r in rows if r["quality"] in (0.0, 0.25)]) > 200:
+        assert len(atoms) > 1, "quality atoms not sub-sharded"
+
+
+def test_quality_filter_two_pass_equals_percent_rank(spark, sf_dir):
+    """The integer-rank cutoff (rank <= floor(0.5*(n-1)) + 1) keeps
+    exactly the rows percent_rank <= 0.5 keeps."""
+    from pyspark.sql import Window
+
+    from rpa_etl_investing_spark.operators.text import quality_score
+    from rpa_etl_investing_spark.plans import QUERIES
+
+    docs = tbl(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality")
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), "doc_id")
+    expect = {
+        (r["lang"], r["n_kept"])
+        for r in docs.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.5)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+        .collect()
+    }
+    got = {
+        (r["lang"], r["n_kept"])
+        for r in QUERIES["curation_quality_filter"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
