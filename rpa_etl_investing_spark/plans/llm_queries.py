@@ -29,9 +29,11 @@ from rpa_etl_investing_spark.operators import (
     token_stats,
 )
 from rpa_etl_investing_spark.operators.dedup import (
+    MAX_BAND_BUCKET,
     MINHASH_PRIME,
     N_BANDS,
     N_MINHASH,
+    minhash_bucket_audit,
     minhash_mix_params,
 )
 from rpa_etl_investing_spark.operators.similarity import hyperplane_bucket_sql
@@ -83,6 +85,14 @@ _BANDS_UNION = " UNION ALL ".join(
     for b in range(N_BANDS)
 )
 
+# Oracle mirror of operators/dedup.py's band-bucket cap (MAX_BAND_BUCKET):
+# buckets above the cap are dropped before the band self-join — same
+# HAVING shape as the n-gram max_df stop-shingle guard.
+_BANDS_CTES = f"""bands_all AS ({_BANDS_UNION}),
+    bkeep AS (SELECT band_no, band_key FROM bands_all
+              GROUP BY band_no, band_key HAVING COUNT(*) <= {MAX_BAND_BUCKET}),
+    bands AS (SELECT bands_all.* FROM bands_all JOIN bkeep USING (band_no, band_key))"""
+
 # ---- L1: exact dedup -------------------------------------------------------
 
 
@@ -123,7 +133,7 @@ def llm_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_minhash_pairs",
     oracle=f"""
     WITH {_TOK_CTE}, {_SH_CTE}, {_SIG_CTE},
-    bands AS ({_BANDS_UNION}),
+    {_BANDS_CTES},
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -140,6 +150,34 @@ def llm_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: LSH band-bucket candidate pairs + estimated Jaccard."""
     return minhash_candidate_pairs(tbl(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_minhash_bucket_audit",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SH_CTE}, {_SIG_CTE},
+    bands_all AS ({_BANDS_UNION}),
+    sizes AS (
+      SELECT band_no, band_key, COUNT(*) AS bucket_size
+      FROM bands_all GROUP BY band_no, band_key)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN bucket_size > {MAX_BAND_BUCKET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_capped_buckets,
+           CAST(SUM(CASE WHEN bucket_size > {MAX_BAND_BUCKET}
+                         THEN bucket_size * (bucket_size - 1) / 2 ELSE 0 END)
+                AS BIGINT) AS n_dropped_bucket_pairs,
+           CAST(MAX(bucket_size) AS BIGINT) AS max_bucket_size
+    FROM sizes
+    """,
+)
+def llm_minhash_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy audit for the band-bucket cap (r3 verdict item #2): how
+    many LSH buckets exist, how many the cap would drop, the candidate
+    pairs those drops remove, and the hottest bucket — the metric row a
+    100 TB dedup run ships next to its pair counts so a capped bucket is
+    visible, not silent. Inert at fixture scale (n_capped_buckets = 0),
+    which the oracle verifies too."""
+    return minhash_bucket_audit(tbl(spark, sf_dir, "documents"))
 
 
 @register(
@@ -771,7 +809,7 @@ def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_minhash_verified_pairs",
     oracle=f"""
     WITH {_TOK_CTE}, {_SH_CTE}, {_SIG_CTE},
-    bands AS ({_BANDS_UNION}),
+    {_BANDS_CTES},
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -860,7 +898,7 @@ _SHARED_GE_8 = (
     "llm_incremental_dedup",
     oracle=f"""
     WITH {_TOK_CTE}, {_SH_CTE}, {_SIG_CTE},
-    bands AS ({_BANDS_UNION}),
+    {_BANDS_CTES},
     newd AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 3 = 0),
     corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
     exact_dup AS (
@@ -1041,7 +1079,7 @@ def llm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_edit_distance_pairs",
     oracle=f"""
     WITH {_TOK_CTE}, {_SH_CTE}, {_SIG_CTE},
-    bands AS ({_BANDS_UNION}),
+    {_BANDS_CTES},
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b

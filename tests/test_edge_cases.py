@@ -46,3 +46,40 @@ def test_ivf_with_fewer_vectors_than_centroids(spark):
     ).collect()
     assert {r.neighbor_id for r in out}.issubset({1, 2})
     assert all(r.query_id == 0 for r in out)
+
+
+def test_minhash_band_bucket_cap_drops_hot_bucket(spark):
+    """r3 verdict item #2: a synthetic hot bucket (40 identical docs →
+    same signature → same 4 band buckets) must be dropped by the cap so
+    the self-join never sees its B² pairs; the audit reports the drop,
+    and distinct docs below the cap still pair up."""
+    from pyspark.sql import functions as F
+
+    from rpa_etl_investing_spark.operators.dedup import (
+        minhash_bucket_audit,
+        minhash_candidate_pairs,
+    )
+
+    clone = "alpha beta gamma delta epsilon zeta"
+    # a second, below-cap clone pair: identical text → identical bands
+    # deterministically (a near-dup pair would share a band only
+    # probabilistically at 16 hashes)
+    other = "one two three four five six seven"
+    rows = [(i, clone) for i in range(40)] + [(100, other), (101, other)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = minhash_candidate_pairs(docs, max_bucket=10)
+    pair_ids = {
+        (r["doc_a"], r["doc_b"]) for r in capped.select("doc_a", "doc_b").collect()
+    }
+    assert all(a >= 100 for a, _ in pair_ids), pair_ids  # no clone pairs
+    assert (100, 101) in pair_ids  # below-cap bucket still joins
+
+    uncapped = minhash_candidate_pairs(docs, max_bucket=None)
+    n_clone_pairs = uncapped.filter(F.col("doc_b") < 100).count()
+    assert n_clone_pairs == 40 * 39 // 2  # what the cap prevented
+
+    audit = minhash_bucket_audit(docs, max_bucket=10).collect()[0]
+    assert audit["n_capped_buckets"] == 4  # one hot bucket per band
+    assert audit["max_bucket_size"] == 40
+    assert audit["n_dropped_bucket_pairs"] == 4 * (40 * 39 // 2)
