@@ -327,7 +327,15 @@ def ivf_topk(
     query — the SAME cell-id equi-join plan with n× the probe rows; a
     (query, neighbor) pair can't duplicate because each corpus vector
     lives in exactly one cell. The registered query runs lloyd_iters=1,
-    nprobe=2 (r2 verdict item #3) with the oracle mirroring both."""
+    nprobe=2 (r2 verdict item #3) with the oracle mirroring both.
+
+    For ``queries_in_corpus`` the query-side probe is FOLDED into the
+    final corpus assignment (r3 verdict item #5): one ranked-argmax pass
+    at ``nprobe`` probes yields both relations — corpus cells are its
+    ``probe_rank = 1`` rows (the nprobe=1 storage assignment is a strict
+    prefix of the nprobe=n ranking), query cells its semi-joined
+    ``probe_rank ≤ nprobe`` rows — instead of a separate assignment pass
+    over the query subset."""
     centroids = corpus.filter(F.col(id_col) < n_centroids)
     # one corpus scan+shuffle+norm pass shared by every assignment
     # (1 + lloyd_iters of them) — the classic cache-the-working-set
@@ -339,24 +347,23 @@ def ivf_topk(
     prep = prep_vectors(corpus, id_col, vec_col)
     if lloyd_iters:
         prep = prep.persist()
-    corpus_cells = ivf_assign_cells(
-        prep, centroids, id_col, vec_col, prepared=True
-    )
     for _ in range(lloyd_iters):
-        centroids = lloyd_refine_centroids(corpus_cells, id_col, vec_col)
+        seed_cells = ivf_assign_cells(
+            prep, centroids, id_col, vec_col, prepared=True
+        )
+        centroids = lloyd_refine_centroids(seed_cells, id_col, vec_col)
+    if queries_in_corpus:
+        qkeys = queries.select(id_col).distinct()
+        # one final pass at nprobe probes serves BOTH sides
+        assigned = ivf_assign_cells(
+            prep, centroids, id_col, vec_col, nprobe, prepared=True
+        )
+        corpus_cells = assigned.filter(F.col("probe_rank") == 1).drop("probe_rank")
+        query_cells = assigned.join(F.broadcast(qkeys), id_col, "left_semi")
+    else:
         corpus_cells = ivf_assign_cells(
             prep, centroids, id_col, vec_col, prepared=True
         )
-    if queries_in_corpus:
-        qkeys = queries.select(id_col).distinct()
-        if nprobe == 1:
-            query_cells = corpus_cells.join(F.broadcast(qkeys), id_col, "left_semi")
-        else:
-            qprep = prep.join(F.broadcast(qkeys), id_col, "left_semi")
-            query_cells = ivf_assign_cells(
-                qprep, centroids, id_col, vec_col, nprobe, prepared=True
-            )
-    else:
         query_cells = ivf_assign_cells(queries, centroids, id_col, vec_col, nprobe)
     q = query_cells.select(
         F.col(id_col).alias("query_id"),
