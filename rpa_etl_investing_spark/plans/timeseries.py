@@ -24,6 +24,61 @@ from rpa_etl_investing_spark.plans.aggregates import dsum
 from rpa_etl_investing_spark.plans.registry import register
 
 
+def gap_fill_locf(
+    ev: DataFrame, start: str | None = None, end: str | None = None
+) -> DataFrame:
+    """Dense daily series per entity with last-observation-carried-forward:
+    build the full (user × day) spine executor-side, left-join the
+    day's total, and fill holes with a running ``last(ignorenulls)``
+    frame. Days before a user's first event stay NULL (nothing to
+    carry).
+
+    Spine bounds: pass ``start``/``end`` literals for a pinned window
+    (the oracle-checked registered query does — the fixture window is
+    fixed across scale factors); omit them to derive the bounds from the
+    data — the min/max event day rides in as a 1-row broadcast scalar
+    (crossJoin of an aggregate, no driver collect), the same scalar
+    plumbing as the dim upsert's max-id (r3 verdict item #6)."""
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(dsum("value", 4).alias("v"))
+    users = ev.select("user_id").distinct()
+    if start is None or end is None:
+        bounds = ev.agg(
+            F.date_trunc("day", F.min("ts")).alias("_day_lo"),
+            F.date_trunc("day", F.max("ts")).alias("_day_hi"),
+        )
+        spine = users.crossJoin(F.broadcast(bounds)).select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("_day_lo"), F.col("_day_hi"), F.expr("INTERVAL 1 DAY")
+                )
+            ).alias("day"),
+        )
+    else:
+        spine = users.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit(start).cast("timestamp"),
+                    F.lit(end).cast("timestamp"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day"),
+        )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
+
+
 @register(
     "timeseries_gap_fill_locf",
     oracle="""
@@ -50,40 +105,11 @@ from rpa_etl_investing_spark.plans.registry import register
     """,
 )
 def timeseries_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense daily series per user with last-observation-carried-forward:
-    build the full (user × day) spine executor-side, left-join the
-    day's total, and fill holes with a running ``last(ignorenulls)``
-    frame. Days before a user's first event stay NULL (nothing to
-    carry). The fixture window (2024-01-01..30) is fixed across scale
-    factors, so the spine bounds are literals."""
-    ev = tbl(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "user_id", F.date_trunc("day", "ts").alias("day")
-    ).agg(dsum("value", 4).alias("v"))
-    spine = (
-        ev.select("user_id")
-        .distinct()
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence(
-                    F.lit("2024-01-01").cast("timestamp"),
-                    F.lit("2024-01-30").cast("timestamp"),
-                    F.expr("INTERVAL 1 DAY"),
-                )
-            ).alias("day"),
-        )
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return spine.join(daily, ["user_id", "day"], "left").select(
-        "user_id",
-        "day",
-        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
-    )
+    """Registered (pinned-bounds) form of :func:`gap_fill_locf` — the
+    fixture window 2024-01-01..30 is fixed across scale factors, so the
+    spine bounds are literals and the oracle is deterministic. The
+    data-derived-bounds path is exercised by tests."""
+    return gap_fill_locf(tbl(spark, sf_dir, "events"), "2024-01-01", "2024-01-30")
 
 
 _MONTH_SPINE_SQL = """

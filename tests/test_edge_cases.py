@@ -83,3 +83,23 @@ def test_minhash_band_bucket_cap_drops_hot_bucket(spark):
     assert audit["n_capped_buckets"] == 4  # one hot bucket per band
     assert audit["max_bucket_size"] == 40
     assert audit["n_dropped_bucket_pairs"] == 4 * (40 * 39 // 2)
+
+
+def test_gap_fill_derived_bounds_equal_literal_bounds(spark, sf_dir):
+    """r3 verdict item #6: omitting the spine bounds derives them from
+    the data (broadcast min/max day scalar) and must reproduce the
+    literal-bounds form exactly when the literals are the true extent."""
+    from rpa_etl_investing_spark.catalog import tbl
+    from rpa_etl_investing_spark.plans.timeseries import gap_fill_locf
+
+    ev = tbl(spark, sf_dir, "events")
+    from pyspark.sql import functions as F
+
+    lo, hi = ev.agg(
+        F.date_trunc("day", F.min("ts")), F.date_trunc("day", F.max("ts"))
+    ).collect()[0]
+    derived = {tuple(r) for r in gap_fill_locf(ev).collect()}
+    literal = {tuple(r) for r in gap_fill_locf(ev, str(lo), str(hi)).collect()}
+    assert derived == literal
+    days = {r[1] for r in derived}
+    assert min(days) == lo and max(days) == hi
