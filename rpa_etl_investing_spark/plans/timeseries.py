@@ -180,9 +180,18 @@ def timeseries_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SortAggregate rather than a HashAggregate — still map-side
     combinable, so the shuffle carries one row per (user, bucket) per
     mapper, which is the shape that survives a 100 TB tick stream; the
-    oracle spells the same first/last via ROW_NUMBER."""
-    ev = tbl(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
-    b = ev.select(
+    oracle spells the same first/last via ROW_NUMBER. The same
+    commutative-aggregate shape runs unchanged under readStream
+    (tests/test_streaming.py), where the struct min/max IS the
+    incremental state merge."""
+    return ohlc_resample(tbl(spark, sf_dir, "events"))
+
+
+def ohlc_resample(ev: DataFrame) -> DataFrame:
+    """Batch ≡ stream OHLC: one struct-min/max aggregate per (user,
+    hour), usable directly on a streaming DataFrame (complete/update
+    mode) because every aggregate is commutative-mergeable state."""
+    b = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.date_trunc("hour", F.col("ts")).alias("bucket"),
         "ts",

@@ -70,3 +70,35 @@ def test_jdbc_partitioned_read_fans_out(spark, sf_dir):
     )
     assert back.rdd.getNumPartitions() == 4  # range-bounded parallel scan
     assert back.count() == orders.count()
+
+
+def test_jdbc_live_postgres_roundtrip(spark, sf_dir):
+    """Optional live-Postgres parity run (r3 verdict stretch #9): set
+    SPARK_GRAFT_PG_URL (e.g. jdbc:postgresql://localhost:5432/test
+    ?user=...&password=...) to exercise the real dialect — TEXT vs CLOB,
+    reWriteBatchedInserts, lower-case identifier folding. Skipped when no
+    server/driver is reachable (this sandbox has neither); the shared
+    JDBC behavior stays pinned by the Derby tests above."""
+    import os
+
+    import pytest
+
+    from rpa_etl_investing_spark.sources.jdbc import POSTGRES_DRIVER
+
+    url = os.environ.get("SPARK_GRAFT_PG_URL")
+    if not url:
+        pytest.skip("SPARK_GRAFT_PG_URL not set; no live Postgres to test")
+    try:
+        spark._jvm.java.lang.Class.forName(POSTGRES_DRIVER)
+    except Exception:
+        pytest.skip("Postgres JDBC driver not on the Spark classpath")
+
+    nation = tbl(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_jdbc(nation, url, "parity_nation_pg", POSTGRES_DRIVER)
+    back = read_jdbc(spark, url, "parity_nation_pg", POSTGRES_DRIVER)
+    back = back.toDF(*[c.lower() for c in back.columns])
+    assert back.count() == nation.count()
+    assert back.exceptAll(nation).count() == 0
+    assert nation.exceptAll(back).count() == 0

@@ -52,6 +52,11 @@ MULTI_SF_NAMES = [
     "multimodal_decode_meta",
     "multimodal_audio_meta",
     "llm_benchmark_contamination",
+    # r3 verdict item #7 widening: decimal-accumulated OHLC volume +
+    # double open/close picks, and the new occupancy audit (its
+    # pair-count arithmetic runs through a double division)
+    "timeseries_ohlc_resample",
+    "llm_minhash_bucket_audit",
 ]
 
 
