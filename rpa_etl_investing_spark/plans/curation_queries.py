@@ -486,6 +486,51 @@ def curation_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_global_pack_offsets",
+    oracle=f"""
+    WITH tokd AS (
+      SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tok
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+      FROM tokd)
+    SELECT doc_id,
+           CAST(end_off - n_tok AS BIGINT) AS start_off,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(FLOOR((end_off - n_tok) / {_PACK_BUDGET}.0) AS BIGINT) AS first_bin,
+           CAST(FLOOR((end_off - 1) / {_PACK_BUDGET}.0) AS BIGINT) AS last_bin
+    FROM s
+    """,
+)
+def curation_global_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL sequence packing — one continuous token stream across the
+    whole corpus in doc_id order, no per-source sharding of the layout.
+    Before operators/prefix.py this was the shape the docstrings ruled
+    out ("a global pack would serialize on one partition"); the
+    two-level prefix sum with an EMPTY partition list makes it viable —
+    local sums per id-range shard, offsets over the n_shards-row frame,
+    broadcast add-back — so the only single-partition window in the
+    plan is over the shard-count frame, constant-sized at any scale."""
+    docs = tbl(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    base = with_id_range_shard(
+        docs.select("doc_id", n_tok.alias("n_tok")), "doc_id"
+    )
+    with_off = sharded_running_sum(
+        base, [], [F.col("doc_id")], "n_tok", "end_off"
+    ).drop(SHARD)
+    return with_off.select(
+        "doc_id",
+        (F.col("end_off") - F.col("n_tok")).alias("start_off"),
+        "n_tok",
+        F.floor((F.col("end_off") - F.col("n_tok")) / _PACK_BUDGET).alias("first_bin"),
+        F.floor((F.col("end_off") - 1) / _PACK_BUDGET).alias("last_bin"),
+    )
+
+
+@register(
     "curation_balanced_sample",
     oracle="""
     SELECT doc_id, source

@@ -112,6 +112,42 @@ def timeseries_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_locf(tbl(spark, sf_dir, "events"), "2024-01-01", "2024-01-30")
 
 
+@register(
+    "timeseries_gap_fill_locf_derived",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    users AS (SELECT DISTINCT user_id FROM events),
+    bounds AS (
+      SELECT DATE_TRUNC('day', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+             DATE_TRUNC('day', MAX(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events),
+    spine AS (
+      SELECT user_id,
+             UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS day
+      FROM users CROSS JOIN bounds b),
+    j AS (
+      SELECT s.user_id, s.day, d.v
+      FROM spine s LEFT JOIN daily d
+        ON d.user_id = s.user_id AND d.day = s.day)
+    SELECT user_id, day,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM j
+    """,
+)
+def timeseries_gap_fill_locf_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-derived-bounds form of :func:`gap_fill_locf` (r3 verdict item
+    #6): the spine window is the corpus's actual min/max event day,
+    carried as a 1-row broadcast scalar on both engines (the oracle
+    cross-joins the same bounds aggregate), so the operator needs no
+    fixture-coupled literals."""
+    return gap_fill_locf(tbl(spark, sf_dir, "events"))
+
+
 _MONTH_SPINE_SQL = """
     WITH RECURSIVE months(month_start) AS (
       SELECT TIMESTAMP '1995-01-01'

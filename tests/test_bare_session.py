@@ -40,6 +40,7 @@ EVENTS_QUERIES = [
     "stream_sliding_window",
     "stream_tumbling_window",
     "timeseries_gap_fill_locf",
+    "timeseries_gap_fill_locf_derived",
     "timeseries_ohlc_resample",
     "udf_cogroup_user_activity",
 ]

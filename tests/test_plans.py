@@ -423,6 +423,7 @@ _SHARDED_PREFIX_QUERIES = [
     "curation_token_budget",
     "curation_training_samples",
     "curation_quality_filter",
+    "curation_global_pack_offsets",  # empty partition list: global pack
 ]
 
 
@@ -441,7 +442,7 @@ def test_packing_family_prefix_sums_are_sharded(spark, sf_dir, qname):
     assert "percent_rank" not in plan, plan
     n = spark.conf.get("spark.sql.shuffle.partitions")
     assert re.search(
-        rf"hashpartitioning\((source|lang)#\d+, _ps_shard#\d+, {n}\)", plan
+        rf"hashpartitioning\(((source|lang)#\d+, )?_ps_shard#\d+, {n}\)", plan
     ), plan
     for val, spec in re.findall(
         r"Window \[sum\((\w+)#?\d*L?\) windowspecdefinition\(([^)]*)\)", plan
