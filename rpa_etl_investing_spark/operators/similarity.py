@@ -354,10 +354,14 @@ def ivf_topk(
         centroids = lloyd_refine_centroids(seed_cells, id_col, vec_col)
     if queries_in_corpus:
         qkeys = queries.select(id_col).distinct()
-        # one final pass at nprobe probes serves BOTH sides
+        # one final pass at nprobe probes serves BOTH sides; persisted
+        # because both consume it — this relation IS the IVF posting
+        # list an index build materializes (same cache posture as prep)
         assigned = ivf_assign_cells(
             prep, centroids, id_col, vec_col, nprobe, prepared=True
         )
+        if nprobe > 1:
+            assigned = assigned.persist()
         corpus_cells = assigned.filter(F.col("probe_rank") == 1).drop("probe_rank")
         query_cells = assigned.join(F.broadcast(qkeys), id_col, "left_semi")
     else:
