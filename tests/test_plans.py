@@ -461,3 +461,17 @@ def test_id_range_shards_multiply_key_parallelism(spark, sf_dir):
     n_sources = docs.select("source").distinct().count()
     n_groups = base.select("source", SHARD).distinct().count()
     assert n_groups > n_sources, (n_groups, n_sources)
+
+
+@pytest.mark.parametrize(
+    "qname", ["curation_balanced_sample", "window_topk_per_group"]
+)
+def test_topk_per_group_plans_partial_window_group_limit(spark, sf_dir, qname):
+    """rank()<=k / row_number()<=k windows must plan WindowGroupLimit in
+    Partial+Final mode: each mapper pre-trims its groups to k rows before
+    the shuffle, so a low-cardinality partition key shuffles k rows per
+    mapper, not the whole group — the property that keeps per-source
+    sampling scale-safe without the prefix-sum machinery."""
+    plan = _plan(QUERIES[qname].fn(spark, sf_dir))
+    assert plan.count("WindowGroupLimit") == 2, plan  # Partial + Final
+    assert "WindowGroupLimit Partial" in plan or "Partial" in plan, plan
