@@ -116,6 +116,92 @@ def sharded_running_sum(
     )
 
 
+def with_value_range_shard(
+    df: DataFrame, value_col: str, n_shards: int | None = None, out: str = SHARD
+) -> DataFrame:
+    """Monotone equal-width shards over a NUMERIC value column (double
+    math; broadcast min/max bounds). Equal values always land in the
+    same shard — the property the exact-quantile selection relies on.
+    ``least(n-1, ...)`` caps the max value's shard without breaking
+    monotonicity; a constant column degenerates to one shard."""
+    n = n_shards or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    bounds = df.agg(
+        F.min(value_col).cast("double").alias("_ps_lo"),
+        F.max(value_col).cast("double").alias("_ps_hi"),
+    )
+    spread_ = F.col("_ps_hi") - F.col("_ps_lo")
+    shard = F.when(spread_ <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(n - 1),
+            F.floor(
+                (F.col(value_col).cast("double") - F.col("_ps_lo"))
+                / (spread_ / F.lit(n))
+            ),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out, shard.cast("int"))
+        .drop("_ps_lo", "_ps_hi")
+    )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: dict[str, float],
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Exact order statistics WITHOUT a global sort — the scale path for
+    exact percentiles (the collect-the-group form is honest only to
+    fixture scale; the sketch form is approximate).
+
+    Definition: each output column ``label`` is the k-th smallest value,
+    ``k = floor(q·(n−1)) + 1`` — the discrete (type-1) quantile.
+
+    Two passes, both distributed, zero driver collects:
+
+    1. range-shard the values (:func:`with_value_range_shard`), count
+       per shard (map-side combined), and locate, INSIDE the
+       constant-sized shard-count frame, the shard holding each k plus
+       the residual rank ``r = k − rows_before_shard``;
+    2. rank ONLY the target shards' rows (broadcast join on shard id;
+       per-label window over ~n/n_shards rows) and pick row ``r``.
+
+    The only ordered work on real data is the within-target-shard
+    ranking, a 1/n_shards fraction of the input per label; recursing on
+    that shard would shrink it geometrically, one level is plenty at
+    fixture scale. Ties are safe: equal values share a shard, and any
+    tie order within the window yields the same k-th VALUE."""
+    vals = df.select(F.col(value_col).alias("_v"))
+    sharded = with_value_range_shard(vals, "_v", n_shards)
+    counts = sharded.groupBy(SHARD).agg(F.count(F.lit(1)).alias("_cnt"))
+    cum_w = Window.orderBy(SHARD).rowsBetween(Window.unboundedPreceding, -1)
+    frame = counts.withColumn(
+        "_cum", F.coalesce(F.sum("_cnt").over(cum_w), F.lit(0))
+    ).withColumn("_total", F.sum("_cnt").over(Window.partitionBy()))
+    labels = df.sparkSession.createDataFrame(
+        [(lbl, float(q)) for lbl, q in qs.items()], ["_lbl", "_q"]
+    )
+    k = (F.floor(F.col("_q") * (F.col("_total") - 1)) + 1).cast("long")
+    targets = (
+        frame.crossJoin(F.broadcast(labels))
+        .filter((F.col("_cum") < k) & (k <= F.col("_cum") + F.col("_cnt")))
+        .select(SHARD, "_lbl", (k - F.col("_cum")).alias("_r"))
+    )
+    hits = sharded.join(F.broadcast(targets), SHARD)
+    rank_w = Window.partitionBy("_lbl").orderBy("_v")
+    sel = hits.withColumn("_rn", F.row_number().over(rank_w)).filter(
+        F.col("_rn") == F.col("_r")
+    )
+    return sel.groupBy().agg(
+        *[
+            F.max(F.when(F.col("_lbl") == lbl, F.col("_v"))).alias(lbl)
+            for lbl in qs
+        ]
+    )
+
+
 def sharded_row_number(
     df: DataFrame,
     partition_cols: list[str],

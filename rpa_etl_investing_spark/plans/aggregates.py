@@ -353,6 +353,41 @@ def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentiles_exact_distributed",
+    oracle="""
+    WITH s AS (SELECT l_extendedprice AS v FROM lineitem),
+    r AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+             COUNT(*) OVER () AS n
+      FROM s)
+    SELECT
+      MAX(CASE WHEN rn = CAST(FLOOR(0.5  * (n - 1)) AS BIGINT) + 1 THEN v END) AS p50,
+      MAX(CASE WHEN rn = CAST(FLOOR(0.9  * (n - 1)) AS BIGINT) + 1 THEN v END) AS p90,
+      MAX(CASE WHEN rn = CAST(FLOOR(0.99 * (n - 1)) AS BIGINT) + 1 THEN v END) AS p99
+    FROM r
+    """,
+)
+def agg_percentiles_exact_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 scale path: EXACT global percentiles (k-th order statistic,
+    k = floor(q·(n−1))+1) with no global sort and no per-group value
+    collection — two-pass sharded selection (operators/prefix.py
+    ``exact_quantiles``): range-shard counts locate each k's shard
+    inside a constant-sized frame, then only the target shards' rows
+    are ranked (~1/n_shards of the input). Closes the gap
+    ``agg_percentiles_exact`` documents ("the exact form needs the
+    group's values collected — at 100 TB the sketch replaces it"):
+    exactness and scale are no longer a trade-off. The oracle computes
+    the same order statistic by brute-force global ranking."""
+    from rpa_etl_investing_spark.operators.prefix import exact_quantiles
+
+    return exact_quantiles(
+        tbl(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+    )
+
+
+@register(
     "agg_approx_percentiles",
     oracle="""
     SELECT l_returnflag,

@@ -228,3 +228,27 @@ def test_quality_filter_two_pass_equals_percent_rank(spark, sf_dir):
         for r in QUERIES["curation_quality_filter"].fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 32])
+def test_exact_quantiles_match_sorted_reference(spark, n_shards):
+    """Sharded exact selection equals the k-th element of the sorted
+    list (k = floor(q*(n-1))+1) on data with heavy ties — including a
+    constant column (degenerate single shard) and q at both edges."""
+    from rpa_etl_investing_spark.operators.prefix import exact_quantiles
+
+    vals = [float(x) for x in [5, 1, 3, 3, 3, 9, 2, 2, 8, 7, 3, 3, 1, 9]]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    qs = {"q0": 0.0, "q25": 0.25, "q50": 0.5, "q99": 0.99, "q100": 1.0}
+    row = exact_quantiles(df, "x", qs, n_shards=n_shards).collect()[0]
+    srt = sorted(vals)
+    for lbl, q in qs.items():
+        k = int(q * (len(vals) - 1)) + 1 if q < 1.0 else len(vals)
+        import math
+
+        k = math.floor(q * (len(vals) - 1)) + 1
+        assert row[lbl] == srt[k - 1], (lbl, row[lbl], srt[k - 1])
+
+    const = spark.createDataFrame([(4.0,)] * 6, ["x"])
+    crow = exact_quantiles(const, "x", {"p50": 0.5}, n_shards=n_shards).collect()[0]
+    assert crow["p50"] == 4.0

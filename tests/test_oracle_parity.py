@@ -57,6 +57,7 @@ MULTI_SF_NAMES = [
     # pair-count arithmetic runs through a double division)
     "timeseries_ohlc_resample",
     "llm_minhash_bucket_audit",
+    "agg_percentiles_exact_distributed",
 ]
 
 

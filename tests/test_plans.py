@@ -475,3 +475,12 @@ def test_topk_per_group_plans_partial_window_group_limit(spark, sf_dir, qname):
     plan = _plan(QUERIES[qname].fn(spark, sf_dir))
     assert plan.count("WindowGroupLimit") == 2, plan  # Partial + Final
     assert "WindowGroupLimit Partial" in plan or "Partial" in plan, plan
+
+
+def test_exact_quantiles_avoid_global_sort(spark, sf_dir):
+    """The distributed exact-percentile plan must contain NO global sort
+    (Exchange rangepartitioning) — the only ordered work is the
+    within-target-shard window, keyed by the label/shard hash."""
+    plan = _plan(QUERIES["agg_percentiles_exact_distributed"].fn(spark, sf_dir))
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "_ps_shard" in plan, plan
