@@ -151,35 +151,50 @@ def exact_quantiles(
     value_col: str,
     qs: dict[str, float],
     n_shards: int | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact order statistics WITHOUT a global sort — the scale path for
     exact percentiles (the collect-the-group form is honest only to
-    fixture scale; the sketch form is approximate).
+    fixture scale; the sketch form is approximate). With ``group_cols``
+    the selection runs per group, one output row per group — and unlike
+    ``percentile()``, a huge group never concentrates in one aggregation
+    buffer or one sorted task.
 
-    Definition: each output column ``label`` is the k-th smallest value,
-    ``k = floor(q·(n−1)) + 1`` — the discrete (type-1) quantile.
+    Definition: each output column ``label`` is the (per-group) k-th
+    smallest value, ``k = floor(q·(n−1)) + 1`` — the discrete (type-1)
+    quantile.
 
     Two passes, both distributed, zero driver collects:
 
     1. range-shard the values (:func:`with_value_range_shard`), count
-       per shard (map-side combined), and locate, INSIDE the
-       constant-sized shard-count frame, the shard holding each k plus
-       the residual rank ``r = k − rows_before_shard``;
+       per (group, shard) — map-side combined — and locate, INSIDE the
+       (n_groups × n_shards)-row count frame, the shard holding each
+       group's k plus the residual rank ``r = k − rows_before_shard``;
     2. rank ONLY the target shards' rows (broadcast join on shard id;
-       per-label window over ~n/n_shards rows) and pick row ``r``.
+       per-(group, label) window over ~group/n_shards rows) and pick
+       row ``r``.
 
     The only ordered work on real data is the within-target-shard
-    ranking, a 1/n_shards fraction of the input per label; recursing on
-    that shard would shrink it geometrically, one level is plenty at
+    ranking, a 1/n_shards fraction of each group per label; recursing
+    on that shard would shrink it geometrically, one level is plenty at
     fixture scale. Ties are safe: equal values share a shard, and any
-    tie order within the window yields the same k-th VALUE."""
-    vals = df.select(F.col(value_col).alias("_v"))
+    tie order within the window yields the same k-th VALUE. The value
+    shards are global (one bounds pass), so a group whose values
+    concentrate in a narrow range degrades toward fewer effective
+    shards — per-group bounds would fix that at the cost of a
+    group-count broadcast; not needed at fixture scale."""
+    grp = list(group_cols or [])
+    vals = df.select(*grp, F.col(value_col).alias("_v"))
     sharded = with_value_range_shard(vals, "_v", n_shards)
-    counts = sharded.groupBy(SHARD).agg(F.count(F.lit(1)).alias("_cnt"))
-    cum_w = Window.orderBy(SHARD).rowsBetween(Window.unboundedPreceding, -1)
+    counts = sharded.groupBy(*grp, SHARD).agg(F.count(F.lit(1)).alias("_cnt"))
+    cum_w = (
+        Window.partitionBy(*grp)
+        .orderBy(SHARD)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     frame = counts.withColumn(
         "_cum", F.coalesce(F.sum("_cnt").over(cum_w), F.lit(0))
-    ).withColumn("_total", F.sum("_cnt").over(Window.partitionBy()))
+    ).withColumn("_total", F.sum("_cnt").over(Window.partitionBy(*grp)))
     labels = df.sparkSession.createDataFrame(
         [(lbl, float(q)) for lbl, q in qs.items()], ["_lbl", "_q"]
     )
@@ -187,19 +202,19 @@ def exact_quantiles(
     targets = (
         frame.crossJoin(F.broadcast(labels))
         .filter((F.col("_cum") < k) & (k <= F.col("_cum") + F.col("_cnt")))
-        .select(SHARD, "_lbl", (k - F.col("_cum")).alias("_r"))
+        .select(*grp, SHARD, "_lbl", (k - F.col("_cum")).alias("_r"))
     )
-    hits = sharded.join(F.broadcast(targets), SHARD)
-    rank_w = Window.partitionBy("_lbl").orderBy("_v")
+    hits = sharded.join(F.broadcast(targets), [*grp, SHARD])
+    rank_w = Window.partitionBy(*grp, "_lbl").orderBy("_v")
     sel = hits.withColumn("_rn", F.row_number().over(rank_w)).filter(
         F.col("_rn") == F.col("_r")
     )
-    return sel.groupBy().agg(
-        *[
-            F.max(F.when(F.col("_lbl") == lbl, F.col("_v"))).alias(lbl)
-            for lbl in qs
-        ]
-    )
+    out_aggs = [
+        F.max(F.when(F.col("_lbl") == lbl, F.col("_v"))).alias(lbl) for lbl in qs
+    ]
+    if grp:
+        return sel.groupBy(*grp).agg(*out_aggs)
+    return sel.groupBy().agg(*out_aggs)
 
 
 def sharded_row_number(

@@ -388,6 +388,43 @@ def agg_percentiles_exact_distributed(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "agg_percentiles_exact_grouped_distributed",
+    oracle="""
+    WITH s AS (SELECT l_returnflag, l_extendedprice AS v FROM lineitem),
+    r AS (
+      SELECT l_returnflag, v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM s)
+    SELECT l_returnflag,
+      MAX(CASE WHEN rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1 THEN v END) AS p50,
+      MAX(CASE WHEN rn = CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) + 1 THEN v END) AS p90,
+      MAX(CASE WHEN rn = CAST(FLOOR(0.99 * (n - 1)) AS BIGINT) + 1 THEN v END) AS p99
+    FROM r
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles_exact_grouped_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grouped form of the sharded exact selection: per-return-flag
+    exact p50/p90/p99 where no group ever concentrates in one
+    aggregation buffer or one sorted task — counts go per (group,
+    shard), the target-location frame stays (n_groups × n_shards) rows,
+    and ranking touches ~1/n_shards of each group. The low-cardinality
+    group key (3 flags) is exactly the case where ``percentile()``'s
+    collect-per-group buffer and a per-group sort both die at 100 TB."""
+    from rpa_etl_investing_spark.operators.prefix import exact_quantiles
+
+    return exact_quantiles(
+        tbl(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        group_cols=["l_returnflag"],
+    ).orderBy("l_returnflag")
+
+
+@register(
     "agg_approx_percentiles",
     oracle="""
     SELECT l_returnflag,

@@ -252,3 +252,31 @@ def test_exact_quantiles_match_sorted_reference(spark, n_shards):
     const = spark.createDataFrame([(4.0,)] * 6, ["x"])
     crow = exact_quantiles(const, "x", {"p50": 0.5}, n_shards=n_shards).collect()[0]
     assert crow["p50"] == 4.0
+
+
+def test_exact_quantiles_grouped_matches_sorted_reference(spark):
+    """Per-group sharded selection equals per-group sorted k-th picks,
+    with groups of different sizes and cross-group value overlap."""
+    import math
+
+    from rpa_etl_investing_spark.operators.prefix import exact_quantiles
+
+    data = {
+        "a": [5.0, 1.0, 3.0, 3.0, 9.0, 2.0],
+        "b": [4.0, 4.0, 4.0],
+        "c": [7.0, 1.0, 8.0, 8.0, 2.0, 2.0, 6.0, 3.0],
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    got = {
+        r["g"]: (r["p50"], r["p90"])
+        for r in exact_quantiles(
+            df, "x", {"p50": 0.5, "p90": 0.9}, n_shards=4, group_cols=["g"]
+        ).collect()
+    }
+    for g, vs in data.items():
+        srt = sorted(vs)
+        for lbl, q in [("p50", 0.5), ("p90", 0.9)]:
+            k = math.floor(q * (len(vs) - 1)) + 1
+            idx = {"p50": 0, "p90": 1}[lbl]
+            assert got[g][idx] == srt[k - 1], (g, lbl, got[g], srt)

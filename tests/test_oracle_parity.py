@@ -58,6 +58,7 @@ MULTI_SF_NAMES = [
     "timeseries_ohlc_resample",
     "llm_minhash_bucket_audit",
     "agg_percentiles_exact_distributed",
+    "agg_percentiles_exact_grouped_distributed",
 ]
 
 
