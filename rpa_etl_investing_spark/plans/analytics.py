@@ -794,3 +794,174 @@ def analytics_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = c.agg(F.count("*").alias("n_clicked_after_view"))
     np_ = p.agg(F.count("*").alias("n_purchased_after_click"))
     return nv.join(F.broadcast(nc)).join(F.broadcast(np_))
+
+
+@register(
+    "analytics_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,4))) AS DOUBLE)
+             AS revenue_increase,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= CAST(0.05 AS DOUBLE)
+      AND l_discount <= CAST(0.07 AS DOUBLE)
+      AND l_quantity < 24
+    """,
+)
+def analytics_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the forecasting-revenue-change scan-aggregate —
+    three range predicates, no join, one global sum. Every predicate
+    pushes into the parquet scan (shipdate, discount, quantity are all
+    plain comparisons), so at 100 TB this reads only row groups whose
+    min/max stats survive the filters; the discount bounds are spelled
+    as DOUBLE casts on both engines so the literal parses to identical
+    bits."""
+    l = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(27,4)"))
+        .cast("double")
+        .alias("revenue_increase"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "analytics_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4)))
+                AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%an%'
+    GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def analytics_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by supplier nation and order year for a
+    part-name pattern; fixture has no partsupp, so profit is the
+    discounted revenue term). Plan shape: the selective p_name LIKE
+    prunes parts FIRST and broadcasts; supplier/nation broadcast; the
+    only big-big join is lineitem⋈orders on the orderkey. The year comes
+    off the order date after the join — no date functions below the
+    fact join, so pushdown stays intact."""
+    l = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_name").like("%an%"))
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    o = tbl(spark, sf_dir, "orders")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(27,4)"
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "analytics_parts_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#17'
+      AND p.p_size IN (2, 5, 11, 29, 42, 50)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def analytics_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part descriptor,
+    excluding a complained-about supplier set (fixture has no partsupp;
+    lineitem is the part-supplier bridge). The NOT IN subquery has a
+    non-nullable key, so it plans as a broadcast anti join — never a
+    per-row subquery; COUNT(DISTINCT) expands to the standard two-level
+    aggregate."""
+    l = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#17")
+        & F.col("p_size").isin(2, 5, 11, 29, 42, 50)
+    )
+    bad = (
+        tbl(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        l.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "analytics_dormant_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS total_bal
+    FROM customer c CROSS JOIN avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def analytics_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balances
+    and no orders at all, grouped by nation (fixture has no phone
+    column, so nationkey stands in for the country code). Three classic
+    pieces in one plan: an uncorrelated scalar average riding in as a
+    1-row broadcast cross join (decimal-exact sum/count, identical
+    division on both engines), a NOT EXISTS anti join against the
+    orders keys, and a final grouped aggregate."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    bal = F.col("c_acctbal").cast("decimal(27,2)")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(bal).cast("double") / F.count(F.lit(1))).alias("ab"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum(bal).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
