@@ -31,6 +31,11 @@ key, :func:`with_id_range_shard` builds one from broadcast min/max
 bounds; for domain-specific orders (e.g. quality DESC with known value
 atoms) the caller supplies its own — see
 plans/curation_queries.py:_quality_shard for a worked example.
+
+Null-key contract: partition keys must be NON-NULL — the offsets ride
+back in through an inner equi-join, so a null-keyed group would drop
+(the plain window form keeps nulls as a group). Wrap nullable keys in
+``coalesce`` before sharding.
 """
 
 from __future__ import annotations
