@@ -965,3 +965,281 @@ def analytics_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "analytics_late_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def analytics_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in one quarter
+    that have at least one late line, counted per priority. The fixture
+    has no l_commitdate/l_receiptdate (TESTDATA.md), so "late" is
+    re-expressed as shipped >60 days after the order date — same
+    correlated-EXISTS-with-non-equi-residual shape.
+
+    Scale notes: the EXISTS plans as a LEFT SEMI hash join on
+    l_orderkey with the date inequality as a residual, never a per-row
+    subquery; the quarter filter pushes to the orders scan so the semi
+    join's build side is one quarter of orders, and the final group-by
+    has 5 keys (bytes per partition)."""
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "analytics_lateness_priority_matrix",
+    oracle="""
+    SELECT CASE WHEN l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+                THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY ship_bucket
+    ORDER BY ship_bucket
+    """,
+)
+def analytics_lateness_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / order priority): one fact-fact
+    join, then conditional aggregation — two SUM(CASE WHEN …) counters
+    per group. The fixture has no l_shipmode, so the grouping key is a
+    derived lateness bucket (shipped ≥90 days after order date = SLOW),
+    preserving the derived-key + conditional-sum shape.
+
+    Scale notes: the year filter pushes to the lineitem scan; the join
+    shuffles both facts on orderkey once; both CASE counters fold into
+    ONE partial+final aggregate pass (not one pass per counter), and
+    the final group key space is 2 rows."""
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "ship_bucket",
+            F.when(
+                F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+                F.lit("SLOW"),
+            ).otherwise(F.lit("FAST")),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+@register(
+    "analytics_small_qty_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND l.l_quantity < (
+        SELECT 0.2 * (SUM(l2.l_quantity) / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue lost if
+    orders below 20%% of a part's average quantity were not filled —
+    a correlated scalar AVG subquery decorrelated into a per-part
+    aggregate joined back on partkey.
+
+    Scale notes: the brand filter broadcasts a tiny part-key set into
+    BOTH the threshold aggregate and the revenue side, so only that
+    brand's lineitems are ever aggregated; the avg-threshold join keys
+    on l_partkey (high cardinality — parallel); quantities are whole
+    numbers, so the double sum is exact and the 0.2×(sum/count)
+    threshold is bit-identical to the oracle's."""
+    pk = (
+        tbl(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    li = tbl(spark, sf_dir, "lineitem").join(
+        F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * (F.sum("l_quantity") / F.count(F.lit(1)))).alias("qty_cut")
+    )
+    return (
+        li.join(thresholds, li.l_partkey == thresholds.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg((dsum("l_extendedprice", 2) / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "analytics_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    pc AS (
+      SELECT c.l_partkey, c.unit_cost, s.s_name, s.s_acctbal, n.n_name
+      FROM cost c
+      JOIN part p ON p.p_partkey = c.l_partkey
+        AND p.p_type = 'STANDARD' AND p.p_size <= 10
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'),
+    w AS (
+      SELECT *, MIN(unit_cost) OVER (PARTITION BY l_partkey) AS min_cost
+      FROM pc)
+    SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, unit_cost
+    FROM w WHERE unit_cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the European supplier(s) offering it at the lowest unit cost — the
+    classic correlated MIN subquery, decorrelated to a per-part window
+    minimum. The fixture has no partsupp (TESTDATA.md), so lineitem is
+    the part-supplier bridge and unit cost is MIN(extendedprice/qty)
+    per (part, supplier).
+
+    Scale notes: the (part, supplier) cost aggregate is the only big
+    shuffle; part-filter and region-filtered supplier dims broadcast
+    into it. The per-part MIN uses a window keyed on l_partkey (high
+    cardinality — parallel), not a self-join back to a grouped
+    aggregate, so no second shuffle of the cost table beyond the
+    window's own partkey exchange. Ties (multiple suppliers at the
+    min) all survive, matching SQL."""
+    from pyspark.sql.window import Window
+
+    l = tbl(spark, sf_dir, "lineitem")
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    p = (
+        tbl(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = (
+        tbl(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pc = cost.join(F.broadcast(p), cost.l_partkey == F.col("p_partkey")).join(
+        F.broadcast(s), cost.l_suppkey == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        pc.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "unit_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "analytics_excess_supply_candidates",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND s.s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 45)
+    ORDER BY s.s_name
+    """,
+)
+def analytics_excess_supply_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers in one
+    region who moved a large volume of a targeted part family in one
+    year — the doubly-nested IN (part-name subquery inside a
+    grouped-HAVING subquery inside a supplier IN) re-expressed over the
+    lineitem bridge (no partsupp in the fixture, TESTDATA.md).
+
+    Scale notes: inner-to-outer, each IN becomes a (broadcast-able)
+    semi join, never a per-row subquery: the part-name key set
+    broadcasts into the lineitem scan (with the year filter pushed
+    down), the (supplier, part) volume aggregate shuffles once on a
+    high-cardinality compound key, and the surviving supplier-key set
+    is tiny — broadcast semi-joined against the region-filtered
+    supplier dim."""
+    p = (
+        tbl(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    l = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    movers = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 45)
+        .select("l_suppkey")
+    )
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = (
+        tbl(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    )
+    return (
+        s.join(F.broadcast(movers), s.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
