@@ -480,3 +480,61 @@ def sign_lsh_bucket_topk(
 
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (SURVEY §2.10 scale path):
+    partition the corpus into coarse k-means cells, then drop every
+    vector whose cosine to a LOWER-id member of the SAME cell meets
+    ``threshold`` — keep the earliest representative of each semantic
+    near-dup group. Returns the kept ``(id, cell_id)`` rows.
+
+    Single-pass greedy semantics: a vector is dropped if ANY lower-id
+    cell-mate is similar, whether or not that mate itself survived —
+    the standard SemDeDup formulation (one representative per pair, no
+    transitive chaining; use operators/components.py when full
+    dup-cluster closure is wanted).
+
+    Scale design: the quantizer is the ``n_centroids`` lowest-id
+    vectors (deterministic, broadcast; swap in
+    :func:`lloyd_refine_centroids` passes for tighter cells); cell
+    assignment is the same broadcast argmax as IVF storage assignment
+    (one corpus shuffle, in :func:`prep_vectors`). Pair generation is
+    an equi-join on cell_id, so candidate count is Σ|cell|²/2, not
+    n²/2 — at 100 TB pick n_centroids ≈ n/target_cell_size to bound
+    per-cell work, exactly like IVF. The loser set is id-only
+    (vectors never ride through the distinct), and the final drop is
+    an anti join on the id."""
+    cent = corpus.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
+    cells = ivf_assign_cells(corpus, cent, id_col, vec_col, nprobe=1)
+    a = cells.select(
+        F.col(id_col).alias("_keep_id"),
+        F.col(vec_col).alias("a_vec"),
+        F.col("vec_norm").alias("a_norm"),
+        "cell_id",
+    )
+    b = cells.select(
+        F.col(id_col).alias("_drop_id"),
+        F.col(vec_col).alias("b_vec"),
+        F.col("vec_norm").alias("b_norm"),
+        "cell_id",
+    )
+    losers = (
+        a.join(b, "cell_id")
+        .filter(F.col("_keep_id") < F.col("_drop_id"))
+        .filter(
+            cosine_prenormed(
+                F.col("a_vec"), F.col("b_vec"), F.col("a_norm"), F.col("b_norm")
+            )
+            >= threshold
+        )
+        .select(F.col("_drop_id").alias(id_col))
+        .distinct()
+    )
+    return cells.join(losers, id_col, "left_anti").select(id_col, "cell_id")

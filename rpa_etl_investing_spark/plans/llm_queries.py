@@ -1188,3 +1188,78 @@ def llm_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+@register(
+    "llm_semantic_dedup",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+    cells AS (
+      SELECT vec_id, embedding, centroid_id AS cell_id FROM (
+        SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_cos_sql("v.embedding", "c.embedding")} DESC,
+                                           c.vec_id) AS rn
+        FROM embeddings v CROSS JOIN cent c)
+      WHERE rn = 1),
+    losers AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.4)
+    SELECT vec_id, cell_id FROM cells
+    WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    """,
+)
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L3: SemDeDup-style semantic deduplication — coarse k-means
+    cells bound the pairwise work, then each cell keeps the earliest
+    member of every cosine-similar pair (operators/similarity.py
+    semantic_dedup). Threshold 0.4 for the same reason as
+    ``llm_embedding_near_dup``: the fixture embeddings are random, so
+    a production 0.95 cutoff would verify only the no-drop path."""
+    from rpa_etl_investing_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        tbl(spark, sf_dir, "embeddings"), n_centroids=8, threshold=0.4
+    )
+
+
+@register(
+    "llm_segment_boilerplate",
+    oracle="""
+    WITH segs AS (
+      SELECT d.doc_id, g.s AS seg_no,
+             ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(d.text, ' '),
+                                        g.s * 8 + 1, g.s * 8 + 8), ' ') AS segment
+      FROM documents d,
+      LATERAL (SELECT UNNEST(RANGE(CAST(CEIL(LEN(STRING_SPLIT(d.text, ' ')) / 8.0)
+                                        AS BIGINT))) AS s) g),
+    df AS (
+      SELECT segment, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY segment),
+    kept AS (
+      SELECT s.doc_id, s.seg_no, s.segment
+      FROM segs s JOIN df ON s.segment = df.segment
+      WHERE df.df <= 1),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+             STRING_AGG(segment, ' ' ORDER BY seg_no) AS clean_text
+      FROM kept GROUP BY doc_id),
+    tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS INT) AS n_segments FROM segs GROUP BY doc_id)
+    SELECT t.doc_id, t.n_segments,
+           CAST(COALESCE(a.n_kept, 0) AS INT) AS n_kept,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
+)
+def llm_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L4: segment-level boilerplate removal — the sub-document
+    dedup stage (CCNet line-dedup analog, 8-word segments since the
+    fixture text has no newlines): segments appearing in >1 distinct
+    document are stripped everywhere and documents are reassembled in
+    segment order (operators/text.py segment_boilerplate_strip)."""
+    from rpa_etl_investing_spark.operators.text import segment_boilerplate_strip
+
+    return segment_boilerplate_strip(
+        tbl(spark, sf_dir, "documents"), seg_words=8, max_df=1
+    )

@@ -280,3 +280,67 @@ def test_exact_quantiles_grouped_matches_sorted_reference(spark):
             k = math.floor(q * (len(vs) - 1)) + 1
             idx = {"p50": 0, "p90": 1}[lbl]
             assert got[g][idx] == srt[k - 1], (g, lbl, got[g], srt)
+
+
+def test_semantic_dedup_keeps_earliest_of_planted_pair(spark):
+    from rpa_etl_investing_spark.operators.similarity import semantic_dedup
+
+    # 4-dim corpus: ids 0-1 are (near-)orthogonal seeds; 10 duplicates 0,
+    # 11 duplicates 1 (scaled — cosine is scale-invariant), 12 is unique.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (10, [2.0, 0.0, 0.0, 0.0]),
+        (11, [0.0, 3.0, 0.0, 0.0]),
+        (12, [0.0, 0.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = semantic_dedup(df, n_centroids=2, threshold=0.95)
+    got = {r.vec_id for r in kept.collect()}
+    # 10 and 11 are dropped (cosine 1.0 to a lower-id cell-mate);
+    # seeds and the unique vector survive.
+    assert got == {0, 1, 12}
+
+
+def test_semantic_dedup_is_single_pass_not_transitive(spark):
+    from rpa_etl_investing_spark.operators.similarity import semantic_dedup
+
+    # A chain a~b, b~c where a!~c: b drops (similar to a), and c ALSO
+    # drops — single-pass greedy compares against all lower-id mates,
+    # dropped or not (unlike a transitive-closure/survivor pass, which
+    # would keep c once b is gone). Documents the SemDeDup semantics.
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (0, unit(0.0)),          # a (also the only centroid seed)
+        (5, unit(0.5)),          # b: cos(a,b)=.878
+        (6, unit(1.0)),          # c: cos(b,c)=.878, cos(a,c)=.540
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {r.vec_id for r in semantic_dedup(df, n_centroids=1, threshold=0.8).collect()}
+    assert kept == {0}
+
+
+def test_segment_boilerplate_strip_planted(spark):
+    from rpa_etl_investing_spark.operators.text import segment_boilerplate_strip
+
+    boiler = "b1 b2 b3 b4"  # 4-word boilerplate segment shared by 2 docs
+    rows = [
+        (1, boiler + " u1 u2 u3 u4"),
+        (2, boiler + " v1 v2 v3 v4"),
+        (3, "w1 w2 w3 w4"),
+        (4, boiler),  # pure boilerplate: must survive with empty text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in segment_boilerplate_strip(df, seg_words=4, max_df=1).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].clean_text == "u1 u2 u3 u4" and out[1].n_segments == 2
+    assert out[2].clean_text == "v1 v2 v3 v4" and out[2].n_kept == 1
+    assert out[3].clean_text == "w1 w2 w3 w4"  # unique doc untouched
+    assert out[4].clean_text == "" and out[4].n_kept == 0 and out[4].n_segments == 1
