@@ -183,3 +183,46 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
           FROM {sink}) WHERE rn = 1
         """
     )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(DATE_DIFF('second', c.ts, p.ts) AS BIGINT) AS lag_seconds,
+           p.value AS purchase_value
+    FROM clicks c JOIN purchases p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join in its batch form: each click paired
+    with the same user's purchases in the following 30 minutes
+    (streaming/joins.py interval_join; the watermarked readStream run of
+    the same plan is asserted equal in tests/test_streaming.py)."""
+    from rpa_etl_investing_spark.streaming import interval_join
+
+    ev = tbl(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = interval_join(clicks, purchases, upper="30 minutes", right_prefix="p_")
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        F.col("p_event_id").alias("purchase_id"),
+        "user_id",
+        (F.unix_timestamp(F.col("p_ts").cast("timestamp"))
+         - F.unix_timestamp(F.col("ts").cast("timestamp"))).alias("lag_seconds"),
+        F.col("p_value").alias("purchase_value"),
+    )

@@ -8,6 +8,7 @@ same logical plan runs in batch mode (oracle-checkable on the static
 tests/test_streaming.py).
 """
 
+from rpa_etl_investing_spark.streaming.joins import interval_join
 from rpa_etl_investing_spark.streaming.stateful import running_user_totals
 from rpa_etl_investing_spark.streaming.windows import (
     dedup_first_event,
@@ -18,6 +19,7 @@ from rpa_etl_investing_spark.streaming.windows import (
 )
 
 __all__ = [
+    "interval_join",
     "running_user_totals",
     "tumbling_window_counts",
     "sliding_window_counts",

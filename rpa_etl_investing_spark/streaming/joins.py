@@ -1,0 +1,41 @@
+"""Stream-stream joins (SURVEY §2.9): event-time interval joins that
+run identically in batch (oracle-checkable) and under ``readStream``
+with watermarks on both sides (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    upper: str = "30 minutes",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with every
+    right event of the same key whose timestamp falls in
+    ``[left.ts, left.ts + upper]``. Right-side columns come back
+    prefixed with ``right_prefix``.
+
+    The equi-key plus a BOUNDED event-time range is exactly the shape
+    Structured Streaming supports for stream-stream inner joins: with
+    ``withWatermark`` on both inputs the range condition lets the engine
+    expire join state older than the watermark minus ``upper``, so state
+    stays O(key-rate x window), not unbounded. In batch the same plan is
+    a hash join on the key with the range as a residual — one shuffle per
+    side, partitioned by the (high-cardinality) key.
+    """
+    r = right.select(
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    )
+    cond = (
+        (left[key_col] == r[f"{right_prefix}{key_col}"])
+        & (r[f"{right_prefix}{ts_col}"] >= left[ts_col])
+        & (r[f"{right_prefix}{ts_col}"] <= left[ts_col] + F.expr(f"INTERVAL {upper}"))
+    )
+    return left.join(r, cond)

@@ -35,6 +35,7 @@ EVENTS_QUERIES = [
     "json_funcs",
     "json_struct_agg",
     "stream_dedup",
+    "stream_interval_join",
     "stream_late_data",
     "stream_session_window",
     "stream_sliding_window",

@@ -155,6 +155,8 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     """Stream-stream join: clicks ⋈ purchases per user within 30 min,
     watermarked both sides; result equals the batch interval join."""
 
+    from rpa_etl_investing_spark.streaming import interval_join
+
     def batch_side(etype):
         return (
             tbl(spark, sf_dir, "events")
@@ -162,23 +164,12 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
             .select("event_id", "user_id", "ts")
         )
 
-    cond = lambda c, p: (  # noqa: E731
-        (c["user_id"] == p["p_user_id"])
-        & (p["p_ts"] >= c["ts"])
-        & (p["p_ts"] <= c["ts"] + F.expr("INTERVAL 30 MINUTES"))
-    )
-    purch_b = (
-        batch_side("purchase")
-        .select(
-            F.col("event_id").alias("p_event_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("p_ts"),
-        )
-    )
-    clicks_b = batch_side("click")
     expected = {
         (r.event_id, r.p_event_id)
-        for r in clicks_b.join(purch_b, cond(clicks_b, purch_b)).collect()
+        for r in interval_join(
+            batch_side("click"), batch_side("purchase"),
+            upper="30 minutes", right_prefix="p_",
+        ).collect()
     }
 
     stream_dir = tmp_path / "ss_events"
@@ -186,25 +177,19 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     (stream_dir / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
-    def stream_side(etype, alias_prefix=""):
-        s = (
+    def stream_side(etype):
+        return (
             _stream_events(spark, raw_schema, stream_dir)
             .filter(F.col("event_type") == etype)
             .select("event_id", "user_id", "ts")
             .withWatermark("ts", "1 hour")
         )
-        if alias_prefix:
-            s = s.select(
-                F.col("event_id").alias(f"{alias_prefix}event_id"),
-                F.col("user_id").alias(f"{alias_prefix}user_id"),
-                F.col("ts").alias(f"{alias_prefix}ts"),
-            )
-        return s
 
-    clicks_s = stream_side("click")
-    purch_s = stream_side("purchase", "p_")
     q = (
-        clicks_s.join(purch_s, cond(clicks_s, purch_s))
+        interval_join(
+            stream_side("click"), stream_side("purchase"),
+            upper="30 minutes", right_prefix="p_",
+        )
         .select("event_id", "p_event_id")
         .writeStream.outputMode("append")
         .format("memory")
