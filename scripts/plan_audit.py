@@ -57,6 +57,13 @@ EXTRAS = {
     "analytics_market_share": "eight-way star join, dims broadcast; conditional-sum/total-sum ratio per group",
     "analytics_retention_cohorts": "two per-user hash aggregates + one co-partitioned join; no window",
     "llm_edit_distance_pairs": "candidate-bounded Levenshtein: text joins in AFTER the pair set is fixed",
+    "analytics_late_order_priority": "Q4: correlated EXISTS as one LeftSemi hash join, date inequality as residual",
+    "analytics_min_cost_supplier": "Q2: one (part,supplier) cost shuffle; per-part MIN via window, dims broadcast",
+    "analytics_small_qty_revenue": "Q17: brand part-keys broadcast into BOTH sides; threshold join on partkey",
+    "analytics_excess_supply_candidates": "Q20: nested INs as two semi joins around one compound-key HAVING aggregate",
+    "llm_semantic_dedup": "SemDeDup: broadcast quantizer argmax + cell-id equi-join pairs + id-only anti join",
+    "llm_segment_boilerplate": "segment df on md5 digests; text shuffles only in the final per-doc reassembly",
+    "stream_interval_join": "equi-key hash join with bounded time-range residual — the stream-stream state-expiry shape",
 }
 
 

@@ -484,3 +484,61 @@ def test_exact_quantiles_avoid_global_sort(spark, sf_dir):
     plan = _plan(QUERIES["agg_percentiles_exact_distributed"].fn(spark, sf_dir))
     assert "Exchange rangepartitioning" not in plan, plan
     assert "_ps_shard" in plan, plan
+
+
+def test_late_order_priority_exists_is_semi_join(spark, sf_dir):
+    # Q4 shape: the correlated EXISTS must be ONE semi hash join with the
+    # date inequality as a residual — no nested-loop, no row-level subquery.
+    plan = _plan(QUERIES["analytics_late_order_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_small_qty_revenue_threshold_join_on_partkey(spark, sf_dir):
+    # Q17 shape: the brand's part-key set must broadcast into the lineitem
+    # scan; the decorrelated avg-threshold join must stay hash-based.
+    plan = _plan(QUERIES["analytics_small_qty_revenue"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_min_cost_supplier_single_cost_shuffle(spark, sf_dir):
+    # Q2 shape: dims broadcast; the per-part MIN is a window over the
+    # cost aggregate — the plan must not sort-merge-join cost back to a
+    # second grouped aggregate of itself.
+    plan = _plan(QUERIES["analytics_min_cost_supplier"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("HashAggregate") <= 4, plan  # partial+final of ONE agg (+AQE variants)
+
+
+def test_excess_supply_nested_in_becomes_semi_joins(spark, sf_dir):
+    # Q20 shape: both IN subqueries must plan as semi joins (broadcast at
+    # this scale), with the HAVING filter applied after one compound-key
+    # hash aggregate.
+    plan = _plan(QUERIES["analytics_excess_supply_candidates"].fn(spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_semantic_dedup_pairs_join_on_cell(spark, sf_dir):
+    # SemDeDup: the candidate-pair generation must be an equi-join on
+    # cell_id (bounded by cell occupancy), never a corpus cross join,
+    # and the final drop must be an anti join on the id.
+    from rpa_etl_investing_spark.operators.similarity import semantic_dedup
+
+    plan = _plan(semantic_dedup(tbl(spark, sf_dir, "embeddings"), n_centroids=8,
+                                threshold=0.4))
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_segment_boilerplate_df_count_is_hash_on_digest(spark, sf_dir):
+    # Segment dedup: document-frequency counting and the boilerplate
+    # anti join must key on the md5 digest, so no shuffle carries
+    # segment text except the final per-doc reassembly.
+    from rpa_etl_investing_spark.operators.text import segment_boilerplate_strip
+
+    df = segment_boilerplate_strip(tbl(spark, sf_dir, "documents"))
+    plan = _plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
