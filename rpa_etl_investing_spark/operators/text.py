@@ -365,3 +365,45 @@ def segment_boilerplate_strip(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def gopher_gate(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    max_top_ratio: float = 0.12,
+    min_distinct_ratio: float = 0.35,
+    max_stopword_ratio: float = 0.5,
+) -> DataFrame:
+    """Gopher-style rule-based document gate: combine the length/stopword
+    features of :func:`quality_score` with the repetition signals of
+    :func:`repetition_ratio` into named pass/fail rules plus an overall
+    verdict — the standard pre-training heuristic filter stage, with the
+    per-rule audit columns a pipeline needs to report WHY documents were
+    dropped (not just how many).
+
+    Scale design: both inputs end partitioned by doc_id (quality is
+    map-only over the doc scan; repetition is one explode + doc-keyed
+    aggregate), so the combining join is a co-partitioned equi-join on
+    the high-cardinality doc id; every rule is a scalar comparison of
+    exact-integer ratios — no UDFs, no extra shuffle beyond the join."""
+    q = quality_score(docs).select("doc_id", "n_tokens", "stopword_ratio")
+    r = repetition_ratio(docs).select(
+        "doc_id", "top_ratio", "distinct_ratio"
+    )
+    flags = q.join(r, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") < min_tokens).alias("too_short"),
+        (F.col("top_ratio") > max_top_ratio).alias("too_repetitive"),
+        (F.col("distinct_ratio") < min_distinct_ratio).alias("low_diversity"),
+        (F.col("stopword_ratio") > max_stopword_ratio).alias("too_stoppy"),
+    )
+    return flags.withColumn(
+        "passes",
+        ~(
+            F.col("too_short")
+            | F.col("too_repetitive")
+            | F.col("low_diversity")
+            | F.col("too_stoppy")
+        ),
+    )

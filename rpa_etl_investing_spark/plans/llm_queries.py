@@ -1263,3 +1263,52 @@ def llm_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_boilerplate_strip(
         tbl(spark, sf_dir, "documents"), seg_words=8, max_df=1
     )
+
+
+@register(
+    "llm_gopher_gate",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    q AS (
+      SELECT doc_id, LEN(t) AS n_tokens,
+             LEN(LIST_FILTER(t, x -> x IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) / LEN(t)
+               AS stopword_ratio
+      FROM tok),
+    ex AS (SELECT doc_id, UNNEST(t) AS token FROM tok),
+    per_tok AS (
+      SELECT doc_id, token, COUNT(*) AS freq FROM ex GROUP BY doc_id, token),
+    r AS (
+      SELECT doc_id,
+             CAST(MAX(freq) AS DOUBLE) / SUM(freq) AS top_ratio,
+             CAST(COUNT(*) AS DOUBLE) / SUM(freq) AS distinct_ratio
+      FROM per_tok GROUP BY doc_id),
+    flags AS (
+      SELECT q.doc_id, CAST(q.n_tokens AS INT) AS n_tokens,
+             q.n_tokens < 20 AS too_short,
+             r.top_ratio > 0.12 AS too_repetitive,
+             r.distinct_ratio < 0.35 AS low_diversity,
+             q.stopword_ratio > 0.5 AS too_stoppy
+      FROM q JOIN r ON q.doc_id = r.doc_id)
+    SELECT *, NOT (too_short OR too_repetitive OR low_diversity OR too_stoppy)
+             AS passes
+    FROM flags
+    """,
+)
+def llm_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+: Gopher-style rule gate — named heuristic pass/fail rules
+    (length, top-token share, distinct-token ratio, stopword share)
+    with per-rule audit columns and an overall verdict
+    (operators/text.py gopher_gate)."""
+    from rpa_etl_investing_spark.operators.text import gopher_gate
+
+    d = tbl(spark, sf_dir, "documents")
+    out = gopher_gate(d)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "too_short",
+        "too_repetitive",
+        "low_diversity",
+        "too_stoppy",
+        "passes",
+    )
