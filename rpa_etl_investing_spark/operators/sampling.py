@@ -87,3 +87,51 @@ def weighted_source_mix(
             thresh
         )
     return df.filter(hash_bucket(key) < thresh)
+
+
+def temperature_mix(
+    df: DataFrame,
+    key: str,
+    source_col: str,
+    size_col: str,
+) -> DataFrame:
+    """Square-root temperature (α=0.5, UniMax-style) source mixing with
+    DATA-DERIVED keep fractions: each source's per-row keep rate is
+    ``sqrt(smallest_source_size / source_size)``, so sampled source mass
+    goes as ``size^0.5`` — big sources are damped toward the small ones
+    instead of drowning them, and the smallest source keeps everything.
+    Returns the input rows that survive, plus ``keep_frac`` and the
+    per-source ``src_size`` for auditing.
+
+    Unlike :func:`weighted_source_mix`, the fractions are computed
+    IN-ENGINE from the data (no driver collect, no hand-tuned weight
+    table): per-source sizes are one tiny aggregate, the global min is a
+    broadcast scalar, and the fraction→hex-threshold conversion happens
+    in the plan, so the whole derivation is a broadcast join on top of
+    the same shuffle-free hash filter. α is fixed at 0.5 because
+    ``sqrt`` is correctly rounded in every IEEE engine — the oracle
+    reproduces the fraction bit-exactly, which a general ``pow(x, α)``
+    (libm-dependent last ulp) could not guarantee.
+    """
+    sizes = df.groupBy(source_col).agg(F.sum(size_col).alias("src_size"))
+    mn = sizes.agg(F.min("src_size").alias("_min_size"))
+    fracs = (
+        sizes.crossJoin(F.broadcast(mn))
+        .withColumn(
+            "keep_frac",
+            F.sqrt(F.col("_min_size").cast("double") / F.col("src_size").cast("double")),
+        )
+        .withColumn("_n16", F.round(F.col("keep_frac") * 65536).cast("int"))
+        .withColumn(
+            "_thr",
+            F.when(F.col("_n16") >= 65536, F.lit("g")).otherwise(
+                F.lower(F.lpad(F.hex(F.col("_n16")), 4, "0"))
+            ),
+        )
+        .select(source_col, "src_size", "keep_frac", "_thr")
+    )
+    return (
+        df.join(F.broadcast(fracs), source_col)
+        .filter(hash_bucket(key) < F.col("_thr"))
+        .drop("_thr")
+    )

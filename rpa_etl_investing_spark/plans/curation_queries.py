@@ -786,3 +786,47 @@ def curation_training_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg_start.cast("long").alias("seg_start"),
         seg_tokens.cast("long").alias("seg_tokens"),
     )
+
+
+@register(
+    "curation_temperature_mix",
+    oracle=f"""
+    WITH sizes AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS src_size
+      FROM documents GROUP BY source),
+    mn AS (SELECT MIN(src_size) AS min_size FROM sizes),
+    fr AS (
+      SELECT source, src_size,
+             SQRT(CAST(min_size AS DOUBLE) / CAST(src_size AS DOUBLE)) AS keep_frac,
+             CAST(ROUND(SQRT(CAST(min_size AS DOUBLE) / CAST(src_size AS DOUBLE))
+                        * 65536) AS INT) AS n16
+      FROM sizes CROSS JOIN mn),
+    thr AS (
+      SELECT source, src_size, keep_frac,
+             CASE WHEN n16 >= 65536 THEN 'g' ELSE printf('%04x', n16) END AS t
+      FROM fr),
+    kept AS (
+      SELECT d.source FROM documents d JOIN thr ON d.source = thr.source
+      WHERE {_BUCKET_SQL} < thr.t)
+    SELECT t.source, t.src_size, t.keep_frac, CAST(k.n AS BIGINT) AS n_kept
+    FROM thr t JOIN (
+      SELECT source, COUNT(*) AS n FROM kept GROUP BY source) k
+      ON t.source = k.source
+    ORDER BY t.source
+    """,
+)
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root temperature source mixing with data-derived keep
+    fractions (operators/sampling.py temperature_mix): per-source char
+    budgets → sqrt damping → in-plan hex thresholds → the standard
+    shuffle-free hash filter; audit of kept counts per source."""
+    from rpa_etl_investing_spark.operators.sampling import temperature_mix
+
+    kept = temperature_mix(
+        tbl(spark, sf_dir, "documents"), "doc_id", "source", "n_chars"
+    )
+    return (
+        kept.groupBy("source", "src_size", "keep_frac")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )

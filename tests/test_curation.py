@@ -344,3 +344,23 @@ def test_segment_boilerplate_strip_planted(spark):
     assert out[2].clean_text == "v1 v2 v3 v4" and out[2].n_kept == 1
     assert out[3].clean_text == "w1 w2 w3 w4"  # unique doc untouched
     assert out[4].clean_text == "" and out[4].n_kept == 0 and out[4].n_segments == 1
+
+
+def test_temperature_mix_damps_by_sqrt_and_keeps_smallest(spark):
+    from rpa_etl_investing_spark.operators.sampling import temperature_mix
+
+    # Source 'big' is 16x the size of 'small' → keep_frac sqrt(1/16)=0.25;
+    # the smallest source must be kept in full (threshold 'g' keeps every
+    # bucket).
+    rows = [(i, "small", 10) for i in range(50)] + [
+        (1000 + i, "big", 10) for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    kept = temperature_mix(df, "doc_id", "source", "n_chars")
+    by_src = {r["source"]: r for r in
+              kept.groupBy("source", "keep_frac").count().collect()}
+    assert by_src["small"]["keep_frac"] == 1.0
+    assert by_src["small"]["count"] == 50
+    assert by_src["big"]["keep_frac"] == 0.25
+    # hash filter is uniform: kept count concentrates near 800*0.25=200
+    assert 140 <= by_src["big"]["count"] <= 260
