@@ -407,3 +407,52 @@ def gopher_gate(
             | F.col("too_stoppy")
         ),
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-substring discovery — the find stage of
+    exact-substring deduplication (the "train-data repeated 50-grams"
+    pipeline pass): every maximal token span whose 3-grams ALL occur in
+    at least ``min_docs`` distinct documents, reported per document as
+    ``(doc_id, span_start, span_tokens)`` so a later pass can excise
+    (not drop) the duplicated stretch. The same gaps-and-islands merge
+    as span decontamination, but against the corpus itself instead of a
+    broadcast benchmark.
+
+    Scale design: positions come from one JVM-side posexplode; the
+    duplicated-shingle set is corpus-sized, so it is NOT broadcast —
+    the probe is a key-partitioned equi-join on the shingle (both sides
+    shuffle compact (shingle, id, pos) rows once), unlike the benchmark
+    variant where the small side broadcasts. The island merge windows
+    over HIT positions only, partitioned by the high-cardinality doc
+    id. At 100 TB, swap the raw shingle join key for its 8-byte
+    xxhash64 to shrink shuffle width — semantics unchanged."""
+    from pyspark.sql.window import Window as W
+
+    from rpa_etl_investing_spark.operators.dedup import shingles, spread
+
+    pos = spread(docs, id_col).select(
+        id_col, F.posexplode(shingles(text_col)).alias("i", "sh")
+    )
+    dup = (
+        pos.groupBy("sh")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("sh")
+    )
+    hit = pos.join(dup, "sh").select(id_col, "i")
+    w = W.partitionBy(id_col).orderBy("i")
+    return (
+        hit.withColumn("grp", F.col("i") - F.row_number().over(w))
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("i").cast("long").alias("span_start"),
+            (F.max("i") - F.min("i") + F.lit(3)).cast("long").alias("span_tokens"),
+        )
+        .drop("grp")
+    )

@@ -1312,3 +1312,37 @@ def llm_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "too_stoppy",
         "passes",
     )
+
+
+@register(
+    "llm_repeated_spans",
+    oracle="""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    pos AS (
+      SELECT doc_id, p - 1 AS i, t[p] || ' ' || t[p+1] || ' ' || t[p+2] AS sh
+      FROM (SELECT doc_id, t, UNNEST(RANGE(1, LEN(t) - 1)) AS p
+            FROM tok WHERE LEN(t) >= 3)),
+    dup AS (
+      SELECT sh FROM pos GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+    hit AS (SELECT doc_id, i FROM pos JOIN dup USING (sh)),
+    isl AS (
+      SELECT doc_id, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM hit)
+    SELECT doc_id,
+           CAST(MIN(i) AS BIGINT) AS span_start,
+           CAST(MAX(i) - MIN(i) + 3 AS BIGINT) AS span_tokens
+    FROM isl
+    GROUP BY doc_id, grp
+    """,
+)
+def llm_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+: cross-document repeated-substring discovery — maximal token
+    spans whose 3-grams all appear in ≥2 distinct documents, merged
+    gaps-and-islands per doc (operators/text.py repeated_spans). The
+    self-corpus counterpart of ``llm_contamination_spans``: feed for an
+    excision pass that removes duplicated stretches without dropping
+    documents."""
+    from rpa_etl_investing_spark.operators.text import repeated_spans
+
+    return repeated_spans(tbl(spark, sf_dir, "documents"), min_docs=2)
