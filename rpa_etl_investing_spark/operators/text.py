@@ -456,3 +456,63 @@ def repeated_spans(
         )
         .drop("grp")
     )
+
+
+def excise_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Surgical span excision — the apply stage that pairs with
+    :func:`repeated_spans` / span decontamination: given per-document
+    token spans ``(id, span_start, span_tokens)``, remove exactly those
+    token positions and reassemble the remaining text in order.
+    Returns ``(doc_id, n_tokens_before, n_tokens_removed, clean_text)``
+    for every input document (documents with no spans pass through
+    untouched; a fully-covered document survives with empty text).
+
+    Scale design: the drop set explodes spans into (id, position) pairs
+    — sized by total span length, not corpus length; the kept-token
+    anti join and the reassembly both key on the high-cardinality doc
+    id. Token positions come from one posexplode; nothing is ever
+    compared all-pairs. The reassembly groupBy is the one text-bearing
+    shuffle, inherent to reconstruction."""
+    toks = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("i", "tok")
+    )
+    drop = spans.select(
+        id_col,
+        F.explode(
+            F.sequence(
+                F.col("span_start"),
+                F.col("span_start") + F.col("span_tokens") - 1,
+            )
+        ).alias("i"),
+    ).distinct()
+    kept = toks.join(drop, [id_col, "i"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = docs.select(
+        id_col,
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens_before"),
+    )
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens_before",
+            (
+                F.col("n_tokens_before") - F.coalesce("n_tokens_kept", F.lit(0))
+            ).alias("n_tokens_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

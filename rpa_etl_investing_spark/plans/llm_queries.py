@@ -1346,3 +1346,62 @@ def llm_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rpa_etl_investing_spark.operators.text import repeated_spans
 
     return repeated_spans(tbl(spark, sf_dir, "documents"), min_docs=2)
+
+
+@register(
+    "llm_decontaminated_corpus",
+    oracle="""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    bench AS (
+      SELECT DISTINCT t[p] || ' ' || t[p+1] || ' ' || t[p+2] AS sh
+      FROM (SELECT doc_id, t, UNNEST(RANGE(1, LEN(t) - 1)) AS p
+            FROM tok WHERE doc_id < 10 AND LEN(t) >= 3)),
+    pos AS (
+      SELECT doc_id, p - 1 AS i, t[p] || ' ' || t[p+1] || ' ' || t[p+2] AS sh
+      FROM (SELECT doc_id, t, UNNEST(RANGE(1, LEN(t) - 1)) AS p
+            FROM tok WHERE doc_id >= 10 AND LEN(t) >= 3)),
+    hit AS (SELECT doc_id, i FROM pos JOIN bench USING (sh)),
+    isl AS (
+      SELECT doc_id, i,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM hit),
+    spans AS (
+      SELECT doc_id, MIN(i) AS span_start, MAX(i) - MIN(i) + 3 AS span_tokens
+      FROM isl GROUP BY doc_id, grp),
+    toks AS (
+      SELECT doc_id, p - 1 AS i, t[p] AS tok
+      FROM (SELECT doc_id, t, UNNEST(RANGE(1, LEN(t) + 1)) AS p
+            FROM tok WHERE doc_id >= 10)),
+    drop_pos AS (
+      SELECT DISTINCT s.doc_id, s.span_start + g.o AS i
+      FROM spans s,
+      LATERAL (SELECT UNNEST(RANGE(s.span_tokens)) AS o) g),
+    kept AS (
+      SELECT tk.doc_id, tk.i, tk.tok
+      FROM toks tk LEFT JOIN drop_pos d
+        ON tk.doc_id = d.doc_id AND tk.i = d.i
+      WHERE d.doc_id IS NULL),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             STRING_AGG(tok, ' ' ORDER BY i) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(LEN(c.t) AS BIGINT) AS n_tokens_before,
+           CAST(LEN(c.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM (SELECT doc_id, t FROM tok WHERE doc_id >= 10) c
+    LEFT JOIN agg a ON c.doc_id = a.doc_id
+    """,
+)
+def llm_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+: surgical decontamination — the spans found by
+    ``llm_contamination_spans`` excised from each corpus document, which
+    keeps the document while removing exactly the benchmark-overlapping
+    stretch (operators/text.py excise_spans over the span finder's
+    output)."""
+    from rpa_etl_investing_spark.operators.text import excise_spans
+    from rpa_etl_investing_spark.plans.registry import QUERIES
+
+    corpus = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") >= 10)
+    spans = QUERIES["llm_contamination_spans"].fn(spark, sf_dir)
+    return excise_spans(corpus, spans)

@@ -103,3 +103,22 @@ def test_gap_fill_derived_bounds_equal_literal_bounds(spark, sf_dir):
     assert derived == literal
     days = {r[1] for r in derived}
     assert min(days) == lo and max(days) == hi
+
+
+def test_excise_spans_overlap_full_and_none(spark):
+    from rpa_etl_investing_spark.operators.text import excise_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z"), (3, "p q r s")],
+        "doc_id long, text string",
+    )
+    # doc 1: overlapping spans [1,3] and [2,4] → remove positions 1-4;
+    # doc 2: span covers everything; doc 3: no spans.
+    spans = spark.createDataFrame(
+        [(1, 1, 3), (1, 2, 3), (2, 0, 3)],
+        "doc_id long, span_start long, span_tokens long",
+    )
+    out = {r.doc_id: r for r in excise_spans(docs, spans).collect()}
+    assert out[1].clean_text == "a f" and out[1].n_tokens_removed == 4
+    assert out[2].clean_text == "" and out[2].n_tokens_removed == 3
+    assert out[3].clean_text == "p q r s" and out[3].n_tokens_removed == 0
