@@ -59,6 +59,13 @@ MULTI_SF_NAMES = [
     "llm_minhash_bucket_audit",
     "agg_percentiles_exact_distributed",
     "agg_percentiles_exact_grouped_distributed",
+    # r4 widening: cell-assignment + pairwise cosines (semantic dedup),
+    # sqrt-derived keep fractions with hex-threshold rounding
+    # (temperature mix), and the gate's ratio comparisons against
+    # literal thresholds (gopher gate)
+    "llm_semantic_dedup",
+    "curation_temperature_mix",
+    "llm_gopher_gate",
 ]
 
 
