@@ -159,3 +159,39 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_with_region,
+           CAST(2 AS BIGINT) AS n_batches
+    FROM nation
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: schema evolution across ingest batches — batch 1 was written
+    before the ``n_regionkey`` column existed, batch 2 after; a
+    ``mergeSchema`` scan over both directories reconciles to the union
+    schema (old rows read as NULL) while directory-style ``batch=N``
+    paths become a discovered partition column.
+
+    Scale note: ``mergeSchema`` reads every file footer at planning
+    time; at petabyte file counts pin the evolved schema explicitly
+    (or from a catalog) and keep partition discovery — the query shape
+    (union schema + NULL backfill + partition column) is unchanged."""
+    path = scratch_dir(_sf_tag(sf_dir), "nation_evolving")
+    nation = tbl(spark, sf_dir, "nation")
+    nation.select("n_nationkey", "n_name").write.mode("overwrite").parquet(
+        f"{path}/batch=1"
+    )
+    nation.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_regionkey").alias("n_with_region"),
+        F.countDistinct("batch").alias("n_batches"),
+    )

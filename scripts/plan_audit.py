@@ -64,6 +64,10 @@ EXTRAS = {
     "llm_semantic_dedup": "SemDeDup: broadcast quantizer argmax + cell-id equi-join pairs + id-only anti join",
     "llm_segment_boilerplate": "segment df on md5 digests; text shuffles only in the final per-doc reassembly",
     "stream_interval_join": "equi-key hash join with bounded time-range residual — the stream-stream state-expiry shape",
+    "llm_repeated_spans": "corpus-duplicated shingles NOT broadcast: key-partitioned probe join, islands window over hits only",
+    "llm_decontaminated_corpus": "span drop-set explode sized by span mass; anti join + doc-keyed reassembly",
+    "llm_gopher_gate": "co-partitioned doc_id join of map-only features with the repetition aggregate; rules fold map-side",
+    "curation_temperature_mix": "in-engine fraction derivation: tiny source agg + broadcast min + hash filter, no driver collect",
 }
 
 
