@@ -830,3 +830,110 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .orderBy("source")
     )
+
+
+# DSIR importance weighting (operators/importance.py): the per-doc CTEs
+# mirror dsir_quantized_logratios exactly — same 2-hex-char buckets,
+# same smoothing parenthesization (so libm ln sees identical doubles),
+# same 1e-6 quantization, exact BIGINT reductions thereafter.
+_HEX16_DOC = (
+    "("
+    + " + ".join(
+        f"(STRPOS('0123456789abcdef', SUBSTR(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+        f" * {16 ** (4 - i)}"
+        for i in range(1, 5)
+    )
+    + ")"
+)
+
+_DSIR_CTES = """
+    tokd AS (
+      SELECT doc_id, (lang = 'en') AS is_target,
+             UNNEST(STRING_SPLIT(text, ' ')) AS tok
+      FROM documents),
+    bt AS (SELECT doc_id, is_target, SUBSTR(md5(tok), 1, 2) AS bucket FROM tokd),
+    bs AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_cnt,
+             SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS r_cnt
+      FROM bt GROUP BY bucket),
+    tot AS (SELECT CAST(SUM(t_cnt) AS BIGINT) AS tt,
+                   CAST(SUM(r_cnt) AS BIGINT) AS rt FROM bs),
+    lr AS (
+      SELECT bucket,
+             CAST(FLOOR(1000000.0 * LN(((t_cnt + 1.0) / (tt + 256.0))
+                                       * ((rt + 256.0) / (r_cnt + 1.0)))
+                        + 0.5) AS BIGINT) AS qlr
+      FROM bs CROSS JOIN tot),
+    dc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM bt GROUP BY doc_id, bucket),
+    w AS (
+      SELECT dc.doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(SUM(c * qlr) AS BIGINT) AS q_weight
+      FROM dc JOIN lr USING (bucket)
+      GROUP BY dc.doc_id)
+"""
+
+
+@register(
+    "curation_dsir_weights",
+    oracle=f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, n_tokens, q_weight,
+           q_weight / 1000000.0 AS dsir_weight
+    FROM w
+    """,
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (arXiv:2302.03169): hashed bag-of-words
+    log likelihood ratio of target (lang='en') vs raw model per
+    document, on the exact-integer grid (operators/importance.py has
+    the parity + 100 TB shape analysis)."""
+    from rpa_etl_investing_spark.operators.importance import dsir_weights
+
+    docs = tbl(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("lang") == "en").select(
+        "doc_id", "n_tokens", "q_weight", "dsir_weight"
+    )
+
+
+@register(
+    "curation_dsir_sample",
+    oracle=f"""
+    WITH {_DSIR_CTES},
+    g AS (
+      SELECT doc_id, q_weight,
+             CAST(FLOOR(1000000.0 *
+                        (-LN(-LN(({_HEX16_DOC} + 0.5) / 65536.0)))
+                        + 0.5) AS BIGINT) AS qg
+      FROM w)
+    SELECT doc_id,
+           q_weight / 1000000.0 AS dsir_weight,
+           CAST(q_weight + qg AS BIGINT) AS q_key
+    FROM g
+    ORDER BY q_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def curation_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k importance resampling over the DSIR weights:
+    selection probability ∝ exp(weight), yet fully deterministic — the
+    Gumbel draw is a pure function of doc_id and the sort key is an
+    exact integer, so reruns and engines agree row-for-row. Top-k is
+    a TakeOrderedAndProject (no global sort materialization)."""
+    from rpa_etl_investing_spark.operators.importance import (
+        dsir_weights,
+        gumbel_quantized,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    w = dsir_weights(docs, F.col("lang") == "en")
+    return (
+        w.withColumn(
+            "q_key",
+            (F.col("q_weight") + gumbel_quantized(F.col("doc_id"))).cast("bigint"),
+        )
+        .select("doc_id", "dsir_weight", "q_key")
+        .orderBy(F.desc("q_key"), "doc_id")
+        .limit(100)
+    )

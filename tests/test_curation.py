@@ -364,3 +364,50 @@ def test_temperature_mix_damps_by_sqrt_and_keeps_smallest(spark):
     assert by_src["big"]["keep_frac"] == 0.25
     # hash filter is uniform: kept count concentrates near 800*0.25=200
     assert 140 <= by_src["big"]["count"] <= 260
+
+
+def test_dsir_weights_separate_target_from_raw(spark, sf_dir):
+    """The point of DSIR: documents drawn from the target distribution
+    should, on average, score higher under the target/raw likelihood
+    ratio than raw documents do. With the fixture's shared vocabulary the
+    gap is small but the SIGN of the mean difference must be right."""
+    from rpa_etl_investing_spark.operators.importance import dsir_weights
+
+    docs = tbl(spark, sf_dir, "documents")
+    w = dsir_weights(docs, F.col("lang") == "en").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    rows = w.groupBy(F.col("lang") == "en").agg(
+        (F.sum("q_weight") / F.sum("n_tokens")).alias("per_token")
+    ).collect()
+    per = {r[0]: r["per_token"] for r in rows}
+    assert per[True] > per[False], per
+
+
+def test_dsir_weights_stable_under_repartition(spark, sf_dir):
+    """Exact-integer accumulation ⇒ partitioning can't move a weight."""
+    from rpa_etl_investing_spark.operators.importance import dsir_weights
+
+    docs = tbl(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["q_weight"] for r in dsir_weights(docs, F.col("lang") == "en").collect()}
+    b = {
+        r["doc_id"]: r["q_weight"]
+        for r in dsir_weights(docs.repartition(17, "source"), F.col("lang") == "en").collect()
+    }
+    assert a == b
+
+
+def test_gumbel_key_is_pure_function_of_doc_id(spark, sf_dir):
+    """Resampling must be rerun-stable: the perturbation depends only on
+    the key, never on partitioning, session, or time."""
+    from rpa_etl_investing_spark.operators.importance import gumbel_quantized
+
+    docs = tbl(spark, sf_dir, "documents")
+    a = docs.select("doc_id", gumbel_quantized(F.col("doc_id")).alias("g"))
+    b = docs.repartition(13).select("doc_id", gumbel_quantized(F.col("doc_id")).alias("g"))
+    assert {(r["doc_id"], r["g"]) for r in a.collect()} == {
+        (r["doc_id"], r["g"]) for r in b.collect()
+    }
+    # Gumbel(0,1) draws concentrate in [-2, 12] for 16-bit u granularity
+    lo, hi = a.agg(F.min("g"), F.max("g")).first()
+    assert lo >= -2_000_000 and hi <= 12_000_000, (lo, hi)

@@ -66,6 +66,11 @@ MULTI_SF_NAMES = [
     "llm_semantic_dedup",
     "curation_temperature_mix",
     "llm_gopher_gate",
+    # r4 DSIR family: the only transcendental in the repo's selection
+    # path (libm ln, quantized per bucket) — must stay grid-stable at
+    # every fixture scale
+    "curation_dsir_weights",
+    "curation_dsir_sample",
 ]
 
 
