@@ -516,3 +516,25 @@ def excise_spans(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+# Characters a web-scraped corpus drags in that tokenizers choke on:
+# C0 controls, DEL, NBSP, zero-width joiners/space, BOM. Java regex and
+# RE2 both accept the \x{...} escape, so ONE pattern string serves the
+# Spark expression and the DuckDB oracle verbatim.
+JUNK_CHAR_CLASS = r"[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}\x{00A0}\x{200B}-\x{200D}\x{FEFF}]"
+
+
+def normalize_text(col):
+    """Whitespace/control-char normalization for scraped text: junk chars →
+    space, tab/newline → space, runs collapsed, ends trimmed.
+
+    Pure per-row projection (regexp_replace chain) — no shuffle, fully
+    pipelined into the scan, whole-stage-codegen'd; at 100 TB this is
+    the cheapest possible shape (one pass, no state). Expressed with
+    built-ins only so Catalyst keeps pushdown/pruning through it.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(c, JUNK_CHAR_CLASS, " ")
+    cleaned = F.regexp_replace(cleaned, r"[\t\n\r]", " ")
+    return F.trim(F.regexp_replace(cleaned, " {2,}", " "))

@@ -1405,3 +1405,104 @@ def llm_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") >= 10)
     spans = QUERIES["llm_contamination_spans"].fn(spark, sf_dir)
     return excise_spans(corpus, spans)
+
+
+@register(
+    "llm_text_normalize",
+    oracle=r"""
+    WITH dirty AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 7 = 0
+                    THEN chr(160) || text || chr(9) || chr(9)
+                  WHEN doc_id % 5 = 0
+                    THEN REPLACE(text, ' ', ' ' || chr(8203) || ' ')
+                  ELSE text END AS raw
+      FROM documents),
+    cleaned AS (
+      SELECT doc_id, text, raw,
+             TRIM(regexp_replace(regexp_replace(regexp_replace(raw,
+                  '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}\x{00A0}\x{200B}-\x{200D}\x{FEFF}]',
+                  ' ', 'g'),
+                  '[\t\n\r]', ' ', 'g'),
+                  ' {2,}', ' ', 'g')) AS clean_text
+      FROM dirty)
+    SELECT doc_id,
+           (raw <> clean_text) AS changed,
+           CAST(LENGTH(raw) AS BIGINT) AS n_raw,
+           CAST(LENGTH(clean_text) AS BIGINT) AS n_clean,
+           (clean_text = text) AS roundtrip_ok,
+           clean_text
+    FROM cleaned
+    """,
+)
+def llm_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+: scraped-text normalization (operators/text.py
+    normalize_text): NBSP/zero-width/control chars → space, whitespace
+    runs collapsed, ends trimmed. The fixture is clean ASCII, so the
+    query first seeds deterministic dirt (NBSP + tabs on doc_id%7,
+    zero-width spaces on doc_id%5) and asserts the cleaner restores the
+    original text exactly (``roundtrip_ok``). One map-only projection —
+    no shuffle, codegen'd end to end."""
+    from rpa_etl_investing_spark.operators.text import normalize_text
+
+    docs = tbl(spark, sf_dir, "documents")
+    dirty = docs.withColumn(
+        "raw",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("\u00a0"), F.col("text"), F.lit("\t\t")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.replace(F.col("text"), F.lit(" "), F.lit(" \u200b ")),
+        )
+        .otherwise(F.col("text")),
+    )
+    clean = dirty.withColumn("clean_text", normalize_text(F.col("raw")))
+    return clean.select(
+        "doc_id",
+        (F.col("raw") != F.col("clean_text")).alias("changed"),
+        F.length("raw").cast("bigint").alias("n_raw"),
+        F.length("clean_text").cast("bigint").alias("n_clean"),
+        (F.col("clean_text") == F.col("text")).alias("roundtrip_ok"),
+        "clean_text",
+    )
+
+
+@register(
+    "llm_stop_tokens",
+    oracle="""
+    WITH ex AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ex),
+    cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ FROM ex GROUP BY token)
+    SELECT token, n_occ,
+           CAST(FLOOR(1e10 * (n_occ / n) + 0.5) AS BIGINT) AS q_share
+    FROM cnt CROSS JOIN tot
+    WHERE n_occ * 100 >= n
+    ORDER BY n_occ DESC, token
+    """,
+)
+def llm_stop_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+: corpus heavy hitters — tokens whose global share is ≥ 1%,
+    the data-derived stop-token list that the df-cap skew guards
+    (ngram_jaccard max_df) and boilerplate strippers consume. Exact:
+    the share threshold is an integer comparison (n_occ·100 ≥ total)
+    and the reported share is quantized to the 1e-10 grid. One explode
+    + hash aggregate with map-side partials; the total rides along as a
+    1-row broadcast — no driver collect."""
+    docs = tbl(spark, sf_dir, "documents")
+    ex = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    tot = ex.agg(F.count("*").cast("bigint").alias("n"))
+    cnt = ex.groupBy("token").agg(F.count("*").cast("bigint").alias("n_occ"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_occ") * 100 >= F.col("n"))
+        .select(
+            "token",
+            "n_occ",
+            F.floor(F.lit(1e10) * (F.col("n_occ") / F.col("n")) + F.lit(0.5))
+            .cast("bigint")
+            .alias("q_share"),
+        )
+        .orderBy(F.desc("n_occ"), "token")
+    )

@@ -122,3 +122,23 @@ def test_excise_spans_overlap_full_and_none(spark):
     assert out[1].clean_text == "a f" and out[1].n_tokens_removed == 4
     assert out[2].clean_text == "" and out[2].n_tokens_removed == 3
     assert out[3].clean_text == "p q r s" and out[3].n_tokens_removed == 0
+
+
+def test_normalize_text_edge_cases(spark):
+    """Control chars, NBSP, zero-width chars, mixed whitespace runs,
+    all-junk strings, and already-clean strings."""
+    from rpa_etl_investing_spark.operators.text import normalize_text
+
+    cases = [
+        ("a\u00a0b", "a b"),
+        ("a\u200b\u200c\u200db", "a b"),  # zero-width run -> one space
+        ("  a\t\tb\r\nc  ", "a b c"),
+        ("\u0001\u0002 \u007f", ""),  # all junk collapses to empty
+        ("\ufeffbom", "bom"),
+        ("already clean", "already clean"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(cases, "raw string, expected string")
+    out = df.select("raw", "expected", normalize_text("raw").alias("got"))
+    bad = out.filter(F.col("got") != F.col("expected")).collect()
+    assert not bad, [(r["raw"], r["got"], r["expected"]) for r in bad]
