@@ -195,3 +195,52 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n_regionkey").alias("n_with_region"),
         F.countDistinct("batch").alias("n_batches"),
     )
+
+
+@register(
+    "source_binaryfile_meta",
+    oracle="""
+    SELECT 'nation_' || n_nationkey || '.bin' AS file_name,
+           CAST(LENGTH(n_name || ':' || n_nationkey) AS BIGINT) AS n_bytes,
+           hex(n_name || ':' || n_nationkey) AS content_hex
+    FROM nation
+    ORDER BY file_name
+    """,
+)
+def source_binaryfile_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+: the ``binaryFile`` datasource — the ingestion boundary for
+    multimodal corpora (images/audio land as whole-file ``binary`` rows
+    with path/length metadata, then flow into the mapInPandas decode
+    stage, multimodal/binary_ops.py). The query materializes one small
+    file per nation row (fixed 25-row dim at every sf — the oracle can
+    recompute the bytes from the table), scans them back with
+    ``format("binaryFile")``, and must reproduce path, byte length, and
+    the exact content bytes.
+
+    Scale shape: binaryFile is a real FileFormat — distributed listing,
+    one partition per (group of) files via maxPartitionBytes, column
+    pruning (dropping ``content`` prunes the read to a stat-only scan).
+    At 100 TB the files come from object storage; the driver-side write
+    here is fixture scaffolding only (25 tiny files), not the operator.
+    """
+    path = os.path.dirname(scratch_dir("binaryfile_src", "files"))
+    rows = (
+        tbl(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .collect()  # fixed 25-row dim: scaffolding write, not the scan
+    )
+    os.makedirs(path, exist_ok=True)
+    for r in rows:
+        payload = f"{r['n_name']}:{r['n_nationkey']}".encode()
+        with open(os.path.join(path, f"nation_{r['n_nationkey']}.bin"), "wb") as fh:
+            fh.write(payload)
+    scanned = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return scanned.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.hex(F.col("content")).alias("content_hex"),
+    ).orderBy("file_name")
