@@ -542,3 +542,31 @@ def test_segment_boilerplate_df_count_is_hash_on_digest(spark, sf_dir):
     plan = _plan(df)
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_logratio_table_is_broadcast(spark, sf_dir):
+    """The 256-row bucket log-ratio table must join the per-doc counts
+    as a broadcast, and the smoothing totals must ride as a 1-row
+    broadcast scalar — no sort-merge anywhere in the weights plan."""
+    plan = _plan(QUERIES["curation_dsir_weights"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row totals
+
+
+def test_dsir_sample_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(QUERIES["curation_dsir_sample"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_text_normalize_is_map_only(spark, sf_dir):
+    """normalize_text must stay a shuffle-free codegen'd projection."""
+    plan = _plan(QUERIES["llm_text_normalize"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert plan.lstrip().startswith("*"), plan  # whole-stage codegen'd
+
+
+def test_stop_tokens_total_is_broadcast_scalar(spark, sf_dir):
+    plan = _plan(QUERIES["llm_stop_tokens"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
