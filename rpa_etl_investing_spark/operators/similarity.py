@@ -538,3 +538,73 @@ def semantic_dedup(
         .distinct()
     )
     return cells.join(losers, id_col, "left_anti").select(id_col, "cell_id")
+
+
+def cluster_label_profile(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-cluster composition audit: assign every vector to its nearest
+    centroid (the IVF coarse quantizer) and report, per cell, the size,
+    distinct-label count, majority label, and quantized Gini impurity —
+    the standard "is my embedding space organized?" diagnostic before
+    trusting cluster-level curation decisions (SemDeDup cells, IVF
+    probes, balanced sampling strata).
+
+    Gini = 1 − Σ p_l² is computed as (Σ c_l²)/n/n with exact integer
+    c_l and two IEEE divisions (never n² — which would overflow BIGINT
+    for cells past ~3e9 rows), then quantized to the 1e-10 grid, so
+    both engines emit identical bits. Σ c_l² itself stays exact below
+    2⁵³ — i.e. cells up to ~9e7 rows of a single label; beyond that the
+    low bits of a double sum are already meaningless and the audit is
+    per-cell approximate anyway.
+
+    Scale shape: centroids broadcast, assignment is map-side scoring +
+    per-vector argmax (no corpus cross join), then two hash aggregates
+    over (cell, label) — at most |cells|·|labels| rows ever shuffle.
+    """
+    from pyspark.sql.window import Window as W
+
+    assigned = ivf_assign_cells(vectors, centroids, id_col, vec_col, nprobe=1)
+    labels = vectors.select(id_col, label_col)
+    cl = (
+        assigned.select(id_col, "cell_id")
+        .join(labels, id_col)
+        .groupBy("cell_id", label_col)
+        .agg(F.count("*").alias("c"))
+    )
+    stats = cl.groupBy("cell_id").agg(
+        F.sum("c").cast("bigint").alias("n_vectors"),
+        F.count("*").cast("bigint").alias("n_labels"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
+    )
+    w = W.partitionBy("cell_id").orderBy(F.desc("c"), F.asc(label_col))
+    maj = (
+        cl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cell_id",
+            F.col(label_col).alias("majority_label"),
+            F.col("c").cast("bigint").alias("majority_cnt"),
+        )
+    )
+    return stats.join(maj, "cell_id").select(
+        "cell_id",
+        "n_vectors",
+        "n_labels",
+        "majority_label",
+        "majority_cnt",
+        F.floor(
+            F.lit(1e10)
+            * (
+                F.lit(1.0)
+                - F.col("sum_sq").cast("double") / F.col("n_vectors") / F.col("n_vectors")
+            )
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("gini_q"),
+    )

@@ -1506,3 +1506,45 @@ def llm_stop_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_occ"), "token")
     )
+
+
+@register(
+    "llm_cluster_profile",
+    oracle=f"""
+    WITH cent0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+    assign0 AS (
+      SELECT vec_id, label, centroid_id AS cell_id FROM (
+        SELECT v.vec_id, v.label, c.vec_id AS centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_cos_sql("v.embedding", "c.embedding")} DESC,
+                                           c.vec_id) AS rn
+        FROM embeddings v CROSS JOIN cent0 c)
+      WHERE rn = 1),
+    cl AS (SELECT cell_id, label, COUNT(*) AS c FROM assign0 GROUP BY cell_id, label),
+    stats AS (
+      SELECT cell_id,
+             CAST(SUM(c) AS BIGINT) AS n_vectors,
+             CAST(COUNT(*) AS BIGINT) AS n_labels,
+             CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      FROM cl GROUP BY cell_id),
+    maj AS (
+      SELECT cell_id, label AS majority_label, CAST(c AS BIGINT) AS majority_cnt
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cell_id
+                                         ORDER BY c DESC, label) AS rn FROM cl)
+      WHERE rn = 1)
+    SELECT s.cell_id, n_vectors, n_labels, majority_label, majority_cnt,
+           CAST(FLOOR(1e10 * (1.0 - CAST(sum_sq AS DOUBLE) / n_vectors / n_vectors)
+                      + 0.5) AS BIGINT) AS gini_q
+    FROM stats s JOIN maj USING (cell_id)
+    """,
+)
+def llm_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+: cluster composition audit over the IVF coarse cells — size,
+    label diversity, majority label, quantized Gini impurity per cell
+    (operators/similarity.py cluster_label_profile). Same seed
+    centroids as the registered IVF query (vec_id < 8), so the two
+    views describe the same partitioning of the space."""
+    from rpa_etl_investing_spark.operators.similarity import cluster_label_profile
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return cluster_label_profile(emb, emb.filter(F.col("vec_id") < 8))

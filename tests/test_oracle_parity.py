@@ -71,6 +71,8 @@ MULTI_SF_NAMES = [
     # every fixture scale
     "curation_dsir_weights",
     "curation_dsir_sample",
+    # r4: cosine cell assignment feeding integer label stats
+    "llm_cluster_profile",
 ]
 
 
