@@ -226,3 +226,61 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          - F.unix_timestamp(F.col("ts").cast("timestamp"))).alias("lag_seconds"),
         F.col("p_value").alias("purchase_value"),
     )
+
+
+@register(
+    "stream_upsert_journal",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_upsert_journal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6+: exactly-once sink pattern — update-mode per-user counts
+    journaled by a foreachBatch writer into batch_id-named partitions
+    (replay overwrites, never duplicates), compacted latest-per-key on
+    read (streaming/sinks.py). The fixture is split into three chunk
+    files and streamed with maxFilesPerTrigger=1 so the journal really
+    sees multiple batches; the compacted state must equal the plain
+    batch GROUP BY (the oracle)."""
+    import os
+    import shutil
+    import uuid
+
+    from rpa_etl_investing_spark.sources import scratch_dir
+    from rpa_etl_investing_spark.streaming import (
+        compact_journal,
+        journal_upsert_sink,
+    )
+
+    base = scratch_dir(
+        os.path.basename(os.path.normpath(sf_dir)), "upsert_journal", "x"
+    )
+    # fresh run dir per call (a reused checkpoint would skip the files it
+    # already processed); the previous call's tree is reaped here instead
+    # of at return, so the result can stay a lazy DataFrame
+    shutil.rmtree(base, ignore_errors=True)
+    run_dir = os.path.join(base, uuid.uuid4().hex)
+    chunks_dir = os.path.join(run_dir, "chunks")
+    events = tbl(spark, sf_dir, "events").select("event_id", "user_id")
+    events.withColumn(
+        "chunk", (F.col("event_id") % 3).cast("int")
+    ).coalesce(1).write.partitionBy("chunk").parquet(chunks_dir)
+
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, chunk int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks_dir)
+        .drop("chunk")
+    )
+    agg = stream.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    sink_dir = os.path.join(run_dir, "journal")
+    q = journal_upsert_sink(agg, sink_dir, os.path.join(run_dir, "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return compact_journal(spark, sink_dir, ["user_id"]).select(
+        "user_id", F.col("n_events").cast("bigint").alias("n_events")
+    )

@@ -9,6 +9,10 @@ tests/test_streaming.py).
 """
 
 from rpa_etl_investing_spark.streaming.joins import interval_join
+from rpa_etl_investing_spark.streaming.sinks import (
+    compact_journal,
+    journal_upsert_sink,
+)
 from rpa_etl_investing_spark.streaming.stateful import running_user_totals
 from rpa_etl_investing_spark.streaming.windows import (
     dedup_first_event,
@@ -19,7 +23,9 @@ from rpa_etl_investing_spark.streaming.windows import (
 )
 
 __all__ = [
+    "compact_journal",
     "interval_join",
+    "journal_upsert_sink",
     "running_user_totals",
     "tumbling_window_counts",
     "sliding_window_counts",

@@ -251,3 +251,66 @@ def test_streaming_ohlc_resample_matches_batch_sf01(spark, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_foreach_batch_journal_restart_is_idempotent(spark, sf_dir, tmp_path):
+    """The exactly-once property of the batch_id journal: stop the
+    stream mid-input, restart from the SAME checkpoint with more data,
+    and restart once more with nothing new — the compacted state must
+    equal the plain batch aggregate after the second phase and must not
+    change on the empty restart (no duplicated or re-appended batches)."""
+    import os
+
+    from rpa_etl_investing_spark.streaming import (
+        compact_journal,
+        journal_upsert_sink,
+    )
+
+    events = tbl(spark, sf_dir, "events").select("event_id", "user_id")
+    chunks = tmp_path / "chunks"
+    events.withColumn("chunk", (F.col("event_id") % 3).cast("int")).coalesce(
+        1
+    ).write.partitionBy("chunk").parquet(str(chunks))
+    # phase 1: only chunks 0 and 1 visible
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    for c in (0, 1):
+        (staged / f"chunk={c}").symlink_to(chunks / f"chunk={c}")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("event_id bigint, user_id bigint, chunk int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(staged))
+            .drop("chunk")
+        )
+        agg = stream.groupBy("user_id").agg(F.count("*").alias("n_events"))
+        q = journal_upsert_sink(agg, str(tmp_path / "journal"), str(tmp_path / "ckpt"))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_stream()
+    # phase 2: the remaining chunk arrives; restart from the checkpoint
+    (staged / "chunk=2").symlink_to(chunks / "chunk=2")
+    run_stream()
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in compact_journal(spark, str(tmp_path / "journal"), ["user_id"]).collect()
+    }
+    expected = {
+        (r["user_id"], r["n_events"])
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n_events")).collect()
+    }
+    assert got == expected
+    # phase 3: restart with no new data — journal must be unchanged
+    before = sorted(os.listdir(tmp_path / "journal"))
+    run_stream()
+    after = sorted(os.listdir(tmp_path / "journal"))
+    assert before == after
+    got2 = {
+        (r["user_id"], r["n_events"])
+        for r in compact_journal(spark, str(tmp_path / "journal"), ["user_id"]).collect()
+    }
+    assert got2 == expected
