@@ -244,3 +244,49 @@ def source_binaryfile_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.hex(F.col("content")).alias("content_hex"),
     ).orderBy("file_name")
+
+
+@register(
+    "source_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/J6 scale path as a registered query: both join sides are
+    written ``bucketBy(8, orderkey)`` + sorted (external tables in the
+    repo scratch area), so the fact-to-fact join plans with NO Exchange
+    on either side — the layout pays the shuffle once at write time
+    (sources/bucketing.py; shuffle absence asserted in
+    tests/test_bucketing.py). The aggregate on top uses the standard
+    exact-decimal accumulation so the oracle matches bit-for-bit."""
+    from rpa_etl_investing_spark.sources.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    tag = _sf_tag(sf_dir)
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    lt, rt = f"bq_lineitem_{tag}".replace(".", "_"), f"bq_orders_{tag}".replace(".", "_")
+    write_bucketed(
+        li, lt, ["l_orderkey"], 8, ["l_orderkey"],
+        path=os.path.dirname(scratch_dir(tag, "bucketed", lt, "files")),
+    )
+    write_bucketed(
+        od, rt, ["l_orderkey"], 8, ["l_orderkey"],
+        path=os.path.dirname(scratch_dir(tag, "bucketed", rt, "files")),
+    )
+    joined = bucketed_join(spark, lt, rt, ["l_orderkey"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(27,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )

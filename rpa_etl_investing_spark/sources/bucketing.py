@@ -30,20 +30,33 @@ def write_bucketed(
     bucket_cols: list[str],
     n_buckets: int = 8,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Materialize ``df`` as a bucketed (and optionally sorted) table.
-    Sorting within buckets lets the join skip its per-task sort too."""
+    Sorting within buckets lets the join skip its per-task sort too.
+
+    With ``path`` the table is EXTERNAL at that location — bucket
+    metadata still lands in the catalog (bucketBy requires saveAsTable)
+    but the files live where the caller says, independent of the
+    session's warehouse dir (a bare driver session points its warehouse
+    at the process cwd, which this repo must not assume is writable).
+    """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # a previous session may have left the managed location behind
-    # without a catalog entry; saveAsTable refuses to reuse it
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    # a previous run may have left the location behind without a
+    # catalog entry; saveAsTable refuses to reuse it
+    if path is None:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    else:
+        loc = path
     if os.path.exists(loc):
         shutil.rmtree(loc)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 

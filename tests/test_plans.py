@@ -570,3 +570,19 @@ def test_stop_tokens_total_is_broadcast_scalar(spark, sf_dir):
     plan = _plan(QUERIES["llm_stop_tokens"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bucketed_join_query_shuffles_only_for_final_agg(spark, sf_dir):
+    """source_bucketed_join: with auto-broadcast off (the fact-to-fact
+    regime bucketing exists for), the join must consume the bucketed
+    layout — no Exchange on either join input; the only Exchange in
+    the whole plan is the final tiny groupBy on o_orderpriority."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(QUERIES["source_bucketed_join"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("Exchange") <= 1, plan
+    assert "SortMergeJoin" in plan, plan
+    assert "Bucketed: true" in plan, plan
