@@ -23,13 +23,20 @@ def asof_join(
     ts: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right.ts <= left.ts`` (inclusive) for the same key.
+    """For each left row, attach the adjacent right row for the same key:
+    ``direction="backward"`` (default) takes the most recent right row
+    with ``right.ts <= left.ts``; ``direction="forward"`` the earliest
+    right row with ``right.ts >= left.ts`` (conversion attribution,
+    next-restock lookups). Both are the same one-shuffle merge-scan —
+    forward just reverses the scan order.
 
     ``right`` must be unique per (key, ts); pre-dedupe otherwise or the
     survivor at duplicate timestamps is unspecified.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     rtypes = dict(right.dtypes)
     l_tag = left.select(
         "*",
@@ -45,10 +52,12 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
     )
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    # right rows sort before left rows at equal ts → "<=" semantics
+    # right rows sort before left rows at equal ts → inclusive semantics
+    # in both directions (forward scans time-reversed)
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         W.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_is_left").asc())
+        .orderBy(ts_order, F.col("_is_left").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (

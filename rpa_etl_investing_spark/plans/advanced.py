@@ -188,3 +188,44 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("l_quantity").cast("decimal(27,2)")).cast("double").alias("total_qty"),
     )
+
+
+@register(
+    "asof_join_next_purchase",
+    oracle="""
+    WITH clicks AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+      WHERE rn = 1)
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS ts_asof, p.value AS value_asof
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: FORWARD as-of join — conversion attribution: each click gets
+    the user's next purchase at-or-after it. Same one-shuffle union +
+    window merge-scan as the backward form, scanning time-reversed
+    (operators/asof.py direction="forward"); oracle is DuckDB's native
+    ASOF JOIN with the inequality flipped."""
+    ev = tbl(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    dedup_w = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    return asof_join(
+        clicks, purchases, key="user_id", ts="ts", value_cols=["value"],
+        direction="forward",
+    )
