@@ -937,3 +937,40 @@ def curation_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("q_key"), "doc_id")
         .limit(100)
     )
+
+
+@register(
+    "curation_stratified_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, {_BUCKET_SQL} AS b FROM documents),
+    r AS (
+      SELECT doc_id, lang, b,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rn
+      FROM h)
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS rank_in_stratum
+    FROM r WHERE rn <= 20
+    """,
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N-per-stratum sampling: the first 20 documents of every
+    language in content-hash order — a uniform, rerun-stable draw
+    (adding documents later can evict, never reorder, the kept set).
+
+    Scale shape: the per-stratum rank uses the sharded row_number
+    primitive (operators/prefix.py) with the bucket's first hex char as
+    the 16-way monotone shard, so no task ever sorts a whole language —
+    the same two-level pattern that fixed the packing family, applied
+    to stratified selection."""
+    from rpa_etl_investing_spark.operators.prefix import sharded_row_number
+    from rpa_etl_investing_spark.operators.sampling import hash_bucket
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "lang", hash_bucket("doc_id").alias("b")
+    ).withColumn("_shard", F.substring("b", 1, 1))
+    ranked = sharded_row_number(
+        docs, ["lang"], [F.col("b"), F.col("doc_id")], "rn", shard_col="_shard"
+    )
+    return ranked.filter(F.col("rn") <= 20).select(
+        "lang", "doc_id", F.col("rn").cast("bigint").alias("rank_in_stratum")
+    )
