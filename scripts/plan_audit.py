@@ -68,6 +68,14 @@ EXTRAS = {
     "llm_decontaminated_corpus": "span drop-set explode sized by span mass; anti join + doc-keyed reassembly",
     "llm_gopher_gate": "co-partitioned doc_id join of map-only features with the repetition aggregate; rules fold map-side",
     "curation_temperature_mix": "in-engine fraction derivation: tiny source agg + broadcast min + hash filter, no driver collect",
+    "curation_dsir_weights": "256-row log-ratio table broadcast onto per-(doc,bucket) counts; totals as 1-row broadcast; exact BIGINT reductions",
+    "curation_dsir_sample": "integer Gumbel-top-k: weight + quantized perturbation, TakeOrderedAndProject (no global sort)",
+    "curation_stratified_sample": "per-stratum rank via sharded row_number: 16-way monotone hex shard, no per-language global sort",
+    "llm_text_normalize": "map-only regexp_replace chain, zero exchanges, whole-stage codegen",
+    "llm_stop_tokens": "explode → partial+final count; 1-row broadcast total; integer share threshold",
+    "llm_cluster_profile": "broadcast centroids → argmax assignment; two (cell,label)-key hash aggregates",
+    "source_bucketed_join": "both sides Bucketed: true — zero Exchange on the join inputs; only the final tiny groupBy shuffles",
+    "asof_join_next_purchase": "forward as-of: same ONE key-shuffle merge-scan, time-reversed ordering",
 }
 
 
