@@ -290,3 +290,73 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_qty"),
     )
+
+
+@register(
+    "source_observed_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN l_quantity > 45 THEN 1 END) AS BIGINT) AS n_high_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    """,
+)
+def source_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+: single-pass pipeline metrics via ``df.observe()`` — the
+    scale-correct way to account for what a load touched (row counts,
+    quality counters, control sums) WITHOUT a second scan: the metrics
+    accumulate on executors during the one write pass, exactly the
+    fix for the reference's unobserved per-row inserts
+    (``/root/reference/main.py:137-147``). The noop-format write is the
+    action that materializes them; the returned single row is the
+    metric payload itself (driver-side by construction — it is one
+    row)."""
+    from pyspark.sql import Observation
+
+    li = tbl(spark, sf_dir, "lineitem")
+    obs = Observation("load_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_quantity") > 45, 1)).alias("n_high_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(27,2)")).alias("sum_qty"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_high_qty"], float(m["sum_qty"]))],
+        "n_rows bigint, n_high_qty bigint, sum_qty double",
+    )
+
+
+@register(
+    "source_compaction",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def source_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+: small-files compaction — the 100 TB operational chore. A
+    deliberately over-fragmented sink (64 files) is rewritten with
+    ``repartition`` to a handful of right-sized files; the aggregate
+    over the compacted layout must be bit-identical to the fixture
+    (compaction moves bytes, never values). File counts before/after
+    are asserted in tests/test_sources.py."""
+    frag = scratch_dir(_sf_tag(sf_dir), "orders_fragmented")
+    compact = scratch_dir(_sf_tag(sf_dir), "orders_compacted")
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    back = spark.read.parquet(compact)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -90,3 +90,25 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     assert after.count() == n_rows
     assert after.agg(F.sum(F.col("l_orderkey"))).collect()[0][0] == want_sum
     assert set(after.columns) == {"l_orderkey", "l_returnflag", "l_quantity"}
+
+
+def test_compaction_reduces_file_count_preserving_rows(spark, sf_dir):
+    """source_compaction: the fragmented sink really has 64 part files,
+    the compacted one at most 4, and no row is lost or altered."""
+    import glob
+    import os
+
+    from rpa_etl_investing_spark.plans import QUERIES
+    from rpa_etl_investing_spark.plans.source_queries import _sf_tag
+    from rpa_etl_investing_spark.sources import scratch_dir
+
+    QUERIES["source_compaction"].fn(spark, sf_dir).collect()
+    tag = _sf_tag(sf_dir)
+    frag = glob.glob(os.path.join(scratch_dir(tag, "orders_fragmented"), "part-*"))
+    comp = glob.glob(os.path.join(scratch_dir(tag, "orders_compacted"), "part-*"))
+    assert len(frag) == 64, len(frag)
+    assert 1 <= len(comp) <= 4, len(comp)
+    a = spark.read.parquet(os.path.dirname(frag[0]))
+    b = spark.read.parquet(os.path.dirname(comp[0]))
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
