@@ -242,3 +242,164 @@ def ohlc_resample(ev: DataFrame) -> DataFrame:
         F.count("*").alias("n_trades"),
         F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("volume"),
     )
+
+
+def daily_close(ev: DataFrame) -> DataFrame:
+    """Daily closing value per event_type: latest purchase of the day
+    (event_id total-order tie-break) via the same struct-max trick as
+    the OHLC resample — one aggregate, one (type, day) exchange."""
+    b = ev.filter(F.col("event_type").isNotNull()).select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    return b.groupBy("event_type", "day").agg(
+        F.max(F.struct("ts", "event_id", "value")).getField("value").alias("close")
+    )
+
+
+_DAILY_CLOSE_SQL = """
+    b AS (
+      SELECT event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+             ts, event_id, value
+      FROM events WHERE event_type IS NOT NULL),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                   ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                            event_id DESC) AS rn
+      FROM b),
+    closes AS (
+      SELECT event_type, day, value AS close FROM ranked WHERE rn = 1),
+    rets AS (
+      SELECT event_type, day, close,
+             CAST(FLOOR(1e6 * (close / LAG(close) OVER
+                    (PARTITION BY event_type ORDER BY day) - 1) + 0.5)
+                  AS BIGINT) AS qret
+      FROM closes)
+"""
+
+
+@register(
+    "timeseries_rolling_volatility",
+    oracle=f"""
+    WITH {_DAILY_CLOSE_SQL},
+    win AS (
+      SELECT event_type, day, qret,
+             CAST(COUNT(qret) OVER w AS BIGINT) AS n_obs,
+             CAST(SUM(qret) OVER w AS BIGINT) AS s1,
+             CAST(SUM(qret * qret) OVER w AS BIGINT) AS s2
+      FROM rets
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day, qret, n_obs,
+           CASE WHEN n_obs >= 2
+                THEN CAST(n_obs * s2 - s1 * s1 AS BIGINT) END AS var_num,
+           CASE WHEN n_obs >= 2
+                THEN CAST(n_obs * s2 - s1 * s1 AS BIGINT)
+                     / (n_obs * (n_obs - 1)) / 1e12 END AS rolling_var
+    FROM win
+    """,
+)
+def timeseries_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day return volatility per event_type — the investing
+    consumer's risk metric over the reference's snapshot timeline.
+    Daily simple returns are quantized once to the 1e-6 grid (pure
+    IEEE division, no transcendental — bit-exact across engines), and
+    the rolling variance derives from exact integer power sums over a
+    7-row frame: ``(n·Σq² − (Σq)²) / (n(n−1)) / 1e12``, so partitioning
+    and frame evaluation order cannot change a bit.
+
+    Scale shape: one (type, day) aggregate for closes, then one window
+    pass per type — daily closes are ~365 rows/type/year regardless of
+    raw tick volume, so the window partition is tiny even at 100 TB of
+    input events."""
+    from pyspark.sql.window import Window as W
+
+    closes = daily_close(tbl(spark, sf_dir, "events"))
+    wl = W.partitionBy("event_type").orderBy("day")
+    rets = closes.withColumn(
+        "qret",
+        F.floor(
+            F.lit(1e6) * (F.col("close") / F.lag("close").over(wl) - F.lit(1))
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    wf = W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    win = rets.select(
+        "event_type",
+        "day",
+        "qret",
+        F.count("qret").over(wf).cast("bigint").alias("n_obs"),
+        F.sum("qret").over(wf).cast("bigint").alias("s1"),
+        F.sum(F.col("qret") * F.col("qret")).over(wf).cast("bigint").alias("s2"),
+    )
+    var_num = (F.col("n_obs") * F.col("s2") - F.col("s1") * F.col("s1")).cast("bigint")
+    ok = F.col("n_obs") >= 2
+    return win.select(
+        "event_type",
+        "day",
+        "qret",
+        "n_obs",
+        F.when(ok, var_num).alias("var_num"),
+        F.when(
+            ok, var_num / (F.col("n_obs") * (F.col("n_obs") - 1)) / F.lit(1e12)
+        ).alias("rolling_var"),
+    )
+
+
+@register(
+    "timeseries_max_drawdown",
+    oracle=f"""
+    WITH {_DAILY_CLOSE_SQL},
+    dd AS (
+      SELECT event_type, day, close,
+             MAX(close) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+      FROM closes),
+    q AS (
+      SELECT event_type, day, close, peak,
+             CAST(FLOOR(1e6 * (peak - close) / peak + 0.5) AS BIGINT) AS dd_q
+      FROM dd)
+    SELECT event_type, day AS trough_day, close, peak,
+           dd_q, dd_q / 1e6 AS max_drawdown
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY dd_q DESC, day) AS rn FROM q)
+    WHERE rn = 1
+    """,
+)
+def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per event_type: running peak of the daily close,
+    per-day drawdown (peak − close)/peak on the 1e-6 integer grid (pure
+    IEEE arithmetic — no libm), and the worst day per type picked with
+    a deterministic earliest-day tie-break. Two window passes over the
+    tiny daily-close series, then a per-type argmax."""
+    from pyspark.sql.window import Window as W
+
+    closes = daily_close(tbl(spark, sf_dir, "events"))
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    q = closes.withColumn("peak", F.max("close").over(wp)).withColumn(
+        "dd_q",
+        F.floor(
+            F.lit(1e6) * (F.col("peak") - F.col("close")) / F.col("peak") + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    wr = W.partitionBy("event_type").orderBy(F.desc("dd_q"), F.asc("day"))
+    return (
+        q.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("trough_day"),
+            "close",
+            "peak",
+            "dd_q",
+            (F.col("dd_q") / F.lit(1e6)).alias("max_drawdown"),
+        )
+    )

@@ -73,6 +73,9 @@ MULTI_SF_NAMES = [
     "curation_dsir_sample",
     # r4: cosine cell assignment feeding integer label stats
     "llm_cluster_profile",
+    # r4: IEEE-division return/drawdown grids + integer power sums
+    "timeseries_rolling_volatility",
+    "timeseries_max_drawdown",
 ]
 
 
