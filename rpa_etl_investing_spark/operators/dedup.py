@@ -324,3 +324,76 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """L2: SimHash near-dup pairs within a Hamming radius, found via the
+    Manku/Jain/Sarma band trick (WWW'07): split the w-bit fingerprint
+    into ``n_bands`` contiguous bands; any pair within Hamming distance
+    ``max_hamming ≤ n_bands − 1`` must agree EXACTLY on at least one
+    band (pigeonhole), so an equi-join on (band_no, band_key) recovers
+    every such pair without an all-pairs comparison. Candidates are then
+    filtered by the true bit-level Hamming distance.
+
+    Recall is exact by construction — the DuckDB oracle computes the
+    brute-force all-pairs answer and the banded form must reproduce it
+    verbatim. At production fingerprint widths (64-bit, 4×16-bit bands)
+    each band key has 2¹⁶ values, so buckets stay thin; at the fixture's
+    16-bit width the 4-bit bands are deliberately coarse — the shape,
+    not the constants, is the operator.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"pigeonhole requires max_hamming <= n_bands - 1 "
+            f"({max_hamming} > {n_bands - 1})"
+        )
+    sig = simhash_signatures(docs, text_col)
+    width = 16
+    if width % n_bands:
+        raise ValueError(f"{n_bands} bands do not divide width {width}")
+    bw = width // n_bands
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.substring("simhash", b * bw + 1, bw).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "simhash", F.col("bd.band_no").alias("band_no"), F.col("bd.band_key").alias("band_key"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()  # a close pair can agree on several bands
+    )
+    ham = sum(
+        (F.substring("sh_a", i, 1) != F.substring("sh_b", i, 1)).cast("int")
+        for i in range(1, width + 1)
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1548,3 +1548,45 @@ def llm_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tbl(spark, sf_dir, "embeddings")
     return cluster_label_profile(emb, emb.filter(F.col("vec_id") < 8))
+
+
+_SIMHASH_SIG_CTE = (
+    "sig AS (SELECT doc_id, "
+    + " || ".join(
+        f"CASE WHEN v{i} >= 0 THEN '1' ELSE '0' END" for i in range(16)
+    )
+    + " AS simhash FROM votes)"
+)
+
+_HAMMING_SQL = "(" + " + ".join(
+    f"CASE WHEN SUBSTRING(a.simhash, {i}, 1) <> SUBSTRING(b.simhash, {i}, 1)"
+    f" THEN 1 ELSE 0 END"
+    for i in range(1, 17)
+) + ")"
+
+
+@register(
+    "llm_simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    toks AS (SELECT DISTINCT doc_id, UNNEST(t) AS tok FROM tok),
+    votes AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(CASE WHEN SUBSTRING(md5(tok), {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v{i}" for i in range(16))}
+      FROM toks GROUP BY doc_id),
+    {_SIMHASH_SIG_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({_HAMMING_SQL} AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE {_HAMMING_SQL} <= 3
+    """,
+)
+def llm_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: SimHash pairs within Hamming distance 3 via the pigeonhole
+    band join (operators/dedup.py simhash_hamming_pairs). The oracle is
+    the BRUTE-FORCE all-pairs definition, so the hash-match proves the
+    banded scale path loses no pair — recall-exactness as a correctness
+    gate, not a sampled estimate."""
+    from rpa_etl_investing_spark.operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(tbl(spark, sf_dir, "documents"))

@@ -142,3 +142,29 @@ def test_normalize_text_edge_cases(spark):
     out = df.select("raw", "expected", normalize_text("raw").alias("got"))
     bad = out.filter(F.col("got") != F.col("expected")).collect()
     assert not bad, [(r["raw"], r["got"], r["expected"]) for r in bad]
+
+
+def test_simhash_hamming_band_pigeonhole(spark):
+    """A pair at exactly max_hamming must survive the band join; the
+    guard must refuse a radius the pigeonhole can't cover."""
+    import pytest
+
+    from rpa_etl_investing_spark.operators.dedup import simhash_hamming_pairs
+
+    # identical docs -> hamming 0; near-identical -> small hamming
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "alpha beta gamma delta epsilon eta"),
+            (4, "totally different words entirely here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_hamming_pairs(docs, max_hamming=4, n_bands=4)
