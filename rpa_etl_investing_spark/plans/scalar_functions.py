@@ -484,3 +484,36 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_values(m).alias("vs"),
         F.element_at(m, "reg").alias("reg_val"),
     )
+
+
+@register(
+    "json_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k,
+           CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                           THEN 1 END) AS BIGINT) AS n_high
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13+: semi-structured props through Spark 4's VARIANT type —
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``try_variant_get`` path extraction, instead of re-parsing the JSON
+    string per field. At 100 TB variant is the right shape: the parse
+    happens once per row, extraction is a binary-offset lookup, and
+    shredded storage keeps column pruning; the oracle reproduces the
+    same numbers from DuckDB's JSON path functions."""
+    ev = tbl(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+        F.count(F.when(F.col("k") >= 50, 1)).cast("bigint").alias("n_high"),
+    )

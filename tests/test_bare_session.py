@@ -30,7 +30,12 @@ EVENTS_QUERIES = [
     "analytics_event_funnel",
     "analytics_retention_cohorts",
     "asof_join_last_purchase",
+    "asof_join_next_purchase",
     "etl_scd2_history",
+    "json_variant_extract",
+    "stream_upsert_journal",
+    "timeseries_max_drawdown",
+    "timeseries_rolling_volatility",
     "stream_stateful_running_totals",
     "json_funcs",
     "json_struct_agg",
