@@ -974,3 +974,70 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rn") <= 20).select(
         "lang", "doc_id", F.col("rn").cast("bigint").alias("rank_in_stratum")
     )
+
+
+@register(
+    "curation_corpus_report",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SH_CTE}, {_SIG_CTE},
+    {_BANDS_CTES},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_no = b.band_no AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT SHA256(text)) AS BIGINT) AS n_distinct_texts,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens
+      FROM documents),
+    pc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs FROM pairs)
+    SELECT n_docs,
+           n_distinct_texts,
+           n_docs - n_distinct_texts AS n_exact_dup_docs,
+           n_langs, n_sources, total_tokens,
+           CAST(FLOOR(1000000.0 * total_tokens / n_docs + 0.5) AS BIGINT)
+             AS mean_tokens_q,
+           n_candidate_pairs
+    FROM base CROSS JOIN pc
+    """,
+)
+def curation_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus health report a curation run ships with its
+    output: document / distinct-text / exact-dup counts, language and
+    source diversity, token mass, mean tokens per doc (1e-6 grid), and
+    the MinHash-LSH candidate-pair count — each number the head of a
+    family this engine computes in full elsewhere. All components are
+    single aggregates joined as 1-row broadcasts; the pair count reuses
+    the capped band join (never all-pairs)."""
+    from rpa_etl_investing_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = tbl(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct(F.sha2(F.col("text"), 256)).cast("bigint").alias(
+            "n_distinct_texts"
+        ),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+    )
+    pc = minhash_candidate_pairs(docs).agg(
+        F.count("*").cast("bigint").alias("n_candidate_pairs")
+    )
+    return base.crossJoin(F.broadcast(pc)).select(
+        "n_docs",
+        "n_distinct_texts",
+        (F.col("n_docs") - F.col("n_distinct_texts")).alias("n_exact_dup_docs"),
+        "n_langs",
+        "n_sources",
+        "total_tokens",
+        F.floor(
+            F.lit(1000000.0) * F.col("total_tokens") / F.col("n_docs") + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mean_tokens_q"),
+        "n_candidate_pairs",
+    )
