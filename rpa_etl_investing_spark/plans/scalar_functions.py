@@ -517,3 +517,42 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("bigint").alias("max_k"),
         F.count(F.when(F.col("k") >= 50, 1)).cast("bigint").alias("n_high"),
     )
+
+
+@register(
+    "scalar_try_funcs",
+    oracle="""
+    SELECT n_nationkey,
+           TRY_CAST(CASE WHEN n_nationkey % 3 = 0 THEN n_name
+                         ELSE CAST(n_nationkey AS VARCHAR) END AS BIGINT) AS k_or_null,
+           CASE WHEN n_regionkey = 0 THEN NULL
+                ELSE CAST(n_nationkey AS DOUBLE) / n_regionkey END AS safe_ratio,
+           TRY_CAST('20' || CAST(n_nationkey % 100 AS VARCHAR) AS BIGINT) * 2
+             AS parsed_doubled
+    FROM nation
+    """,
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-surface: ANSI-mode-safe error handling — ``try_cast`` /
+    ``try_divide`` return NULL instead of failing the job on bad rows,
+    the row-level analog of the reference's try/except-skip
+    (``/root/reference/main.py:116-117``) that keeps a 100 TB job from
+    dying on one malformed value. Bad inputs are seeded
+    deterministically (every 3rd key casts a name, regionkey 0 divides
+    by zero) so both engines hit the error paths."""
+    n = tbl(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 3 == 0, F.col("n_name"))
+        .otherwise(F.col("n_nationkey").cast("string"))
+        .try_cast("bigint")
+        .alias("k_or_null"),
+        F.try_divide(
+            F.col("n_nationkey").cast("double"), F.col("n_regionkey")
+        ).alias("safe_ratio"),
+        (
+            F.concat(F.lit("20"), (F.col("n_nationkey") % 100).cast("string"))
+            .try_cast("bigint")
+            * 2
+        ).alias("parsed_doubled"),
+    )

@@ -76,6 +76,10 @@ EXTRAS = {
     "llm_cluster_profile": "broadcast centroids → argmax assignment; two (cell,label)-key hash aggregates",
     "source_bucketed_join": "both sides Bucketed: true — zero Exchange on the join inputs; only the final tiny groupBy shuffles",
     "asof_join_next_purchase": "forward as-of: same ONE key-shuffle merge-scan, time-reversed ordering",
+    "llm_simhash_hamming_pairs": "pigeonhole band equi-join bounds candidates; exact bit filter after — no all-pairs",
+    "timeseries_rolling_volatility": "daily-close aggregate first (window partition is days, not ticks), integer power sums over a 7-row frame",
+    "json_variant_extract": "parse_json once per row; typed variant path lookups fold into one projection before the aggregate",
+    "curation_corpus_report": "KPI composition: single aggregates joined as 1-row broadcasts; pair count reuses the capped band join",
 }
 
 

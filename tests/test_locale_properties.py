@@ -107,3 +107,29 @@ def test_known_literals(spark):
     pct["++5%"] = 5.0
     got_pct = _spark_parse_all(spark, list(pct), percent=True)
     assert got_pct == list(pct.values())
+
+
+def test_normalize_text_is_idempotent(spark):
+    """normalize o normalize == normalize for arbitrary junk-laden
+    strings (hypothesis over a junk+word alphabet)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rpa_etl_investing_spark.operators.text import normalize_text
+
+    alphabet = st.sampled_from(
+        list("ab c") + [" ", "\u00a0", "\u200b", "\t", "\n", "\u0007", "\ufeff"]
+    )
+
+    @given(st.lists(st.text(alphabet=alphabet, max_size=8), min_size=1, max_size=6))
+    @settings(max_examples=15, deadline=None)
+    def check(strs):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(s,) for s in strs], "raw string")
+        out = df.select(
+            normalize_text("raw").alias("once")
+        ).select("once", normalize_text("once").alias("twice"))
+        assert out.filter(F.col("once") != F.col("twice")).count() == 0
+
+    check()
