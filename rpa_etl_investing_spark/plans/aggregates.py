@@ -612,3 +612,88 @@ def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_sketch_rollup",
+    oracle="""
+    WITH days AS (
+      SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day FROM events)
+    SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+             AS exact_users,
+           TRUE AS union_within_tol
+    FROM days
+    """,
+)
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+: the mergeable-sketch rollup pattern — per-day HLL sketches
+    of user_id unioned into a global distinct estimate
+    (``hll_sketch_agg`` → ``hll_union_agg`` → ``hll_sketch_estimate``).
+    This is how incremental distinct counting works at 100 TB: daily
+    partitions keep a kilobyte sketch each, and any date range's
+    distinct count is a union of sketches — no rescan of raw data.
+    Like the approx family, the checked output is
+    deterministic-by-construction: exact counts plus a ≤5% tolerance
+    boolean (DataSketches HLL at lgConfigK=12 has ~1.6% rsd — 3σ in)."""
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    rolled = daily.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").cast("bigint").alias("exact_users"))
+    return rolled.crossJoin(F.broadcast(exact)).select(
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("union_within_tol"),
+    )
+
+
+@register(
+    "agg_kll_quantiles",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+           TRUE AS p50_rank_ok,
+           TRUE AS p90_rank_ok
+    FROM events
+    """,
+)
+def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+: KLL quantile sketch over ``events.value`` — the mergeable
+    percentile companion to the HLL rollup (pre-aggregated per-partition
+    sketches answer any quantile later). Checked rank-wise: the exact
+    rank of the sketch's p50/p90 answers must sit within ±5 percentage
+    points of the target rank (KLL default k=200 bounds rank error at
+    ~1.65% single-sided, 3σ in), so the booleans are deterministic."""
+    ev = tbl(spark, sf_dir, "events").select(F.col("value").cast("double").alias("v"))
+    sk = ev.agg(F.kll_sketch_agg_double("v").alias("sk"))
+    qs = sk.select(
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("q50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("q90"),
+    )
+    joined = ev.crossJoin(F.broadcast(qs))
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_values"),
+        (
+            F.abs(
+                F.sum(F.when(F.col("v") <= F.col("q50"), 1).otherwise(0))
+                / F.count("*")
+                - 0.5
+            )
+            <= 0.05
+        ).alias("p50_rank_ok"),
+        (
+            F.abs(
+                F.sum(F.when(F.col("v") <= F.col("q90"), 1).otherwise(0))
+                / F.count("*")
+                - 0.9
+            )
+            <= 0.05
+        ).alias("p90_rank_ok"),
+    )

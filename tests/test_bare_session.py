@@ -27,6 +27,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # by fixture generation — see catalog.normalize_events_ts), per
 # `grep '"events"' rpa_etl_investing_spark/plans/*.py` — keep in sync.
 EVENTS_QUERIES = [
+    "agg_kll_quantiles",
+    "agg_sketch_rollup",
     "analytics_event_funnel",
     "analytics_retention_cohorts",
     "asof_join_last_purchase",

@@ -76,6 +76,9 @@ MULTI_SF_NAMES = [
     # r4: IEEE-division return/drawdown grids + integer power sums
     "timeseries_rolling_volatility",
     "timeseries_max_drawdown",
+    # r4: sketch tolerance booleans must hold at every fixture scale
+    "agg_sketch_rollup",
+    "agg_kll_quantiles",
 ]
 
 
