@@ -229,6 +229,41 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (batch form): every event
+    left-joined to the static customer dim on user_id = c_custkey, then
+    rolled up per (market segment, event type). Unmatched users land in
+    'UNKNOWN' — enrichment never drops facts. The identical enrich plan
+    runs stateless under readStream (no watermark, no join state — the
+    dim is broadcast and probed map-side per micro-batch); the readStream
+    row-level parity test lives in tests/test_streaming.py."""
+    from rpa_etl_investing_spark.plans.aggregates import dsum
+    from rpa_etl_investing_spark.streaming import static_enrich
+
+    ev = tbl(spark, sf_dir, "events")
+    dim = tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = static_enrich(ev, dim)
+    return enriched.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        dsum("value", 6).alias("total_value"),
+    )
+
+
+@register(
     "stream_upsert_journal",
     oracle="""
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events

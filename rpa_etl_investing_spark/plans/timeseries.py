@@ -350,6 +350,94 @@ def timeseries_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "timeseries_vwap_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag AS flag,
+             DATE_TRUNC('day', CAST(l_shipdate AS TIMESTAMP)) AS day,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS notional,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY 1, 2),
+    vq AS (
+      SELECT flag, day,
+             CAST(FLOOR(1e3 * notional / qty + 0.5) AS BIGINT) AS vwap_q
+      FROM daily),
+    win AS (
+      SELECT flag, day, vwap_q,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_obs,
+             CAST(SUM(vwap_q) OVER w AS BIGINT) AS s1,
+             CAST(SUM(vwap_q * vwap_q) OVER w AS BIGINT) AS s2
+      FROM vq
+      WINDOW w AS (PARTITION BY flag ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT flag, day, vwap_q, vwap_q / 1e3 AS vwap, n_obs,
+           CASE WHEN n_obs >= 3 THEN
+             (n_obs * vwap_q - s1) * (n_obs * vwap_q - s1) * (n_obs - 1)
+               > 4 * n_obs * (n_obs * s2 - s1 * s1)
+           END AS is_anomaly
+    FROM win
+    """,
+)
+def timeseries_vwap_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily VWAP per return-flag with an integer-exact rolling z-score
+    anomaly flag — the investing consumer's "did today's volume-weighted
+    price break 2σ from its trailing week" alert over the reference's
+    snapshot timeline (``/root/reference/main.py:44`` fact grain).
+
+    Determinism: VWAP = Σ(extendedprice)/Σ(quantity) from exact decimal
+    sums, quantized once to the 1e-3 grid (coarse enough that the
+    squared integer power sums stay far below 2**63); the 2σ test is then the pure
+    integer inequality ``(n·q − s1)²·(n−1) > 4·n·(n·s2 − s1²)`` —
+    algebraically z² > 4 with no division, no sqrt, no float compare,
+    so Spark and the oracle cannot disagree by a ULP.
+
+    Scale shape: the heavy work is one (flag, day) hash-aggregate over
+    the fact (map-side partials, one shuffle); the window pass runs over
+    the *aggregated* daily series — ~365 rows/flag/year regardless of
+    raw fact volume, so the low-cardinality partition is harmless (same
+    argument as ``timeseries_rolling_volatility``)."""
+    from pyspark.sql.window import Window as W
+
+    li = tbl(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.date_trunc("day", F.col("l_shipdate")).alias("day"),
+    ).agg(
+        dsum("l_extendedprice").alias("notional"),
+        dsum("l_quantity").alias("qty"),
+    )
+    vq = daily.select(
+        "flag",
+        "day",
+        F.floor(F.lit(1e3) * F.col("notional") / F.col("qty") + F.lit(0.5))
+        .cast("bigint")
+        .alias("vwap_q"),
+    )
+    wf = W.partitionBy("flag").orderBy("day").rowsBetween(-6, 0)
+    win = vq.select(
+        "flag",
+        "day",
+        "vwap_q",
+        F.count("*").over(wf).cast("bigint").alias("n_obs"),
+        F.sum("vwap_q").over(wf).cast("bigint").alias("s1"),
+        F.sum(F.col("vwap_q") * F.col("vwap_q")).over(wf).cast("bigint").alias("s2"),
+    )
+    dev = F.col("n_obs") * F.col("vwap_q") - F.col("s1")
+    var_num = F.col("n_obs") * F.col("s2") - F.col("s1") * F.col("s1")
+    return win.select(
+        "flag",
+        "day",
+        "vwap_q",
+        (F.col("vwap_q") / F.lit(1e3)).alias("vwap"),
+        "n_obs",
+        F.when(
+            F.col("n_obs") >= 3,
+            dev * dev * (F.col("n_obs") - 1) > F.lit(4) * F.col("n_obs") * var_num,
+        ).alias("is_anomaly"),
+    )
+
+
+@register(
     "timeseries_max_drawdown",
     oracle=f"""
     WITH {_DAILY_CLOSE_SQL},

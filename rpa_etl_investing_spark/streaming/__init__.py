@@ -8,7 +8,7 @@ same logical plan runs in batch mode (oracle-checkable on the static
 tests/test_streaming.py).
 """
 
-from rpa_etl_investing_spark.streaming.joins import interval_join
+from rpa_etl_investing_spark.streaming.joins import interval_join, static_enrich
 from rpa_etl_investing_spark.streaming.sinks import (
     compact_journal,
     journal_upsert_sink,
@@ -25,6 +25,7 @@ from rpa_etl_investing_spark.streaming.windows import (
 __all__ = [
     "compact_journal",
     "interval_join",
+    "static_enrich",
     "journal_upsert_sink",
     "running_user_totals",
     "tumbling_window_counts",

@@ -39,3 +39,23 @@ def interval_join(
         & (r[f"{right_prefix}{ts_col}"] <= left[ts_col] + F.expr(f"INTERVAL {upper}"))
     )
     return left.join(r, cond)
+
+
+def static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key_left: str = "user_id",
+    key_right: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static enrichment: left-join each (possibly streaming)
+    event to a *static* dimension, broadcast. Unmatched events survive
+    with NULL dim columns — enrichment must never drop facts.
+
+    This is the stateless complement of :func:`interval_join`: because
+    the dim side is a bounded batch DataFrame, Structured Streaming
+    needs NO watermark and NO join state — each micro-batch hash-probes
+    the broadcast table map-side and emits immediately (append mode).
+    At 100 TB of stream that property is what makes the enrich free:
+    zero shuffle on the fact, dim re-broadcast only on restart. The
+    same plan in batch is the classic star broadcast join (J1)."""
+    return stream.join(F.broadcast(dim), stream[key_left] == dim[key_right], "left")

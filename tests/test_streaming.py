@@ -314,3 +314,43 @@ def test_foreach_batch_journal_restart_is_idempotent(spark, sf_dir, tmp_path):
         for r in compact_journal(spark, str(tmp_path / "journal"), ["user_id"]).collect()
     }
     assert got2 == expected
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast enrich: the same static_enrich plan under
+    readStream (stateless, append mode, NO watermark — the defining
+    property of stream-static joins) must emit exactly the batch join's
+    rows."""
+    from rpa_etl_investing_spark.streaming import static_enrich
+
+    dim = tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    batch_events = tbl(spark, sf_dir, "events")
+    expected = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in static_enrich(batch_events, dim)
+        .select("event_id", "c_mktsegment")
+        .collect()
+    }
+
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    (stream_dir / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = _stream_events(spark, raw_schema, stream_dir)
+    q = (
+        static_enrich(stream, dim)
+        .select("event_id", "c_mktsegment")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("static_enrich_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["event_id"], r["c_mktsegment"])
+            for r in spark.sql("SELECT * FROM static_enrich_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
