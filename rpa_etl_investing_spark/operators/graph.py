@@ -1,0 +1,83 @@
+"""PageRank on a weighted digraph — iterative graph analytics.
+
+The reference's fact timeline induces natural graphs (who supplies
+whom, who trades with whom); ranking nodes by stationary importance is
+the classic iterative-join workload that a batch engine must express
+without driver-side state (Page et al., "The PageRank Citation
+Ranking", 1998; Malewicz et al., Pregel, SIGMOD'10 for the
+distributed formulation).
+
+Determinism contract: every quantity is a BIGINT on the 1e-9 rank
+grid and every step is integer arithmetic —
+
+    R0(v)      = G // N                       (G = 1e9 grid)
+    contrib(e) = (R(src) * w(e)) // W(src)    (W = out-weight)
+    R'(v)      = (3*G) // (20*N)  +  (17 * sum(contrib)) // 20
+
+with damping 0.85 = 17/20 and teleport 0.15 = 3/20 kept as exact
+rationals. Integer sums are order-independent, so Spark's shuffle
+order and the oracle's single-threaded order cannot disagree — the
+same trick as the quantized rolling-volatility grid
+(plans/timeseries.py). Dangling mass (nodes with no out-edges) is
+dropped rather than redistributed, matching the unrolled oracle.
+
+Scale shape: the expensive part is building the edge list (one
+aggregation over the fact); each iteration is then
+rank ⋈ edges → groupBy(dst) — a hash join + hash aggregate on the
+*aggregated* graph, shuffled by node key. The loop is unrolled into
+the logical plan (fixed iteration count, no collect, no driver
+state); for graphs where the plan tree would get deep, checkpoint
+per K iterations like operators/components.py does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GRID = 1_000_000_000
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 3,
+) -> DataFrame:
+    """Integer-grid PageRank.
+
+    ``nodes``: one column ``node``. ``edges``: ``src, dst, w`` (w > 0).
+    Returns ``node, rank_q`` (BIGINT on the 1e-9 grid) after ``iters``
+    damped power iterations. All arithmetic is BIGINT (see module doc),
+    so results are bit-identical to any engine running the same
+    recurrence.
+    """
+    n_nodes = nodes.agg(F.count("*").cast("bigint").alias("_n"))
+    outw = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wout"))
+    # pre-join the out-weight once; iterations reuse this weighted edge set
+    ew = edges.join(outw, "src").select("src", "dst", F.col("w").cast("bigint"), "wout")
+
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", F.expr(f"CAST({GRID} AS BIGINT) div _n").alias("rank_q")
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.join(ew, ranks["node"] == ew["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank_q * w) div wout").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("bigint").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    F.expr(f"CAST({3 * GRID} AS BIGINT) div (20 * _n)")
+                    + F.expr("(17 * coalesce(s, CAST(0 AS BIGINT))) div 20")
+                ).alias("rank_q"),
+            )
+        )
+    return ranks

@@ -168,3 +168,27 @@ def test_simhash_hamming_band_pigeonhole(spark):
     assert pairs.get((1, 2)) == 0
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_hamming_pairs(docs, max_hamming=4, n_bands=4)
+
+
+def test_pagerank_star_and_cycle(spark):
+    """PageRank sanity on known topologies: in a directed star all leaves
+    pour rank into the hub (hub ranks strictly highest); in a symmetric
+    cycle every node gets exactly the same rank. Also checks rank mass
+    stays within the grid (teleport + damped flow can only lose mass to
+    integer floors and dangling nodes, never create it)."""
+    from rpa_etl_investing_spark.operators.graph import GRID, pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], ["node"])
+    star_edges = spark.createDataFrame(
+        [(i, 0, 1) for i in range(1, 4)], ["src", "dst", "w"]
+    )
+    star = {r["node"]: r["rank_q"] for r in pagerank(nodes, star_edges, 3).collect()}
+    assert star[0] > max(star[i] for i in range(1, 4))
+    assert sum(star.values()) <= GRID
+
+    cycle_edges = spark.createDataFrame(
+        [(i, (i + 1) % 4, 7) for i in range(4)], ["src", "dst", "w"]
+    )
+    cyc = {r["node"]: r["rank_q"] for r in pagerank(nodes, cycle_edges, 3).collect()}
+    assert len(set(cyc.values())) == 1
+    assert sum(cyc.values()) <= GRID
