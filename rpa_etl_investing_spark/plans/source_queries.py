@@ -360,3 +360,53 @@ def source_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@register(
+    "source_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderstatus <> 'O' OR o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def source_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+: dynamic partition overwrite — the incremental-load primitive.
+    A full load writes orders partitioned by status; a correction batch
+    containing ONLY status-'O' rows (even orderkeys, simulating a
+    recomputed partition) is then written with
+    ``partitionOverwriteMode=dynamic`` + ``mode(overwrite)``: Spark
+    replaces exactly the partitions present in the batch and leaves the
+    untouched 'F'/'P' partitions intact. The readback therefore shows
+    full F/P plus even-key-only O — the oracle's WHERE clause.
+
+    At 100 TB this is how a daily pipeline republishes one day out of a
+    multi-year partitioned table without rewriting (or even listing) the
+    other partitions; static overwrite mode would have truncated the
+    whole table — that contrast is asserted in tests/test_sources.py."""
+    base = scratch_dir(_sf_tag(sf_dir), "orders_dyn_overwrite")
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(base)
+
+    correction = orders.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 2 == 0)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        correction.write.partitionBy("o_orderstatus").mode("overwrite").parquet(base)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(base)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

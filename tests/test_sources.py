@@ -112,3 +112,29 @@ def test_compaction_reduces_file_count_preserving_rows(spark, sf_dir):
     b = spark.read.parquet(os.path.dirname(comp[0]))
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_dynamic_vs_static_partition_overwrite(spark, tmp_path):
+    """The contrast that makes partitionOverwriteMode=dynamic the
+    incremental-load primitive: overwriting with a batch that touches
+    only partition k='a' must preserve k='b' under dynamic mode and
+    truncate it under static mode."""
+    base = str(tmp_path / "dyn")
+    full = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], ["v", "k"]
+    )
+    patch = spark.createDataFrame([(9, "a")], ["v", "k"])
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        full.write.partitionBy("k").mode("overwrite").parquet(base)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        patch.write.partitionBy("k").mode("overwrite").parquet(base)
+        got = {(r["v"], r["k"]) for r in spark.read.parquet(base).collect()}
+        assert got == {(9, "a"), (3, "b"), (4, "b")}
+
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        patch.write.partitionBy("k").mode("overwrite").parquet(base)
+        got = {(r["v"], r["k"]) for r in spark.read.parquet(base).collect()}
+        assert got == {(9, "a")}
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
