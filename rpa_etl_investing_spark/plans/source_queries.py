@@ -410,3 +410,62 @@ def source_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> Data
         .cast("double")
         .alias("sum_price"),
     )
+
+
+@register(
+    "source_zorder_layout",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(l_partkey) AS BIGINT) AS a_lo,
+             CAST(MAX(l_partkey) AS BIGINT) AS a_hi,
+             CAST(MIN(l_suppkey) AS BIGINT) AS b_lo,
+             CAST(MAX(l_suppkey) AS BIGINT) AS b_hi
+      FROM lineitem),
+    bk AS (
+      SELECT l_partkey, l_suppkey,
+             CASE WHEN a_hi > a_lo
+                  THEN (CAST(l_partkey AS BIGINT) - a_lo) * 15 // (a_hi - a_lo)
+                  ELSE 0 END AS ab,
+             CASE WHEN b_hi > b_lo
+                  THEN (CAST(l_suppkey AS BIGINT) - b_lo) * 15 // (b_hi - b_lo)
+                  ELSE 0 END AS bb
+      FROM lineitem CROSS JOIN bounds),
+    z AS (
+      SELECT l_partkey, l_suppkey,
+             ( ((ab >> 0) & 1) * 2   + ((bb >> 0) & 1) * 1
+             + ((ab >> 1) & 1) * 8   + ((bb >> 1) & 1) * 4
+             + ((ab >> 2) & 1) * 32  + ((bb >> 2) & 1) * 16
+             + ((ab >> 3) & 1) * 128 + ((bb >> 3) & 1) * 64 ) AS zval
+      FROM bk)
+    SELECT CAST(zval // 16 AS BIGINT) AS z_range,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_partkey) AS BIGINT) AS part_lo,
+           CAST(MAX(l_partkey) AS BIGINT) AS part_hi,
+           CAST(MIN(l_suppkey) AS BIGINT) AS supp_lo,
+           CAST(MAX(l_suppkey) AS BIGINT) AS supp_hi
+    FROM z GROUP BY 1
+    """,
+)
+def source_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+: Z-order clustering stats — Morton-interleave (l_partkey,
+    l_suppkey) into 4+4-bit z-values (sources/zorder.py) and report the
+    min/max footprint of BOTH dimensions per z-range. Tight per-range
+    spans on both columns are exactly what make parquet min/max file
+    pruning work for filters on either key after a z-ordered write;
+    the file-level pruning contrast vs a linear sort is asserted in
+    tests/test_sources.py. The z-value is a codegen'd integer
+    expression (no UDF), so the layout pass is one projection + one
+    range-partitioned write at any scale."""
+    from rpa_etl_investing_spark.sources.zorder import with_zvalue
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    z = with_zvalue(li, "l_partkey", "l_suppkey", bits=4)
+    return z.groupBy(
+        F.expr("zval div 16").cast("bigint").alias("z_range")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("l_partkey").cast("bigint").alias("part_lo"),
+        F.max("l_partkey").cast("bigint").alias("part_hi"),
+        F.min("l_suppkey").cast("bigint").alias("supp_lo"),
+        F.max("l_suppkey").cast("bigint").alias("supp_hi"),
+    )

@@ -138,3 +138,52 @@ def test_dynamic_vs_static_partition_overwrite(spark, tmp_path):
         assert got == {(9, "a")}
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_zorder_files_tight_in_both_dimensions(spark, sf_dir, tmp_path):
+    """The point of z-ordering: after repartitionByRange on the Morton
+    key, EVERY file's min/max footprint is a narrow slice of BOTH
+    dimensions, so parquet footer pruning works for filters on either
+    column. A linear sort on l_partkey alone leaves l_suppkey spans at
+    ~the full domain per file. Quantified: total (normalized) suppkey
+    span across z-ordered files must be well under half the linear
+    layout's."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from rpa_etl_investing_spark.sources.zorder import with_zvalue
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    n_files = 16
+
+    zdir = tmp_path / "zorder"
+    with_zvalue(li, "l_partkey", "l_suppkey", bits=4).repartitionByRange(
+        n_files, "zval"
+    ).write.mode("overwrite").parquet(str(zdir))
+
+    ldir = tmp_path / "linear"
+    li.repartitionByRange(n_files, "l_partkey").write.mode("overwrite").parquet(
+        str(ldir)
+    )
+
+    def span_sum(d, col):
+        total = 0.0
+        for f in Path(d).glob("*.parquet"):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            total += hi - lo
+        return total
+
+    supp_domain = li.agg(
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("d")
+    ).collect()[0]["d"]
+    z_supp = span_sum(zdir, "l_suppkey") / supp_domain
+    lin_supp = span_sum(ldir, "l_suppkey") / supp_domain
+    # linear-by-partkey leaves each file covering ~the whole suppkey
+    # domain (sum ≈ n_files); z-order must cut that at least in half
+    assert lin_supp > n_files * 0.8
+    assert z_supp < lin_supp / 2
