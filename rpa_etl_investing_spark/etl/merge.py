@@ -1,0 +1,41 @@
+"""MERGE-style CDC application: apply a change batch (upserts +
+deletes) onto a base snapshot in one pass.
+
+The reference applies changes row-at-a-time with per-row SQL round
+trips (``/root/reference/main.py:137-147``); the set-based engine form
+is the lakehouse MERGE: delete matched keys, replace matched keys with
+their new image, insert unmatched new keys — all as joins.
+
+Scale shape: a CDC batch is orders of magnitude smaller than the base
+snapshot, so the change-key set rides in as a BROADCAST anti join —
+the base table is scanned once, map-only, with zero shuffle; survivors
+union with the batch's upsert images. For the rare batch too big to
+broadcast, the same plan degrades to a shuffled anti join on the key —
+semantics identical, Catalyst/AQE picks the physical side. Combined
+with dynamic partition overwrite (plans/source_queries.py) this is the
+full incremental-publish loop: merge, then republish only the
+partitions the batch touched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply ``changes`` to ``base``. ``changes`` carries the base
+    schema plus ``op_col``: 'U' rows are upsert images (replace the
+    matched base row, or insert if the key is new), 'D' rows delete
+    their key. Every changed key — U or D — is removed from the base
+    via one broadcast anti join; U images are unioned back in.
+    Exactly-once per key: a key appears at most once in the output."""
+    change_keys = changes.select(key)
+    kept = base.join(F.broadcast(change_keys), key, "left_anti")
+    upserts = changes.filter(F.col(op_col) == "U").select(*base.columns)
+    return kept.unionByName(upserts)

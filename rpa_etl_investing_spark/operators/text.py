@@ -193,6 +193,45 @@ def repetition_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution — the
+    information-density quality signal (low entropy = repetitive /
+    template-heavy text; used alongside the Gopher repetition rules).
+
+    Engine-exact form: H = ln(n) − (1/n)·Σ c·ln(c) (nats). The only
+    transcendentals, ``ln(n)`` and ``c·ln(c)``, are quantized to the
+    1e-6 integer grid the moment they are computed (the DSIR trick,
+    operators/importance.py), so both reductions are exact BIGINT sums:
+    ``entropy_q = n·q(ln n) − Σ q(c·ln c)`` is an integer (scaled by
+    n·1e6) no shuffle order can perturb; the readable double divides
+    two exact integers at the end.
+
+    Scale shape: one token explode into a (doc, token) hash-aggregate
+    (map-side combine collapses the fan-out), then a per-doc aggregate —
+    the same two-shuffle profile as tf-idf; text never shuffles."""
+    ex = docs.select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
+    per = ex.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    q_clnc = F.floor(
+        F.lit(1e6) * F.col("c") * F.log(F.col("c").cast("double")) + F.lit(0.5)
+    ).cast("bigint")
+    terms = per.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(q_clnc).cast("bigint").alias("s_clnc"),
+    )
+    q_lnn = F.floor(
+        F.lit(1e6) * F.log(F.col("n_tokens").cast("double")) + F.lit(0.5)
+    ).cast("bigint")
+    hq = F.col("n_tokens") * q_lnn - F.col("s_clnc")
+    return terms.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        hq.alias("entropy_q"),
+        (hq / (F.lit(1e6) * F.col("n_tokens"))).alias("entropy_nats"),
+    )
+
+
 def bigram_counts(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     """Bigram language-model counts: adjacent token pairs (2-shingles),
     global top-k with deterministic tie-break — the n-gram-LM/statistics

@@ -697,3 +697,68 @@ def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("p90_rank_ok"),
     )
+
+
+@register(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem),
+    th AS (
+      SELECT l_returnflag,
+        MAX(CASE WHEN rn = CAST(FLOOR(0.05 * (n - 1)) AS BIGINT) + 1 THEN v END) AS lo,
+        MAX(CASE WHEN rn = CAST(FLOOR(0.95 * (n - 1)) AS BIGINT) + 1 THEN v END) AS hi
+      FROM r GROUP BY l_returnflag),
+    c AS (
+      SELECT l.l_returnflag, l.l_extendedprice AS v, t.lo, t.hi,
+             CASE WHEN l.l_extendedprice < t.lo THEN t.lo
+                  WHEN l.l_extendedprice > t.hi THEN t.hi
+                  ELSE l.l_extendedprice END AS w
+      FROM lineitem l JOIN th t ON l.l_returnflag = t.l_returnflag)
+    SELECT l_returnflag, lo, hi,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN v < lo THEN 1 END) AS BIGINT) AS n_clipped_lo,
+           CAST(COUNT(CASE WHEN v > hi THEN 1 END) AS BIGINT) AS n_clipped_hi,
+           CAST(SUM(CAST(v AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*) AS mean_raw,
+           CAST(SUM(CAST(w AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*) AS mean_winsorized
+    FROM c GROUP BY l_returnflag, lo, hi
+    """,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+ robust statistics: per-flag 5%/95% winsorization — exact
+    order-statistic thresholds from the sharded selection
+    (operators/prefix.py exact_quantiles — no global sort, no per-group
+    collect), broadcast back onto the fact, values clipped into
+    [lo, hi], then one decimal-exact aggregate comparing the raw vs
+    winsorized mean with clip-count audit columns. The outlier-taming
+    step a quality pipeline runs before fitting anything to heavy-tailed
+    value columns; two distributed passes over the fact, thresholds ride
+    as a 3-row broadcast."""
+    from rpa_etl_investing_spark.operators.prefix import exact_quantiles
+
+    li = tbl(spark, sf_dir, "lineitem")
+    th = exact_quantiles(
+        li, "l_extendedprice", {"lo": 0.05, "hi": 0.95},
+        group_cols=["l_returnflag"],
+    )
+    v = F.col("l_extendedprice")
+    w = F.when(v < F.col("lo"), F.col("lo")).when(
+        v > F.col("hi"), F.col("hi")
+    ).otherwise(v)
+    c = li.join(F.broadcast(th), "l_returnflag").select(
+        "l_returnflag", "lo", "hi", v.alias("v"), w.alias("w")
+    )
+    return c.groupBy("l_returnflag", "lo", "hi").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count(F.when(F.col("v") < F.col("lo"), 1)).cast("bigint").alias(
+            "n_clipped_lo"
+        ),
+        F.count(F.when(F.col("v") > F.col("hi"), 1)).cast("bigint").alias(
+            "n_clipped_hi"
+        ),
+        (dsum("v") / F.count("*")).alias("mean_raw"),
+        (dsum("w") / F.count("*")).alias("mean_winsorized"),
+    )

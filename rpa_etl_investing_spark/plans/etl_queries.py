@@ -206,3 +206,67 @@ def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+@register(
+    "etl_merge_apply",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey AS k, 'U' AS op,
+             'upd_' || CAST(c_custkey AS VARCHAR) AS name,
+             CAST(0 AS INTEGER) AS nat,
+             CAST(c_custkey AS DOUBLE) AS bal,
+             'CDC' AS seg
+      FROM customer WHERE c_custkey % 10 = 7
+      UNION ALL
+      SELECT c_custkey, 'D', NULL, NULL, NULL, NULL
+      FROM customer WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT 1000000 + i, 'U', 'ins_' || CAST(1000000 + i AS VARCHAR),
+             CAST(0 AS INTEGER), -1.0, 'CDC'
+      FROM range(5) t(i))
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey NOT IN (SELECT k FROM changes)
+    UNION ALL
+    SELECT k, name, nat, bal, seg FROM changes WHERE op = 'U'
+    """,
+)
+def etl_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style CDC application (etl/merge.py merge_apply): a
+    deterministic change batch — update image for every custkey ending
+    in 7, delete for every key ending in 3, five brand-new inserted
+    keys — applied to the customer snapshot in one pass. The batch is
+    broadcast, so the base is scanned map-only with zero shuffle; the
+    set-based replacement for the reference's row-at-a-time commit loop
+    (``/root/reference/main.py:137-147``)."""
+    from rpa_etl_investing_spark.etl.merge import merge_apply
+
+    base = tbl(spark, sf_dir, "customer")
+    upd = base.filter(F.col("c_custkey") % 10 == 7).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        F.concat(F.lit("upd_"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.col("c_custkey").cast("double").alias("c_acctbal"),
+        F.lit("CDC").alias("c_mktsegment"),
+    )
+    dels = base.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    ins = spark.range(5).select(
+        (F.lit(1000000) + F.col("id")).alias("c_custkey"),
+        F.lit("U").alias("op"),
+        F.concat(
+            F.lit("ins_"), (F.lit(1000000) + F.col("id")).cast("string")
+        ).alias("c_name"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.lit(-1.0).alias("c_acctbal"),
+        F.lit("CDC").alias("c_mktsegment"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    return merge_apply(base, changes, "c_custkey")

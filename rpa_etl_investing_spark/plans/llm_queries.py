@@ -1590,3 +1590,36 @@ def llm_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rpa_etl_investing_spark.operators.dedup import simhash_hamming_pairs
 
     return simhash_hamming_pairs(tbl(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_token_entropy",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    ex AS (SELECT doc_id, UNNEST(t) AS tok FROM tok),
+    per AS (SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY doc_id, tok),
+    terms AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(CAST(FLOOR(1e6 * c * LN(CAST(c AS DOUBLE)) + 0.5)
+                           AS BIGINT)) AS BIGINT) AS s_clnc
+      FROM per GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct,
+           n_tokens * CAST(FLOOR(1e6 * LN(CAST(n_tokens AS DOUBLE)) + 0.5)
+                           AS BIGINT) - s_clnc AS entropy_q,
+           (n_tokens * CAST(FLOOR(1e6 * LN(CAST(n_tokens AS DOUBLE)) + 0.5)
+                            AS BIGINT) - s_clnc)
+             / (1e6 * n_tokens) AS entropy_nats
+    FROM terms
+    """,
+)
+def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+: per-doc Shannon entropy of the token distribution on the
+    1e-6 integer grid (operators/text.py token_entropy) — the
+    information-density quality signal complementing the Gopher
+    repetition rules; exact-integer reductions, so partitioning cannot
+    move a bit."""
+    from rpa_etl_investing_spark.operators.text import token_entropy
+
+    return token_entropy(tbl(spark, sf_dir, "documents"))
