@@ -608,3 +608,45 @@ def cluster_label_profile(
         .cast("bigint")
         .alias("gini_q"),
     )
+
+
+def gram_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Distributed Gram matrix Xᵀ X of an embedding column — the input
+    to PCA / whitening / covariance-based drift checks over a vector
+    corpus. Returns one row per upper-triangle cell (i ≤ j) with the
+    exact quantized inner product.
+
+    Shape (the part that matters at 100 TB): NOT a self-join — each row
+    expands map-side into its d(d+1)/2 upper-triangle products via a
+    codegen'd nested ``transform`` + ``flatten`` + ``explode``, and the
+    hash aggregate's map-side partials collapse the fan-out to at most
+    d(d+1)/2 cells per task before anything shuffles. One pass over the
+    vectors, one tiny shuffle of (cell, partial-sum) rows.
+
+    Determinism: components quantize to the 1e-6 integer grid before
+    any product (float→double widening and the 1e6 scale are both exact
+    IEEE ops), so every cell is an exact BIGINT sum. At petabyte row
+    counts swap the accumulator to DECIMAL(38,0) — the grid keeps
+    per-row products ≤ ~2.5e11, so 38 digits holds >1e26 rows."""
+    q = F.expr(
+        f"transform({vec_col}, x -> "
+        "CAST(floor(1e6 * CAST(x AS DOUBLE) + 0.5) AS BIGINT))"
+    )
+    cells = F.expr(
+        "flatten(transform(sequence(0, size(_q) - 1), i -> "
+        "transform(sequence(i, size(_q) - 1), j -> "
+        "struct(i AS i, j AS j, _q[i] * _q[j] AS p))))"
+    )
+    return (
+        emb.select(q.alias("_q"))
+        .select(F.explode(cells).alias("c"))
+        .select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(
+            F.sum("p").cast("bigint").alias("s_q"),
+            F.count("*").cast("bigint").alias("n_vecs"),
+        )
+        .select(
+            "i", "j", "s_q", "n_vecs", (F.col("s_q") / F.lit(1e12)).alias("gram")
+        )
+    )

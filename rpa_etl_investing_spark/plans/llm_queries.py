@@ -1623,3 +1623,32 @@ def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rpa_etl_investing_spark.operators.text import token_entropy
 
     return token_entropy(tbl(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_embedding_gram",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(FLOOR(1e6 * CAST(UNNEST(embedding) AS DOUBLE) + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings)
+    SELECT a.i, b.i AS j,
+           CAST(SUM(a.q * b.q) AS BIGINT) AS s_q,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(a.q * b.q) AS BIGINT) / 1e12 AS gram
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+    GROUP BY a.i, b.i
+    """,
+)
+def llm_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+: Gram matrix Xᵀ X over the embedding corpus
+    (operators/similarity.py gram_matrix) — PCA/whitening prep computed
+    in ONE pass with map-side upper-triangle fan-out, never a
+    self-join; exact BIGINT cells on the 1e-6 grid. The oracle computes
+    the same cells by the brute-force positional self-join, so the
+    match also proves the fan-out enumeration is complete."""
+    from rpa_etl_investing_spark.operators.similarity import gram_matrix
+
+    return gram_matrix(tbl(spark, sf_dir, "embeddings"))

@@ -469,3 +469,32 @@ def source_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").cast("bigint").alias("supp_lo"),
         F.max("l_suppkey").cast("bigint").alias("supp_hi"),
     )
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: write ``supplier`` through Spark 4's native XML source
+    (rowTag records) and scan it back with an explicit schema — values
+    survive the markup round-trip bit-exactly (the oracle reads the
+    original parquet). XML is the interchange format the enterprise
+    feeds the reference's domain (exchange/vendor data drops) still
+    arrive in; an explicit schema keeps the scan single-pass — no
+    sampling-based inference job over a 100 TB drop."""
+    path = scratch_dir(_sf_tag(sf_dir), "supplier_xml")
+    sup = tbl(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    sup.write.format("xml").option("rowTag", "supplier").mode("overwrite").save(path)
+    schema = "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(schema)
+        .load(path)
+    )
