@@ -53,8 +53,17 @@ def pagerank(
     """
     n_nodes = nodes.agg(F.count("*").cast("bigint").alias("_n"))
     outw = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wout"))
-    # pre-join the out-weight once; iterations reuse this weighted edge set
-    ew = edges.join(outw, "src").select("src", "dst", F.col("w").cast("bigint"), "wout")
+    # Pre-join the out-weight once and PERSIST: the unrolled loop
+    # references this relation once per iteration, and without the cache
+    # Catalyst re-expands the whole edge-building subtree (the fact
+    # aggregation!) into every iteration — k rescans of the fact table.
+    # With it, the fact is scanned once and iterations join the cached
+    # aggregated graph (asserted in tests/test_plans.py).
+    ew = (
+        edges.join(outw, "src")
+        .select("src", "dst", F.col("w").cast("bigint").alias("w"), "wout")
+        .persist()
+    )
 
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", F.expr(f"CAST({GRID} AS BIGINT) div _n").alias("rank_q")

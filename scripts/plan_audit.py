@@ -80,6 +80,13 @@ EXTRAS = {
     "timeseries_rolling_volatility": "daily-close aggregate first (window partition is days, not ticks), integer power sums over a 7-row frame",
     "json_variant_extract": "parse_json once per row; typed variant path lookups fold into one projection before the aggregate",
     "curation_corpus_report": "KPI composition: single aggregates joined as 1-row broadcasts; pair count reuses the capped band join",
+    "graph_nation_pagerank": "fact scanned once into the persisted aggregated edge list; 3 unrolled iterations read InMemoryTableScan + broadcast scalars",
+    "timeseries_vwap_anomaly": "one (flag,day) partial+final decimal aggregate over the fact; window runs on the tiny daily series",
+    "llm_embedding_gram": "NO join: per-row upper-triangle fan-out, map-side partial_sum collapses before the single cell shuffle",
+    "etl_merge_apply": "broadcast LeftAnti on the change keys — base scan map-only; upsert images unioned",
+    "agg_winsorized_stats": "sharded exact order statistics (no global sort) broadcast back; one clip-and-aggregate pass",
+    "source_zorder_layout": "z-value is a codegen'd shift/mask projection; one hash aggregate on the z-range",
+    "stream_static_enrich": "stateless broadcast dim probe, fact never shuffles before the final rollup",
 }
 
 

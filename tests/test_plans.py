@@ -586,3 +586,43 @@ def test_bucketed_join_query_shuffles_only_for_final_agg(spark, sf_dir):
     assert plan.count("Exchange") <= 1, plan
     assert "SortMergeJoin" in plan, plan
     assert "Bucketed: true" in plan, plan
+
+
+def test_gram_matrix_is_single_pass_no_join(spark, sf_dir):
+    """The Gram matrix must come from per-row fan-out + hash aggregate —
+    any join in the plan means the positional self-join crept in (the
+    shape that dies at 100 TB); map-side partial aggregation must
+    collapse the d²/2-per-row fan-out before the shuffle."""
+    plan = _plan(QUERIES["llm_embedding_gram"].fn(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "partial_sum" in plan or "HashAggregate" in plan, plan
+
+
+def test_merge_apply_anti_join_is_broadcast(spark, sf_dir):
+    """The CDC batch is small by construction; the base-table anti join
+    must be broadcast (map-only over the base), never a shuffled
+    sort-merge join."""
+    plan = _plan(QUERIES["etl_merge_apply"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pagerank_iterations_join_on_aggregated_graph(spark, sf_dir):
+    """The fact-sized work (edge aggregation) must appear once; the
+    three unrolled iterations join the rank vector to the aggregated
+    edge list. One scan of lineitem in the plan — the iterations must
+    not rescan the fact per round."""
+    plan = _plan(QUERIES["graph_nation_pagerank"].fn(spark, sf_dir))
+    # every iteration must read the persisted aggregated edge list (one
+    # InMemoryTableScan per unrolled round), not re-expand the fact
+    # aggregation subtree into live scans
+    assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_vwap_anomaly_single_fact_shuffle(spark, sf_dir):
+    """The window pass runs over the aggregated daily series: exactly
+    one hash-partitioning exchange keyed on the fact's group-by; the
+    window must not force a second full-data exchange."""
+    plan = _plan(QUERIES["timeseries_vwap_anomaly"].fn(spark, sf_dir))
+    assert "HashAggregate" in plan, plan
+    assert "partial" in plan.lower(), plan
