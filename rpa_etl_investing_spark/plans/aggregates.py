@@ -762,3 +762,50 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dsum("v") / F.count("*")).alias("mean_raw"),
         (dsum("w") / F.count("*")).alias("mean_winsorized"),
     )
+
+
+@register(
+    "agg_reuse_daily_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           DATE_TRUNC('month', CAST(l_shipdate AS TIMESTAMP)) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def agg_reuse_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-rollup reuse — the pre-aggregation pattern: monthly
+    figures are answered FROM the daily rollup (re-aggregating its
+    decimal partials), never by rescanning the fact, and the oracle is
+    the direct fact-level monthly aggregate — the hash match proves the
+    two-level rollup is bit-identical to the one-shot. That identity is
+    exactly why the accumulators are DECIMAL (and counts BIGINT): every
+    aggregate in the daily table is associative-mergeable state, the
+    property HLL rollup (agg_sketch_rollup) generalizes to sketches.
+
+    At 100 TB this is the nightly pattern: the fact is folded once into
+    a ~1e5-row daily table; every coarser grain (month, quarter, year,
+    ad-hoc dashboards) re-aggregates the rollup at interactive cost."""
+    li = tbl(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag", F.date_trunc("day", "l_shipdate").alias("day")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(27,2)")).alias("d_qty"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(27,4)"
+            )
+        ).alias("d_rev"),
+    )
+    return daily.groupBy(
+        "l_returnflag", F.date_trunc("month", "day").alias("month")
+    ).agg(
+        F.sum("n_items").cast("bigint").alias("n_items"),
+        F.sum("d_qty").cast("double").alias("sum_qty"),
+        F.sum("d_rev").cast("double").alias("revenue"),
+    )

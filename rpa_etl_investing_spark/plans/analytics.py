@@ -1323,3 +1323,71 @@ def graph_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_q",
         (F.col("rank_q") / F.lit(1e9)).alias("rank"),
     )
+
+
+@register(
+    "analytics_event_pattern",
+    oracle="""
+    WITH coded AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                  ELSE 'e' END AS code
+      FROM events),
+    seqs AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             STRING_AGG(code, '' ORDER BY ts, event_id) AS seq
+      FROM coded GROUP BY user_id)
+    SELECT user_id, n_events,
+           regexp_matches(seq, 'cv+p') AS matched,
+           CASE WHEN regexp_matches(seq, 'cv+p')
+                THEN regexp_extract(seq, 'cv+p') ELSE '' END AS first_match
+    FROM seqs
+    """,
+)
+def analytics_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match (the MATCH_RECOGNIZE
+    shape): per user, did a click → one-or-more views → purchase run
+    occur consecutively? Events compress to one-char codes, the
+    per-user timeline becomes a string (``array_sort`` over the
+    collected (ts, event_id, code) structs — collect order never
+    matters), and the pattern is a plain regex both engines evaluate
+    greedily.
+
+    Scale shape: ONE shuffle on user_id; the per-key sequence
+    materializes in the aggregation buffer — the standard CEP
+    assumption (per-entity history fits memory; at 100 TB you'd bound
+    it with a session window first, exactly what stream_session_window
+    provides). Text of size O(events-per-user), never the corpus."""
+    ev = tbl(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seqs = (
+        ev.select("user_id", "ts", "event_id", code.alias("code"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "code"))),
+                    lambda x: x["code"],
+                ),
+                "",
+            ).alias("seq"),
+        )
+    )
+    matched = F.col("seq").rlike("cv+p")
+    return seqs.select(
+        "user_id",
+        "n_events",
+        matched.alias("matched"),
+        F.when(matched, F.regexp_extract("seq", "cv+p", 0))
+        .otherwise("")
+        .alias("first_match"),
+    )

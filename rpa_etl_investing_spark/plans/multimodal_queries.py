@@ -132,3 +132,50 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_binary_media(tbl(spark, sf_dir, "documents"))
     return resize_media(decode_media_metadata(media), max_dim=48)
+
+
+@register(
+    "multimodal_patch_grid",
+    oracle=f"""
+    WITH meta AS ({_META_SQL})
+    SELECT doc_id, media_type, width, height,
+           CAST((width + 15) // 16 AS INT) AS n_patches_x,
+           CAST((height + 15) // 16 AS INT) AS n_patches_y,
+           CAST(((width + 15) // 16) * 16 AS INT) AS padded_w,
+           CAST(((height + 15) // 16) * 16 AS INT) AS padded_h,
+           CAST(((width + 15) // 16) * ((height + 15) // 16) * n_frames
+                AS BIGINT) AS total_patches
+    FROM meta
+    """,
+)
+def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch-grid planning over decoded media: 16×16 patch
+    counts, right/bottom padding to the patch grid, and the total patch
+    (= vision-token) budget per asset including every AVI frame. The
+    dims come from the REAL byte-level decode (multimodal/binary_ops.py
+    — PNG IHDR / JPEG SOF / AVI avih); the grid itself is pure integer
+    arithmetic folded into the same projection, so the oracle verifies
+    decode + planning end to end. This is the accounting pass a
+    multimodal training pipeline runs to budget sequence lengths before
+    any pixel decode happens — metadata-only, no image libraries, one
+    map-only pass after the Arrow-batched header parse."""
+    from pyspark.sql import functions as F
+
+    meta = decode_media_metadata(
+        attach_binary_media(tbl(spark, sf_dir, "documents"))
+    )
+    npx = F.expr("CAST((width + 15) div 16 AS INT)")
+    npy = F.expr("CAST((height + 15) div 16 AS INT)")
+    return meta.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        npx.alias("n_patches_x"),
+        npy.alias("n_patches_y"),
+        (npx * 16).cast("int").alias("padded_w"),
+        (npy * 16).cast("int").alias("padded_h"),
+        (npx.cast("bigint") * npy.cast("bigint") * F.col("n_frames")).cast(
+            "bigint"
+        ).alias("total_patches"),
+    )
