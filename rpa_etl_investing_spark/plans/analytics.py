@@ -1391,3 +1391,106 @@ def analytics_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("")
         .alias("first_match"),
     )
+
+
+@register(
+    "profile_psi_drift",
+    oracle="""
+    WITH r AS (
+      SELECT n_chars AS v, doc_id % 2 = 0 AS is_a,
+             ROW_NUMBER() OVER (ORDER BY n_chars) AS rn,
+             COUNT(*) OVER () AS n
+      FROM documents),
+    th AS (
+      SELECT
+        MAX(CASE WHEN rn = CAST(FLOOR(0.2 * (n - 1)) AS BIGINT) + 1 THEN v END) AS t20,
+        MAX(CASE WHEN rn = CAST(FLOOR(0.4 * (n - 1)) AS BIGINT) + 1 THEN v END) AS t40,
+        MAX(CASE WHEN rn = CAST(FLOOR(0.6 * (n - 1)) AS BIGINT) + 1 THEN v END) AS t60,
+        MAX(CASE WHEN rn = CAST(FLOOR(0.8 * (n - 1)) AS BIGINT) + 1 THEN v END) AS t80
+      FROM r),
+    binned AS (
+      SELECT CAST((CASE WHEN v >= t20 THEN 1 ELSE 0 END)
+                + (CASE WHEN v >= t40 THEN 1 ELSE 0 END)
+                + (CASE WHEN v >= t60 THEN 1 ELSE 0 END)
+                + (CASE WHEN v >= t80 THEN 1 ELSE 0 END) AS INT) AS bin,
+             is_a
+      FROM r CROSS JOIN th),
+    counts AS (
+      SELECT bin,
+             CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS a,
+             CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS b
+      FROM binned GROUP BY bin),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+            FROM counts)
+    SELECT bin, a, b,
+           CASE WHEN a > 0 AND b > 0
+                THEN (a * nb - b * na)
+                     * CAST(FLOOR(1e6 * LN(CAST(a * nb AS DOUBLE)
+                                           / CAST(b * na AS DOUBLE)) + 0.5)
+                            AS BIGINT)
+                ELSE 0 END AS contrib_q,
+           CASE WHEN a > 0 AND b > 0
+                THEN (a * nb - b * na)
+                     * CAST(FLOOR(1e6 * LN(CAST(a * nb AS DOUBLE)
+                                           / CAST(b * na AS DOUBLE)) + 0.5)
+                            AS BIGINT) / (1e6 * na * nb)
+                ELSE 0.0 END AS psi_part
+    FROM counts CROSS JOIN tot
+    """,
+)
+def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: split the corpus into
+    cohorts A/B (even/odd doc_id — the stand-in for yesterday's batch
+    vs today's), bin doc length by the EXACT combined quintiles from
+    the sharded selection (operators/prefix.py — no global sort), and
+    compute each bin's PSI contribution (p−q)·ln(p/q) in integer form:
+    the sign/magnitude term (a·Nb − b·Na) is exact BIGINT, and the only
+    transcendental, ln of a ratio of exact integers, quantizes to the
+    1e-6 grid. This is the drift gate an ML data pipeline runs before
+    admitting a new batch; thresholds and totals all ride as 1-row
+    broadcasts, one aggregate over the corpus."""
+    from rpa_etl_investing_spark.operators.prefix import exact_quantiles
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("v"), (F.col("doc_id") % 2 == 0).alias("is_a")
+    )
+    th = exact_quantiles(
+        docs, "v", {"t20": 0.2, "t40": 0.4, "t60": 0.6, "t80": 0.8}
+    )
+    binned = docs.crossJoin(F.broadcast(th)).select(
+        (
+            (F.col("v") >= F.col("t20")).cast("int")
+            + (F.col("v") >= F.col("t40")).cast("int")
+            + (F.col("v") >= F.col("t60")).cast("int")
+            + (F.col("v") >= F.col("t80")).cast("int")
+        ).alias("bin"),
+        "is_a",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("a"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("b"),
+    )
+    tot = counts.agg(
+        F.sum("a").cast("bigint").alias("na"), F.sum("b").cast("bigint").alias("nb")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    diff = F.col("a") * F.col("nb") - F.col("b") * F.col("na")
+    qln = F.floor(
+        F.lit(1e6)
+        * F.log(
+            (F.col("a") * F.col("nb")).cast("double")
+            / (F.col("b") * F.col("na")).cast("double")
+        )
+        + F.lit(0.5)
+    ).cast("bigint")
+    ok = (F.col("a") > 0) & (F.col("b") > 0)
+    contrib = F.when(ok, diff * qln).otherwise(F.lit(0)).cast("bigint")
+    return j.select(
+        "bin",
+        "a",
+        "b",
+        contrib.alias("contrib_q"),
+        F.when(ok, contrib / (F.lit(1e6) * F.col("na") * F.col("nb")))
+        .otherwise(F.lit(0.0))
+        .alias("psi_part"),
+    )

@@ -1041,3 +1041,97 @@ def curation_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_tokens_q"),
         "n_candidate_pairs",
     )
+
+
+@register(
+    "curation_epoch_plan",
+    oracle="""
+    WITH per_src AS (
+      SELECT source, CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS t
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(t) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n FROM per_src),
+    ordered AS (
+      SELECT source, t,
+             ROW_NUMBER() OVER (ORDER BY t, source) AS i,
+             CAST(SUM(4 * t) OVER (ORDER BY t, source
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_i
+      FROM per_src),
+    flagged AS (
+      SELECT o.*, tot.total, tot.n,
+             4 * o.t * (tot.n - o.i + 1) <= 2 * tot.total - (o.s_i - 4 * o.t)
+               AS capped
+      FROM ordered o CROSS JOIN tot),
+    pv AS (
+      SELECT CAST(COALESCE(MAX(CASE WHEN capped THEN s_i END), 0) AS BIGINT) AS s_k,
+             CAST(COUNT(CASE WHEN capped THEN 1 END) AS BIGINT) AS k
+      FROM flagged)
+    SELECT f.source, f.t AS n_tokens, f.capped,
+           CAST(CASE WHEN f.capped THEN 4 * f.t
+                ELSE (2 * f.total - p.s_k) // (f.n - p.k) END AS BIGINT)
+             AS alloc_tokens,
+           CAST(CASE WHEN f.capped THEN 4 * f.t
+                ELSE (2 * f.total - p.s_k) // (f.n - p.k) END AS BIGINT)
+             / CAST(f.t AS DOUBLE) AS epochs
+    FROM flagged f CROSS JOIN pv p
+    """,
+)
+def curation_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style epoch-capped budget allocation (Chung et al. 2023,
+    arXiv:2304.09151) as a closed-form windowed computation: give every
+    source an equal share of a 2×-corpus token budget, except no source
+    repeats more than 4 epochs. The sequential water-filling loop of
+    the paper collapses to one window pass: sources ascending by size,
+    a source is capped iff its full 4-epoch allocation is affordable
+    against the budget left when its turn comes
+    (``4·t_i·(n−i+1) ≤ B − S_{i−1}``, prefix sums over 4·t), and the
+    uncapped tail splits the remainder equally (integer floor). All
+    BIGINT arithmetic; the per-source epochs ratio divides two exact
+    integers.
+
+    Scale shape: the fact-sized work is one per-source token aggregate;
+    the window runs over n_sources rows (the mixing plan is inherently
+    per-source — ~dozens of rows at any corpus size), and the pivot
+    rides back as a 1-row broadcast."""
+    from pyspark.sql.window import Window as W
+
+    docs = tbl(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("t")
+    )
+    tot = per_src.agg(
+        F.sum("t").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    wo = W.orderBy("t", "source")
+    ordered = per_src.select(
+        "source",
+        "t",
+        F.row_number().over(wo).alias("i"),
+        F.sum(F.lit(4) * F.col("t"))
+        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("s_i"),
+    )
+    flagged = ordered.crossJoin(F.broadcast(tot)).withColumn(
+        "capped",
+        F.lit(4) * F.col("t") * (F.col("n") - F.col("i") + 1)
+        <= F.lit(2) * F.col("total") - (F.col("s_i") - F.lit(4) * F.col("t")),
+    )
+    pivot = flagged.agg(
+        F.coalesce(F.max(F.when(F.col("capped"), F.col("s_i"))), F.lit(0))
+        .cast("bigint")
+        .alias("s_k"),
+        F.count(F.when(F.col("capped"), 1)).cast("bigint").alias("k"),
+    )
+    j = flagged.crossJoin(F.broadcast(pivot))
+    alloc = F.when(F.col("capped"), F.lit(4) * F.col("t")).otherwise(
+        F.expr("(2 * total - s_k) div (n - k)")
+    ).cast("bigint")
+    return j.select(
+        "source",
+        F.col("t").alias("n_tokens"),
+        "capped",
+        alloc.alias("alloc_tokens"),
+        (alloc / F.col("t").cast("double")).alias("epochs"),
+    )
