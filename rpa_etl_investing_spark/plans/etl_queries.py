@@ -270,3 +270,99 @@ def etl_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = upd.unionByName(dels).unionByName(ins)
     return merge_apply(base, changes, "c_custkey")
+
+
+@register(
+    "etl_expectations_report",
+    oracle="""
+    WITH one_pass AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+             CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+               AS null_custkey,
+             CAST(COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+               AS nonpositive_price,
+             CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END)
+               AS BIGINT) AS bad_status,
+             CAST(COUNT(CASE WHEN o_orderdate >= TIMESTAMP '2001-01-01' THEN 1 END)
+               AS BIGINT) AS fresh_rows
+      FROM orders),
+    orphans AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    SELECT 'orderkey_unique' AS expectation, dup_keys AS observed,
+           CAST(0 AS BIGINT) AS threshold, dup_keys = 0 AS passed FROM one_pass
+    UNION ALL
+    SELECT 'custkey_not_null', null_custkey, CAST(0 AS BIGINT),
+           null_custkey = 0 FROM one_pass
+    UNION ALL
+    SELECT 'totalprice_positive', nonpositive_price, CAST(0 AS BIGINT),
+           nonpositive_price = 0 FROM one_pass
+    UNION ALL
+    SELECT 'status_in_domain', bad_status, CAST(0 AS BIGINT),
+           bad_status = 0 FROM one_pass
+    UNION ALL
+    SELECT 'orders_fresh', fresh_rows, CAST(1 AS BIGINT),
+           fresh_rows >= 1 FROM one_pass
+    UNION ALL
+    SELECT 'custkey_referential', n, CAST(0 AS BIGINT), n = 0 FROM orphans
+    """,
+)
+def etl_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract expectations suite (the Great-Expectations shape):
+    named table-level checks — key uniqueness, null rate, value range,
+    domain membership, freshness, referential integrity — each reported
+    as (expectation, observed violation count, threshold, passed). The
+    load-gating complement of the row-level reject metrics
+    (``etl_reject_metrics``): this is what decides whether a published
+    batch is fit to join the warehouse at all.
+
+    Scale shape: five of the six checks fold into ONE aggregate pass
+    over the fact (a single row of counters, unpivoted to rows — not
+    one scan per expectation); only referential integrity needs a join,
+    and it is a key-only anti-join count. Total cost: one fact scan +
+    one key join, regardless of how many in-pass expectations are
+    registered."""
+    orders = tbl(spark, sf_dir, "orders")
+    cust = tbl(spark, sf_dir, "customer")
+    one = orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("bigint").alias(
+            "dup_keys"
+        ),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).cast("bigint").alias(
+            "null_custkey"
+        ),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).cast("bigint").alias(
+            "nonpositive_price"
+        ),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).cast("bigint").alias("bad_status"),
+        F.count(
+            F.when(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"), 1)
+        ).cast("bigint").alias("fresh_rows"),
+    )
+    in_pass = one.select(
+        F.expr(
+            "stack(5,"
+            " 'orderkey_unique', dup_keys, CAST(0 AS BIGINT), dup_keys = 0,"
+            " 'custkey_not_null', null_custkey, CAST(0 AS BIGINT), null_custkey = 0,"
+            " 'totalprice_positive', nonpositive_price, CAST(0 AS BIGINT),"
+            "   nonpositive_price = 0,"
+            " 'status_in_domain', bad_status, CAST(0 AS BIGINT), bad_status = 0,"
+            " 'orders_fresh', fresh_rows, CAST(1 AS BIGINT), fresh_rows >= 1"
+            ") AS (expectation, observed, threshold, passed)"
+        )
+    )
+    orphans = (
+        orders.select("o_custkey")
+        .join(cust.select("c_custkey"), orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").cast("bigint").alias("observed"))
+        .select(
+            F.lit("custkey_referential").alias("expectation"),
+            "observed",
+            F.lit(0).cast("bigint").alias("threshold"),
+            (F.col("observed") == 0).alias("passed"),
+        )
+    )
+    return in_pass.unionByName(orphans)
