@@ -1494,3 +1494,60 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("psi_part"),
     )
+
+
+@register(
+    "analytics_attribution_last_touch",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase'),
+    touches AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events WHERE event_type IN ('click', 'view', 'signup')),
+    attributed AS (
+      SELECT p.event_id, p.value,
+             (SELECT t.event_type FROM touches t
+              WHERE t.user_id = p.user_id AND t.ts <= p.ts
+              ORDER BY t.ts DESC, t.event_type DESC LIMIT 1) AS channel
+      FROM purchases p)
+    SELECT COALESCE(channel, 'organic') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS attributed_revenue
+    FROM attributed
+    GROUP BY 1
+    """,
+)
+def analytics_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase's revenue is
+    credited to the user's most recent preceding touch (click/view/
+    signup), falling back to 'organic' when nothing precedes it. The
+    mechanism is the backward as-of join (operators/asof.py — ONE
+    merge-scan shuffle on user_id, no range cross-join); ties at the
+    same timestamp break deterministically on the greater event_type
+    string, matching the oracle's correlated ORDER BY.
+
+    Scale shape: two filtered projections of the fact union into the
+    single as-of pass, then a tiny channel rollup — attribution at
+    100 TB is exactly one key shuffle."""
+    from rpa_etl_investing_spark.operators.asof import asof_join
+    from rpa_etl_investing_spark.plans.aggregates import dsum
+
+    ev = tbl(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view", "signup"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("channel"))
+    )
+    j = asof_join(
+        purchases, touches, key="user_id", ts="ts", value_cols=["channel"]
+    )
+    return j.groupBy(
+        F.coalesce(F.col("channel_asof"), F.lit("organic")).alias("channel")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        dsum("value", 6).alias("attributed_revenue"),
+    )
