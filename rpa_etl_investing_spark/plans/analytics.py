@@ -1551,3 +1551,67 @@ def analytics_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFr
         F.count("*").cast("bigint").alias("n_purchases"),
         dsum("value", 6).alias("attributed_revenue"),
     )
+
+
+@register(
+    "analytics_chi_square",
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderstatus AS status,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    rt AS (SELECT seg, CAST(SUM(obs) AS BIGINT) AS r FROM cells GROUP BY seg),
+    ct AS (SELECT status, CAST(SUM(obs) AS BIGINT) AS c FROM cells GROUP BY status),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS total FROM cells)
+    SELECT cells.seg, cells.status, cells.obs, rt.r AS row_total, ct.c AS col_total,
+           CAST(rt.r * ct.c AS DOUBLE) / total AS expected,
+           CAST(cells.obs * total - rt.r * ct.c AS DOUBLE)
+             * CAST(cells.obs * total - rt.r * ct.c AS DOUBLE)
+             / (CAST(rt.r AS DOUBLE) * ct.c * total) AS chi2_contrib
+    FROM cells JOIN rt USING (seg) JOIN ct USING (status) CROSS JOIN n
+    """,
+)
+def analytics_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence scan between two categorical dimensions
+    (market segment × order status): per-cell observed counts, marginal
+    totals, expected counts, and the χ² contribution
+    ``(o·N − r·c)² / (r·c·N)`` — the dependence-screening companion to
+    the PSI drift monitor (``profile_psi_drift``). The deviation
+    ``o·N − r·c`` is an exact BIGINT before the (deterministic) double
+    square-and-divide, so both engines compute identical cells.
+
+    Scale shape: one fact join + hash aggregate produces the cell
+    table; marginals re-aggregate the CELLS (seg×status rows, not the
+    fact) and ride back as broadcast joins — χ² over any two dimensions
+    costs one fact pass."""
+    orders = tbl(spark, sf_dir, "orders")
+    cust = tbl(spark, sf_dir, "customer")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.count("*").cast("bigint").alias("obs"))
+    )
+    rt = cells.groupBy("seg").agg(F.sum("obs").cast("bigint").alias("r"))
+    ct = cells.groupBy("status").agg(F.sum("obs").cast("bigint").alias("c"))
+    n = cells.agg(F.sum("obs").cast("bigint").alias("total"))
+    j = (
+        cells.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "status")
+        .crossJoin(F.broadcast(n))
+    )
+    dev = (F.col("obs") * F.col("total") - F.col("r") * F.col("c")).cast("double")
+    return j.select(
+        "seg",
+        "status",
+        "obs",
+        F.col("r").alias("row_total"),
+        F.col("c").alias("col_total"),
+        ((F.col("r") * F.col("c")).cast("double") / F.col("total")).alias("expected"),
+        (
+            dev * dev / (F.col("r").cast("double") * F.col("c") * F.col("total"))
+        ).alias("chi2_contrib"),
+    )
