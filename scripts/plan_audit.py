@@ -87,6 +87,14 @@ EXTRAS = {
     "agg_winsorized_stats": "sharded exact order statistics (no global sort) broadcast back; one clip-and-aggregate pass",
     "source_zorder_layout": "z-value is a codegen'd shift/mask projection; one hash aggregate on the z-range",
     "stream_static_enrich": "stateless broadcast dim probe, fact never shuffles before the final rollup",
+    "analytics_event_pattern": "one user-key shuffle; per-key timeline folds to a code string in the aggregation buffer",
+    "agg_reuse_daily_rollup": "two-level decimal rollup: fact folds once to daily, month re-aggregates the rollup",
+    "profile_psi_drift": "exact quintile thresholds broadcast; one corpus aggregate; totals as 1-row broadcasts",
+    "curation_epoch_plan": "per-source token aggregate; water-filling window over n_sources rows; pivot as 1-row broadcast",
+    "etl_expectations_report": "five expectations in ONE stack-unpivoted aggregate pass + key-only anti-join count",
+    "analytics_attribution_last_touch": "backward as-of merge-scan: ONE user-key shuffle, then tiny channel rollup",
+    "analytics_chi_square": "cells from one fact join+aggregate; marginals re-aggregate cells and broadcast back",
+    "multimodal_patch_grid": "patch arithmetic folded into the Arrow-batched header-parse projection, map-only",
 }
 
 
