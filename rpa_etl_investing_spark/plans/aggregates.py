@@ -809,3 +809,35 @@ def agg_reuse_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d_qty").cast("double").alias("sum_qty"),
         F.sum("d_rev").cast("double").alias("revenue"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 scale path: EXACT distinct counting via bitmap aggregation —
+    ids fold into fixed-size bitmap buckets (``bitmap_bit_position``
+    within a 32k-bit bucket, ``bitmap_bucket_number`` across buckets),
+    per-(group, bucket) bitmaps OR-merge map-side, and the final count
+    sums popcounts. Unlike ``count(DISTINCT x)`` this never rewrites
+    the plan into an expand+two-shuffle, and unlike HLL it is exact:
+    state per group is bounded by id-range/32k buckets, each 4 KB.
+    The oracle is the plain COUNT(DISTINCT)."""
+    orders = tbl(spark, sf_dir, "orders")
+    per_bucket = orders.groupBy(
+        "o_orderstatus",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+    ).agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg(bitmap_bit_position(o_custkey)))"
+        ).alias("n_in_bucket")
+    )
+    return per_bucket.groupBy("o_orderstatus").agg(
+        F.sum("n_in_bucket").cast("bigint").alias("n_customers")
+    )

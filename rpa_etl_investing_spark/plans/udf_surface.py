@@ -178,3 +178,40 @@ def udf_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(purchases.groupBy("user_id"))
         .applyInPandas(stats, "user_id bigint, n_clicks bigint, n_purchases bigint")
     )
+
+
+@register(
+    "udf_map_in_arrow_lengths",
+    oracle="""
+    SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def udf_map_in_arrow_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 zero-copy variant: ``mapInArrow`` — the partition iterator
+    receives raw Arrow RecordBatches (no pandas materialization at
+    all), computes UTF-8 lengths with Arrow compute kernels, and yields
+    Arrow back. The leanest Python hook Spark offers: when the Python
+    side only needs columnar kernels, skipping the pandas conversion
+    removes the last per-batch copy ``mapInPandas`` pays. Same
+    batch-shape contract as the pandas form, demonstrated against the
+    same documents fixture."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def lengths(batches):
+        for batch in batches:
+            tbl_ = pa.Table.from_batches([batch])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tbl_.column("doc_id").combine_chunks(),
+                    pc.cast(
+                        pc.utf8_length(tbl_.column("text").combine_chunks()),
+                        pa.int64(),
+                    ),
+                ],
+                ["doc_id", "n_chars"],
+            )
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(lengths, "doc_id bigint, n_chars bigint")
