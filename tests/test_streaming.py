@@ -354,3 +354,95 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_transform_with_state_running_max_matches_batch(spark, sf_dir, tmp_path):
+    """ST6 on the NEW Spark 4 arbitrary-state API
+    (transformWithStateInPandas + ValueState on the RocksDB store,
+    the successor to applyInPandasWithState): per-user running max
+    event value; after the stream drains, the final state per user must
+    equal the batch groupBy max.
+
+    Environment gate: the transformWithState driver worker speaks
+    protobuf to the JVM state server; this container ships no
+    google.protobuf, so the test skips here and runs wherever protobuf
+    is present (the applyInPandasWithState path above covers stateful
+    processing in-container)."""
+    import pandas as pd
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("mx", "mx double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            mx = self._state.get()[0] if self._state.exists() else None
+            for pdf in rows:
+                m = pdf["value"].max()
+                mx = m if mx is None else max(mx, m)
+            self._state.update((float(mx),))
+            yield pd.DataFrame({"user_id": [key[0]], "max_value": [float(mx)]})
+
+        def close(self) -> None:
+            pass
+
+    batch_events = tbl(spark, sf_dir, "events")
+    expected = {
+        (r["user_id"], r["max_value"])
+        for r in batch_events.groupBy("user_id")
+        .agg(F.max("value").alias("max_value"))
+        .collect()
+    }
+
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    (stream_dir / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _stream_events(spark, raw_schema, stream_dir)
+        q = (
+            stream.select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                RunningMax(),
+                outputStructType="user_id bigint, max_value double",
+                outputMode="Update",
+                timeMode="None",
+            )
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = spark.sql(
+                "SELECT user_id, max_value FROM tws_out"
+            ).collect()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    # update mode may emit several rows per user across micro-batches;
+    # the LAST emission per user is the final state
+    last = {}
+    for r in rows:
+        last[r["user_id"]] = r["max_value"]
+    got = set(last.items())
+    assert got == expected
