@@ -1615,3 +1615,90 @@ def analytics_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             dev * dev / (F.col("r").cast("double") * F.col("c") * F.col("total"))
         ).alias("chi2_contrib"),
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH dir_edges AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM dir_edges WHERE src <> dst),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM und e1
+      JOIN und e2 ON e2.u = e1.v
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+    per_node AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY node)
+    SELECT n.n_name AS nation, p.n_triangles
+    FROM per_node p JOIN nation n ON p.node = n.n_nationkey
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting on the undirected nation trade graph —
+    the clustering-structure companion to PageRank (``J8``). Canonical
+    ordered-edge enumeration (u<v) guarantees each triangle a<b<c is
+    produced exactly once by the two-hop join ``(a,b)⋈(b,c)⋈(a,c)``,
+    then node participation is a union + hash count.
+
+    Scale shape: the fact collapses to the distinct edge list first
+    (same one-pass aggregation as PageRank); the triangle join runs on
+    edges only — the standard distributed formulation where the
+    ordered-edge orientation bounds the join fan-out by the smaller
+    degree side (Suri & Vassilvitskii, WWW'11)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    dir_edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.lit(1).alias("_one"))
+    )
+    und = (
+        dir_edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    per_node = nodes.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+    return per_node.join(F.broadcast(n), per_node.node == n.n_nationkey).select(
+        F.col("n_name").alias("nation"), "n_triangles"
+    )

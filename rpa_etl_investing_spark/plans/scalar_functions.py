@@ -556,3 +556,31 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 2
         ).alias("parsed_doubled"),
     )
+
+
+@register(
+    "locale_date_parse",
+    oracle="""
+    SELECT o_orderkey, date_text,
+           CAST(STRPTIME(date_text, '%d/%m/%Y') AS TIMESTAMP) AS parsed
+    FROM (
+      SELECT o_orderkey,
+             STRFTIME(CAST(o_orderdate AS TIMESTAMP), '%d/%m/%Y') AS date_text
+      FROM orders)
+    """,
+)
+def locale_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 locale companion to the numeric parsers: Brazilian
+    day-first dates (``31/12/1999``) formatted and parsed back
+    losslessly with an explicit pattern — the ingestion rule for the
+    reference's pt-BR source pages (``/root/reference/main.py:86``
+    scrape locale). Never locale-inferred: an explicit format keeps the
+    parse a codegen'd projection, and day-first strings are exactly the
+    ones a US-default inference silently mangles (03/04 = April 3rd?)."""
+    o = tbl(spark, sf_dir, "orders")
+    date_text = F.date_format(F.col("o_orderdate"), "dd/MM/yyyy")
+    return o.select(
+        "o_orderkey",
+        date_text.alias("date_text"),
+        F.to_timestamp(date_text, "dd/MM/yyyy").alias("parsed"),
+    )
