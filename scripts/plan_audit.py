@@ -95,6 +95,10 @@ EXTRAS = {
     "analytics_attribution_last_touch": "backward as-of merge-scan: ONE user-key shuffle, then tiny channel rollup",
     "analytics_chi_square": "cells from one fact join+aggregate; marginals re-aggregate cells and broadcast back",
     "multimodal_patch_grid": "patch arithmetic folded into the Arrow-batched header-parse projection, map-only",
+    "agg_bitmap_distinct": "exact distinct via mergeable 32k-bit bitmap buckets; no expand rewrite, popcounts summed",
+    "udf_map_in_arrow_lengths": "raw Arrow RecordBatches through Arrow compute kernels — no pandas materialization",
+    "locale_date_parse": "explicit-pattern day-first parse: map-only codegen projection",
+    "graph_triangle_count": "fact folds to distinct ordered edges once; triangle joins run on edges only",
 }
 
 
