@@ -79,6 +79,17 @@ MULTI_SF_NAMES = [
     # r4: sketch tolerance booleans must hold at every fixture scale
     "agg_sketch_rollup",
     "agg_kll_quantiles",
+    # r4 session widening: quantized-ln families (entropy, PSI), the
+    # integer z-score grid (VWAP), deterministic double square/divide
+    # (chi-square), quantized component products (Gram), and the
+    # integer water-filling allocation (epoch plan)
+    "llm_token_entropy",
+    "profile_psi_drift",
+    "timeseries_vwap_anomaly",
+    "analytics_chi_square",
+    "llm_embedding_gram",
+    "curation_epoch_plan",
+    "agg_winsorized_stats",
 ]
 
 
