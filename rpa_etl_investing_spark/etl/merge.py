@@ -28,14 +28,22 @@ def merge_apply(
     changes: DataFrame,
     key: str,
     op_col: str = "op",
+    broadcast_changes: bool = True,
 ) -> DataFrame:
     """Apply ``changes`` to ``base``. ``changes`` carries the base
     schema plus ``op_col``: 'U' rows are upsert images (replace the
     matched base row, or insert if the key is new), 'D' rows delete
     their key. Every changed key — U or D — is removed from the base
-    via one broadcast anti join; U images are unioned back in.
-    Exactly-once per key: a key appears at most once in the output."""
+    via one anti join; U images are unioned back in. Exactly-once per
+    key: a key appears at most once in the output.
+
+    ``broadcast_changes=True`` (the default, and the right call for any
+    normal CDC batch) pins the anti join to a broadcast — base scanned
+    map-only, zero shuffle. Pass ``False`` for the rare batch too big
+    to broadcast: same semantics, the join shuffles both sides on the
+    key instead."""
     change_keys = changes.select(key)
-    kept = base.join(F.broadcast(change_keys), key, "left_anti")
+    probe = F.broadcast(change_keys) if broadcast_changes else change_keys
+    kept = base.join(probe, key, "left_anti")
     upserts = changes.filter(F.col(op_col) == "U").select(*base.columns)
     return kept.unionByName(upserts)
