@@ -627,7 +627,13 @@ def gram_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     any product (float→double widening and the 1e6 scale are both exact
     IEEE ops), so every cell is an exact BIGINT sum. At petabyte row
     counts swap the accumulator to DECIMAL(38,0) — the grid keeps
-    per-row products ≤ ~2.5e11, so 38 digits holds >1e26 rows."""
+    per-row products ≤ ~2.5e11, so 38 digits holds >1e26 rows.
+
+    Dimension guidance: the per-row fan-out is d(d+1)/2 structs — fine
+    to d≈128 (8k cells). For d≈1024+ (524k cells/row) keep the same
+    cell-keyed aggregate but produce cells per BLOCK pair via an
+    Arrow-batched ``mapInPandas`` numpy outer product — identical
+    output contract, one code path swap, no plan change downstream."""
     q = F.expr(
         f"transform({vec_col}, x -> "
         "CAST(floor(1e6 * CAST(x AS DOUBLE) + 0.5) AS BIGINT))"
