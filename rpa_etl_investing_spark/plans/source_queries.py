@@ -498,3 +498,37 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema(schema)
         .load(path)
     )
+
+
+@register(
+    "source_nested_struct_prune",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+    """,
+)
+def source_nested_struct_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+: nested-schema pruning — events are materialized with a
+    nested ``meta`` struct (k, tag, v) in parquet, and the consumer
+    reads ONE leaf with a filter on it. Spark must prune the scan to
+    ``meta.k`` alone (ReadSchema shows just the leaf — asserted in
+    tests/test_plans.py) and push the comparison down to the reader.
+    At 100 TB wide nested payloads are the norm (request blobs, model
+    metadata); reading one leaf instead of the whole struct is the
+    column-pruning story extended inside the column."""
+    base = scratch_dir(_sf_tag(sf_dir), "events_nested")
+    ev = tbl(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            F.col("event_type").alias("tag"),
+            F.col("value").alias("v"),
+        ).alias("meta"),
+    )
+    nested.write.mode("overwrite").parquet(base)
+    back = spark.read.parquet(base)
+    return back.filter(F.col("meta.k") >= 50).select(
+        "event_id", F.col("meta.k").alias("k")
+    )

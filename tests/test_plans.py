@@ -626,3 +626,12 @@ def test_vwap_anomaly_single_fact_shuffle(spark, sf_dir):
     plan = _plan(QUERIES["timeseries_vwap_anomaly"].fn(spark, sf_dir))
     assert "HashAggregate" in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_nested_struct_scan_prunes_to_leaf(spark, sf_dir):
+    """The nested read must prune to the single struct leaf (no tag/v
+    in ReadSchema) and push the comparison down onto it."""
+    plan = _plan(QUERIES["source_nested_struct_prune"].fn(spark, sf_dir))
+    assert "meta:struct<k:int>" in plan, plan
+    assert "tag" not in plan, plan
+    assert "GreaterThanOrEqual(meta.k,50)" in plan, plan
