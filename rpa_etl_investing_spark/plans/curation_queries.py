@@ -1135,3 +1135,64 @@ def curation_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         alloc.alias("alloc_tokens"),
         (alloc / F.col("t").cast("double")).alias("epochs"),
     )
+
+
+@register(
+    "curation_negative_pairs",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    cand AS (
+      SELECT d.doc_id AS anchor_id,
+             (d.doc_id * 2654435761 + j) % n.n_docs AS neg_id
+      FROM documents d
+      CROSS JOIN n
+      CROSS JOIN (VALUES (1), (2)) AS ks(j)),
+    kept AS (
+      SELECT anchor_id, neg_id FROM cand
+      WHERE anchor_id <> neg_id
+        AND NOT EXISTS (
+          SELECT 1 FROM documents a JOIN documents b
+            ON a.doc_id = cand.anchor_id AND b.doc_id = cand.neg_id
+           AND a.text = b.text))
+    SELECT k.anchor_id, k.neg_id, b.lang AS neg_lang, b.source AS neg_source
+    FROM kept k JOIN documents b ON k.neg_id = b.doc_id
+    """,
+)
+def curation_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair generation for contrastive training:
+    each anchor gets k=2 pseudo-random partners via a Knuth
+    multiplicative hash over the dense doc-id domain (``(id·2654435761
+    + j) mod n`` — n rides as a 1-row broadcast), self-pairs dropped,
+    and accidental positives (exact-dup texts) removed by a hash
+    equi-join — never a similarity scan over all pairs. The partner
+    lookup is a plain key equi-join, so at 100 TB the whole generator
+    is two shuffle-free projections plus one key join. For a sparse id
+    space, first mint dense ids with the bucketed row_number + offset
+    pattern (etl/pipeline.py) and the same scheme applies."""
+    docs = tbl(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    ks = spark.range(1, 3).select(F.col("id").alias("j"))
+    cand = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ks))
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            ((F.col("doc_id") * F.lit(2654435761) + F.col("j")) % F.col("n_docs"))
+            .alias("neg_id"),
+        )
+        .filter(F.col("anchor_id") != F.col("neg_id"))
+    )
+    a = docs.select(F.col("doc_id").alias("anchor_id"), F.sha2("text", 256).alias("ah"))
+    b = docs.select(
+        F.col("doc_id").alias("neg_id"),
+        F.sha2("text", 256).alias("bh"),
+        F.col("lang").alias("neg_lang"),
+        F.col("source").alias("neg_source"),
+    )
+    return (
+        cand.join(a, "anchor_id")
+        .join(b, "neg_id")
+        .filter(F.col("ah") != F.col("bh"))
+        .select("anchor_id", "neg_id", "neg_lang", "neg_source")
+    )

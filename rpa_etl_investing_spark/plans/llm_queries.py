@@ -1652,3 +1652,52 @@ def llm_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rpa_etl_investing_spark.operators.similarity import gram_matrix
 
     return gram_matrix(tbl(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "llm_bpe_first_merges",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    words AS (SELECT UNNEST(t) AS word FROM tok),
+    pairs AS (
+      SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(word)),
+                                   i -> SUBSTRING(word, i, 2))) AS pair
+      FROM words),
+    counts AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS freq
+               FROM pairs GROUP BY pair)
+    SELECT pair, freq FROM counts
+    ORDER BY freq DESC, pair LIMIT 10
+    """,
+)
+def llm_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction, iteration zero: corpus-wide adjacent
+    symbol-pair frequencies at the character level — the statistic the
+    first BPE merge (Sennrich et al. 2016, arXiv:1508.07909) maximizes.
+    Pairs are 2-char substrings generated executor-side
+    (``sequence``+``transform``+``explode``, no UDF), counted with
+    map-side partials, top-10 with deterministic tie-break.
+
+    Scale shape: the classic explode→hash-agg profile (pair cardinality
+    is bounded by alphabet², so partial aggregation collapses the
+    fan-out almost entirely before the shuffle); a full BPE trainer
+    iterates this exact query with a merge table broadcast between
+    rounds."""
+    docs = tbl(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+    # length >= 2 guard: Spark's sequence(1, 0) DESCENDS instead of
+    # being empty (unlike the oracle's end-exclusive RANGE), so 1-char
+    # words would fabricate pairs without it
+    pairs = words.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(10)
+    )
