@@ -229,3 +229,71 @@ def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, key="user_id", ts="ts", value_cols=["value"],
         direction="forward",
     )
+
+
+@register(
+    "pivot_multi_measures",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS o_rev,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_rev
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_multi_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE measures per pivot value (count + decimal
+    revenue per status column) — still one hash aggregate: the pivot
+    value list is explicit so Catalyst folds everything into a single
+    pass of conditional aggregates, never a per-status scan."""
+    o = tbl(spark, sf_dir, "orders")
+    p = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["O", "F"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("rev"),
+        )
+    )
+    return p.select(
+        "priority",
+        F.coalesce(F.col("O_n"), F.lit(0)).cast("bigint").alias("o_n"),
+        F.col("O_rev").cast("double").alias("o_rev"),
+        F.coalesce(F.col("F_n"), F.lit(0)).cast("bigint").alias("f_n"),
+        F.col("F_rev").cast("double").alias("f_rev"),
+    )
+
+
+@register(
+    "explode_outer_empty_preserved",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             LIST_FILTER(STRING_SPLIT(text, ' '), t -> LEN(t) >= 12) AS long_toks
+      FROM documents)
+    SELECT doc_id, CAST(UNNEST(
+             CASE WHEN LEN(long_toks) = 0 THEN [NULL] ELSE long_toks END)
+           AS VARCHAR) AS long_tok
+    FROM toks
+    """,
+)
+def explode_outer_empty_preserved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer`` semantics: documents whose filtered token array
+    is EMPTY survive as one row with a NULL token — the flatten that
+    never silently drops parents. Plain ``explode`` would lose every
+    doc with no ≥12-char token, the classic fan-out bug that only shows
+    up as missing rows three joins later."""
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("text"), " "), lambda t: F.length(t) >= 12
+        ).alias("long_toks"),
+    )
+    return toks.select(
+        "doc_id", F.explode_outer("long_toks").alias("long_tok")
+    )

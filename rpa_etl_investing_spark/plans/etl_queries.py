@@ -366,3 +366,73 @@ def etl_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return in_pass.unionByName(orphans)
+
+
+@register(
+    "etl_snapshot_diff",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey AS k, 'U' AS op,
+             'upd_' || CAST(c_custkey AS VARCHAR) AS name,
+             CAST(0 AS INTEGER) AS nat,
+             CAST(c_custkey AS DOUBLE) AS bal,
+             'CDC' AS seg
+      FROM customer WHERE c_custkey % 10 = 7
+      UNION ALL
+      SELECT c_custkey, 'D', NULL, NULL, NULL, NULL
+      FROM customer WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT 1000000 + i, 'U', 'ins_' || CAST(1000000 + i AS VARCHAR),
+             CAST(0 AS INTEGER), -1.0, 'CDC'
+      FROM range(5) t(i)),
+    new_snap AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey NOT IN (SELECT k FROM changes)
+      UNION ALL
+      SELECT k, name, nat, bal, seg FROM changes WHERE op = 'U'),
+    diff AS (
+      SELECT CASE
+               WHEN o.c_custkey IS NULL THEN 'added'
+               WHEN n.c_custkey IS NULL THEN 'removed'
+               WHEN o.c_name IS DISTINCT FROM n.c_name
+                 OR o.c_nationkey IS DISTINCT FROM n.c_nationkey
+                 OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                 OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                 THEN 'changed'
+               ELSE 'unchanged' END AS change_kind
+      FROM customer o FULL OUTER JOIN new_snap n USING (c_custkey))
+    SELECT change_kind, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM diff GROUP BY change_kind
+    """,
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the audit that closes the CDC loop: full-outer
+    join yesterday's snapshot to today's (here, the MERGE output of
+    ``etl_merge_apply``) on the key and classify every key as added /
+    removed / changed / unchanged with null-safe column comparison.
+    The data-diff every publish pipeline should emit alongside the
+    data: the MERGE above claims what it did; this measures it.
+
+    Scale shape: one key-partitioned full-outer join (both sides shuffle
+    once on the key — or zero shuffles if both snapshots are bucketed
+    per sources/bucketing.py), then a 4-group aggregate."""
+    from rpa_etl_investing_spark.plans.registry import QUERIES as _Q
+
+    old = tbl(spark, sf_dir, "customer")
+    new = _Q["etl_merge_apply"].fn(spark, sf_dir)
+    o = old.alias("o")
+    n = new.alias("n")
+    j = o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
+    ne = lambda c: ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    kind = (
+        F.when(F.col("o.c_custkey").isNull(), "added")
+        .when(F.col("n.c_custkey").isNull(), "removed")
+        .when(
+            ne("c_name") | ne("c_nationkey") | ne("c_acctbal") | ne("c_mktsegment"),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return j.select(kind.alias("change_kind")).groupBy("change_kind").agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
