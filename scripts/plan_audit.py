@@ -99,6 +99,11 @@ EXTRAS = {
     "udf_map_in_arrow_lengths": "raw Arrow RecordBatches through Arrow compute kernels — no pandas materialization",
     "locale_date_parse": "explicit-pattern day-first parse: map-only codegen projection",
     "graph_triangle_count": "fact folds to distinct ordered edges once; triangle joins run on edges only",
+    "source_nested_struct_prune": "ReadSchema collapses to the struct leaf; comparison pushed onto meta.k",
+    "llm_bpe_first_merges": "char-pair explode -> hash agg; alphabet-squared cardinality collapses map-side",
+    "curation_negative_pairs": "multiplicative-hash partner ids; key equi-joins only, no similarity scan",
+    "pivot_multi_measures": "explicit pivot values -> ONE conditional-aggregate pass",
+    "etl_snapshot_diff": "one key-partitioned full-outer join + 4-group aggregate",
 }
 
 
