@@ -635,3 +635,36 @@ def test_nested_struct_scan_prunes_to_leaf(spark, sf_dir):
     assert "meta:struct<k:int>" in plan, plan
     assert "tag" not in plan, plan
     assert "GreaterThanOrEqual(meta.k,50)" in plan, plan
+
+
+def test_bitmap_distinct_avoids_expand_rewrite(spark, sf_dir):
+    """The bitmap form must NOT plan the Expand operator that
+    count(DISTINCT) inserts (the rewrite that doubles shuffle volume);
+    it is two plain hash aggregates over mergeable bitmap state."""
+    plan = _plan(QUERIES["agg_bitmap_distinct"].fn(spark, sf_dir))
+    assert "Expand" not in plan, plan
+    assert "bitmap_construct_agg" in plan.lower() or "HashAggregate" in plan, plan
+    # the classic form DOES expand — pin the contrast so the assertion
+    # stays meaningful if Spark ever changes the rewrite
+    classic = _plan(
+        tbl(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey"))
+    )
+    assert "Expand" in classic or classic.count("HashAggregate") > 2, classic
+
+
+def test_zorder_layout_single_shuffle(spark, sf_dir):
+    """The z-value is a map-side projection over a 1-row broadcast of
+    the bounds; only the z-range aggregate may shuffle."""
+    spark.catalog.clearCache()
+    plan = _plan(QUERIES["source_zorder_layout"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_event_pattern_single_key_exchange(spark, sf_dir):
+    """CEP sequence building is one shuffle on the entity key — the
+    regex runs inside the same aggregate projection."""
+    spark.catalog.clearCache()
+    plan = _plan(QUERIES["analytics_event_pattern"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
