@@ -841,3 +841,119 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderstatus").agg(
         F.sum("n_in_bucket").cast("bigint").alias("n_customers")
     )
+
+
+# Poisson(1) CDF on the 16-bit integer grid (floor(cum*65536)): the
+# per-(row, replicate) bootstrap weight thresholds. Shared literal
+# table with the oracle so both engines draw identical weights.
+_POIS_TH = [24109, 48218, 60273, 64291, 65296, 65497]
+# md5 hex nibble -> int, the repo's engine-portable idiom (see
+# plans/multimodal_queries.py _MD5_BYTE)
+_HEXPOS = "STRPOS('0123456789abcdef', SUBSTRING(md5(seed), {i}, 1)) - 1"
+_U16_SQL = " + ".join(
+    f"({_HEXPOS.format(i=i)}) * {16 ** (3 - (i - 1))}" for i in range(1, 5)
+)
+
+
+@register(
+    "agg_bootstrap_mean_ci",
+    oracle=f"""
+    WITH reps AS (SELECT CAST(i AS INT) AS r FROM range(16) t(i)),
+    seeded AS (
+      SELECT l_returnflag AS flag, l_quantity AS x, r,
+             CAST(l_orderkey AS VARCHAR) || '_' ||
+             CAST(l_linenumber AS VARCHAR) || '_' ||
+             CAST(r AS VARCHAR) AS seed
+      FROM lineitem CROSS JOIN reps),
+    weighted AS (
+      SELECT flag, x, r,
+             CASE WHEN u < {_POIS_TH[0]} THEN 0
+                  WHEN u < {_POIS_TH[1]} THEN 1
+                  WHEN u < {_POIS_TH[2]} THEN 2
+                  WHEN u < {_POIS_TH[3]} THEN 3
+                  WHEN u < {_POIS_TH[4]} THEN 4
+                  WHEN u < {_POIS_TH[5]} THEN 5
+                  ELSE 6 END AS w
+      FROM (SELECT flag, x, r, {_U16_SQL} AS u FROM seeded)),
+    means AS (
+      SELECT flag, r,
+             CAST(FLOOR(1e6 * CAST(SUM(CAST(w * x AS DECIMAL(27,2))) AS DOUBLE)
+                        / SUM(w) + 0.5) AS BIGINT) AS mean_q
+      FROM weighted GROUP BY flag, r)
+    SELECT flag,
+           CAST(COUNT(*) AS BIGINT) AS n_replicates,
+           CAST(MIN(mean_q) AS BIGINT) AS boot_lo_q,
+           CAST(MAX(mean_q) AS BIGINT) AS boot_hi_q,
+           MIN(mean_q) / 1e6 AS boot_lo,
+           MAX(mean_q) / 1e6 AS boot_hi,
+           CAST(SUM(mean_q) AS BIGINT) / (1e6 * COUNT(*)) AS boot_mean
+    FROM means GROUP BY flag
+    """,
+)
+def agg_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence band for the per-flag mean quantity —
+    the bootstrap that actually scales (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012): instead of
+    drawing n rows with replacement per replicate (impossible
+    distributed), every row gets an independent Poisson(1) weight per
+    replicate. Weights come from a 16-bit md5 grid through the shared
+    literal CDF table, so both engines draw bit-identical resamples;
+    replicate means quantize to the 1e-6 grid before the min/max/mean
+    envelope.
+
+    Scale shape: B=16 replicates cost a 16× MAP-side fan-out (explode
+    of a literal sequence) feeding the same (flag, r) partial+final
+    hash aggregate — no extra shuffle, no per-replicate scan; the
+    envelope re-aggregates 3×16 rows."""
+    li = tbl(spark, sf_dir, "lineitem")
+    seeded = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("x"),
+        F.explode(F.expr("sequence(0, 15)")).alias("r"),
+        "l_orderkey",
+        "l_linenumber",
+    ).withColumn("r", F.col("r").cast("int")).withColumn(
+        "seed",
+        F.concat_ws(
+            "_",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("r").cast("string"),
+        ),
+    )
+    u = F.conv(F.substring(F.md5(F.col("seed")), 1, 4), 16, 10).cast("int")
+    w = (
+        F.when(u < _POIS_TH[0], 0)
+        .when(u < _POIS_TH[1], 1)
+        .when(u < _POIS_TH[2], 2)
+        .when(u < _POIS_TH[3], 3)
+        .when(u < _POIS_TH[4], 4)
+        .when(u < _POIS_TH[5], 5)
+        .otherwise(6)
+    )
+    means = (
+        seeded.select("flag", "x", "r", w.alias("w"))
+        .groupBy("flag", "r")
+        .agg(
+            F.floor(
+                F.lit(1e6)
+                * F.sum((F.col("w") * F.col("x")).cast("decimal(27,2)")).cast(
+                    "double"
+                )
+                / F.sum("w")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("mean_q")
+        )
+    )
+    return means.groupBy("flag").agg(
+        F.count("*").cast("bigint").alias("n_replicates"),
+        F.min("mean_q").cast("bigint").alias("boot_lo_q"),
+        F.max("mean_q").cast("bigint").alias("boot_hi_q"),
+        (F.min("mean_q") / F.lit(1e6)).alias("boot_lo"),
+        (F.max("mean_q") / F.lit(1e6)).alias("boot_hi"),
+        (F.sum("mean_q").cast("bigint") / (F.lit(1e6) * F.count("*"))).alias(
+            "boot_mean"
+        ),
+    )
