@@ -957,3 +957,104 @@ def agg_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boot_mean"
         ),
     )
+
+
+@register(
+    "agg_spearman_rank_corr",
+    oracle="""
+    WITH vx AS (
+      SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
+      GROUP BY 1),
+    rx AS (
+      SELECT v, 2 * (CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) - cnt)
+                 + cnt + 1 AS a2
+      FROM vx),
+    vy AS (
+      SELECT l_discount AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
+      GROUP BY 1),
+    ry AS (
+      SELECT v, 2 * (CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) - cnt)
+                 + cnt + 1 AS a2
+      FROM vy),
+    joined AS (
+      SELECT rx.a2 AS ax, ry.a2 AS ay
+      FROM lineitem l
+      JOIN rx ON l.l_quantity = rx.v
+      JOIN ry ON l.l_discount = ry.v),
+    sums AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(CAST(ax AS DECIMAL(38,0))) AS DOUBLE) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(ay AS DECIMAL(38,0))) AS DOUBLE) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(ax * ay AS DECIMAL(38,0))) AS DOUBLE) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(ax * ax AS DECIMAL(38,0))) AS DOUBLE) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(ay * ay AS DECIMAL(38,0))) AS DOUBLE) AS DOUBLE) AS syy
+      FROM joined)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(FLOOR(1e9 * (n * sxy - sx * sy)
+                / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) + 0.5)
+                AS BIGINT) AS rho_q,
+           (n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS rho
+    FROM sums
+    """,
+)
+def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (quantity vs discount) computed
+    distributed: tie-averaged ranks come from the DISTINCT-VALUE
+    domain — per-value counts, a running cumsum over the (tiny) sorted
+    domain, and ``2·avg_rank = 2·n_less + cnt + 1`` kept INTEGER so the
+    Pearson power sums over ranks are exact decimals; the only floats
+    are the final correctly-rounded IEEE ops (shared with the oracle,
+    then quantized to 1e-9).
+
+    Scale shape: ranks never require sorting the fact — the window runs
+    over the distinct domain (50 quantities, 11 discounts) and joins
+    back as a broadcast; the fact itself sees one aggregate pass. For a
+    continuous column, first bucket it (or use operators/prefix.py
+    sharded rank) — rank-correlation on raw doubles at 100 TB is a
+    domain-compression problem before it is a sort problem."""
+    li = tbl(spark, sf_dir, "lineitem")
+
+    def avg2(col: str):
+        from pyspark.sql.window import Window as W
+
+        vc = li.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").cast("bigint").alias("cnt")
+        )
+        w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+        return vc.select(
+            "v",
+            (
+                F.lit(2) * (F.sum("cnt").over(w).cast("bigint") - F.col("cnt"))
+                + F.col("cnt")
+                + F.lit(1)
+            ).alias("a2"),
+        )
+
+    rx = avg2("l_quantity").withColumnRenamed("a2", "ax")
+    ry = avg2("l_discount").withColumnRenamed("a2", "ay")
+    joined = (
+        li.select("l_quantity", "l_discount")
+        .join(F.broadcast(rx), li.l_quantity == rx.v)
+        .drop("v")
+        .join(F.broadcast(ry), li.l_discount == ry.v)
+        .select("ax", "ay")
+    )
+    d38 = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")
+    sums = joined.agg(
+        F.count("*").cast("double").alias("n"),
+        d38(F.col("ax")).alias("sx"),
+        d38(F.col("ay")).alias("sy"),
+        d38(F.col("ax") * F.col("ay")).alias("sxy"),
+        d38(F.col("ax") * F.col("ax")).alias("sxx"),
+        d38(F.col("ay") * F.col("ay")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.floor(F.lit(1e9) * num / den + F.lit(0.5)).cast("bigint").alias("rho_q"),
+        (num / den).alias("rho"),
+    )
