@@ -397,3 +397,81 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame, text_col: str = "text", tau_num: int = 6, tau_den: int = 10
+) -> DataFrame:
+    """Set-similarity join by PREFIX FILTERING (the PPJoin family,
+    Xiao et al., WWW'08): pairs with token-set Jaccard ≥ τ. A third
+    candidate-generation strategy beside MinHash banding (probabilistic)
+    and the df-capped inverted index (heuristic) — this one is EXACT:
+    sort each doc's distinct tokens by global rarity (df, token) and
+    index only the first ``|d| − ⌈τ·|d|⌉ + 1`` tokens; any pair with
+    J ≥ τ must share a prefix token, so recall is 1.0 by the pigeonhole
+    argument, and the oracle (full co-token-pair enumeration) proves it.
+
+    τ is a rational ``tau_num/tau_den`` so the prefix length and the
+    final acceptance test (``den·common ≥ num·(|A|+|B|−common)``) are
+    pure integer arithmetic.
+
+    Scale shape: candidate fan-out is bounded by the df of PREFIX
+    (rarest-first) tokens — the frequent tokens that explode inverted
+    indexes are exactly the ones prefix filtering never indexes. One
+    window per doc_id for the rarity sort (per-doc token counts, not
+    corpus-sized), one equi-join on prefix tokens, exact verification
+    only on surfaced candidates."""
+    from pyspark.sql.window import Window as W
+
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(text_col))).alias("token")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    df_ = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    ranked = (
+        tok.join(df_, "token")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "token")
+            ),
+        )
+        .withColumn(
+            "prefix_len",
+            F.col("n")
+            - F.expr(f"({tau_num} * n + {tau_den - 1}) div {tau_den}")
+            + F.lit(1),
+        )
+    )
+    prefix = ranked.filter(F.col("rn") <= F.col("prefix_len")).select(
+        "doc_id", "token"
+    )
+    a = prefix.select(F.col("doc_id").alias("da"), "token")
+    b = prefix.select(F.col("doc_id").alias("db"), "token")
+    cands = (
+        a.join(b, "token")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("da"), "token")
+    tb = tok.select(F.col("doc_id").alias("db"), "token")
+    common = (
+        cands.join(ta, "da")
+        .join(tb, ["db", "token"])
+        .groupBy("da", "db")
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("size_b"))
+    return (
+        common.join(F.broadcast(sa), "da")
+        .join(F.broadcast(sb), "db")
+        .filter(
+            F.lit(tau_den) * F.col("common")
+            >= F.lit(tau_num)
+            * (F.col("size_a") + F.col("size_b") - F.col("common"))
+        )
+        .select("da", "db", "common", "size_a", "size_b")
+    )

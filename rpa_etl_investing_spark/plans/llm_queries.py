@@ -1701,3 +1701,32 @@ def llm_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("pair"))
         .limit(10)
     )
+
+
+@register(
+    "llm_prefix_filter_pairs",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    ex AS (SELECT DISTINCT doc_id, UNNEST(t) AS token FROM tok),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY 1),
+    co AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS common
+      FROM ex a JOIN ex b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT co.da, co.db, co.common,
+           sa.n AS size_a, sb.n AS size_b
+    FROM co
+    JOIN sizes sa ON co.da = sa.doc_id
+    JOIN sizes sb ON co.db = sb.doc_id
+    WHERE 10 * co.common >= 6 * (sa.n + sb.n - co.common)
+    """,
+)
+def llm_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: exact set-similarity join (Jaccard ≥ 0.6) via PPJoin-style
+    prefix filtering (operators/dedup.py prefix_filter_pairs). The
+    oracle enumerates EVERY co-token pair and filters by the same
+    integer Jaccard test, so the hash match proves the prefix index
+    lost no qualifying pair — recall 1.0, by construction, verified."""
+    from rpa_etl_investing_spark.operators.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(tbl(spark, sf_dir, "documents"))
