@@ -1702,3 +1702,96 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_node.join(F.broadcast(n), per_node.node == n.n_nationkey).select(
         F.col("n_name").alias("nation"), "n_triangles"
     )
+
+
+@register(
+    "profile_rank_sum_test",
+    oracle="""
+    WITH pop AS (
+      SELECT n_chars AS v, doc_id % 2 = 0 AS is_a FROM documents),
+    vc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM pop GROUP BY v),
+    rk AS (
+      SELECT v, cnt,
+             2 * (CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) - cnt)
+               + cnt + 1 AS a2
+      FROM vc),
+    joined AS (
+      SELECT p.is_a, r.a2 FROM pop p JOIN rk r ON p.v = r.v),
+    counts AS (
+      SELECT CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS na,
+             CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS nb,
+             CAST(SUM(CASE WHEN is_a THEN a2 ELSE 0 END) AS BIGINT) AS r2a
+      FROM joined),
+    ties AS (
+      SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term FROM vc)
+    SELECT na, nb, r2a,
+           r2a - na * (na + 1) AS u2,
+           tie_term,
+           CAST(FLOOR(1e6 *
+             (CAST(r2a - na * (na + 1) AS DOUBLE) / 2 - CAST(na * nb AS DOUBLE) / 2)
+             / SQRT(CAST(na AS DOUBLE) * nb / 12 *
+                    ((na + nb + 1) - CAST(tie_term AS DOUBLE)
+                      / ((na + nb) * (na + nb - 1))))
+             + 0.5) AS BIGINT) AS z_q
+    FROM counts CROSS JOIN ties
+    """,
+)
+def profile_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the A/B cohorts (even/odd
+    doc_id) on document length — the nonparametric significance test
+    completing the drift toolkit (PSI measures magnitude,
+    ``analytics_chi_square`` categorical dependence, this one ordinal
+    shift). Tie-averaged ranks come from the distinct-value domain as
+    integers (2·avg_rank), so the rank sum and the doubled U statistic
+    are exact BIGINTs; the z-score applies the tie-corrected variance
+    with only correctly-rounded IEEE ops, quantized to 1e-6.
+
+    Scale shape: identical to the Spearman query — one per-value count,
+    one tiny domain window, one broadcast join back, one aggregate;
+    the fact is never sorted."""
+    from pyspark.sql.window import Window as W
+
+    pop = tbl(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("v"), (F.col("doc_id") % 2 == 0).alias("is_a")
+    )
+    vc = pop.groupBy("v").agg(F.count("*").cast("bigint").alias("cnt"))
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    rk = vc.select(
+        "v",
+        "cnt",
+        (
+            F.lit(2) * (F.sum("cnt").over(w).cast("bigint") - F.col("cnt"))
+            + F.col("cnt")
+            + F.lit(1)
+        ).alias("a2"),
+    )
+    joined = pop.join(F.broadcast(rk.select("v", "a2")), "v")
+    counts = joined.agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("na"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("nb"),
+        F.sum(F.when(F.col("is_a"), F.col("a2")).otherwise(0))
+        .cast("bigint")
+        .alias("r2a"),
+    )
+    ties = vc.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("tie_term")
+    )
+    j = counts.crossJoin(F.broadcast(ties))
+    u2 = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    n = F.col("na") + F.col("nb")
+    z = (
+        u2.cast("double") / 2 - (F.col("na") * F.col("nb")).cast("double") / 2
+    ) / F.sqrt(
+        F.col("na").cast("double") * F.col("nb") / 12
+        * ((n + 1) - F.col("tie_term").cast("double") / (n * (n - 1)))
+    )
+    return j.select(
+        "na",
+        "nb",
+        "r2a",
+        u2.alias("u2"),
+        "tie_term",
+        F.floor(F.lit(1e6) * z + F.lit(0.5)).cast("bigint").alias("z_q"),
+    )
