@@ -104,6 +104,10 @@ EXTRAS = {
     "curation_negative_pairs": "multiplicative-hash partner ids; key equi-joins only, no similarity scan",
     "pivot_multi_measures": "explicit pivot values -> ONE conditional-aggregate pass",
     "etl_snapshot_diff": "one key-partitioned full-outer join + 4-group aggregate",
+    "agg_bootstrap_mean_ci": "B=16 Poisson weights as a map-side fan-out into one partial+final aggregate; no extra shuffle",
+    "agg_spearman_rank_corr": "ranks from the distinct-value domain broadcast back; fact never sorted; exact decimal power sums",
+    "profile_rank_sum_test": "same rank machinery; doubled-U exact BIGINT; one aggregate over the corpus",
+    "llm_prefix_filter_pairs": "rarest-prefix inverted index bounds candidates; exact Jaccard only on surfaced pairs",
 }
 
 
