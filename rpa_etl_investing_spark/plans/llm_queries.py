@@ -1730,3 +1730,89 @@ def llm_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rpa_etl_investing_spark.operators.dedup import prefix_filter_pairs
 
     return prefix_filter_pairs(tbl(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_collocations_pmi",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    ex AS (SELECT doc_id, UNNEST(t) AS tok,
+                  generate_subscripts(t, 1) AS pos
+           FROM tok),
+    uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM ex GROUP BY tok),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ex),
+    bi AS (
+      SELECT a.tok AS w1, b.tok AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM ex a JOIN ex b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+             CAST(FLOOR(1e6 * LN(CAST(c12 AS DOUBLE) * n / (u1.c * u2.c)) + 0.5)
+                  AS BIGINT) AS pmi_q
+      FROM bi JOIN uni u1 ON w1 = u1.tok JOIN uni u2 ON w2 = u2.tok
+      CROSS JOIN tot
+      WHERE c12 >= 5)
+    SELECT w1, w2, c12, c1, c2, pmi_q, pmi_q / 1e6 AS pmi
+    FROM scored
+    ORDER BY pmi_q DESC, w1, w2 LIMIT 20
+    """,
+)
+def llm_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation discovery by pointwise mutual information: top-20
+    adjacent token pairs by ``PMI = ln(c₁₂·N / (c₁·c₂))`` with a
+    min-count-5 support floor — the corpus-analysis pass that finds
+    multi-word expressions worth protecting from tokenizer splits. The
+    only transcendental is one quantized ln per surviving bigram (the
+    DSIR grid trick); counts are exact.
+
+    Scale shape: one positional explode feeds both the unigram and the
+    (doc, pos)-keyed bigram aggregates; the unigram table joins back
+    keyed on token, the corpus total rides as a 1-row broadcast, top-20
+    is TakeOrderedAndProject."""
+    docs = tbl(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    uni = ex.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    tot = ex.agg(F.count("*").cast("bigint").alias("n"))
+    a = ex.select("doc_id", "pos", F.col("tok").alias("w1"))
+    b = ex.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("tok").alias("w2")
+    )
+    bi = (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.floor(
+                F.lit(1e6)
+                * F.log(
+                    F.col("c12").cast("double")
+                    * F.col("n")
+                    / (F.col("c1") * F.col("c2"))
+                )
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("pmi_q"),
+        )
+    )
+    return scored.select(
+        "w1", "w2", "c12", "c1", "c2", "pmi_q",
+        (F.col("pmi_q") / F.lit(1e6)).alias("pmi"),
+    ).orderBy(F.desc("pmi_q"), F.asc("w1"), F.asc("w2")).limit(20)
