@@ -90,6 +90,11 @@ MULTI_SF_NAMES = [
     "llm_embedding_gram",
     "curation_epoch_plan",
     "agg_winsorized_stats",
+    # late-session additions with quantized-ln / IEEE-op paths
+    "agg_bootstrap_mean_ci",
+    "agg_spearman_rank_corr",
+    "profile_rank_sum_test",
+    "llm_collocations_pmi",
 ]
 
 
