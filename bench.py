@@ -74,17 +74,18 @@ def main() -> int:
         except Exception:
             pass  # warm-up failures surface in the timed pass
 
-    # 3 reps per query: first executions still pay per-plan codegen +
+    # 5 reps per query: first executions still pay per-plan codegen +
     # JIT, and the host steals CPU in multi-second bursts (measured:
-    # identical code varies ±30% run-to-run). The HEADLINE metric is the
+    # identical code varies ±30% run-to-run, and median-of-3 still
+    # wandered ~15% between same-code runs). The HEADLINE metric is the
     # median — min systematically reports the optimistic tail and can
     # hide a real regression behind one lucky run (r3 verdict item #3);
     # min is kept as a secondary column so the noise floor stays visible.
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     for bench_name, reg_name in HEADLINE.items():
-        reps = sorted(_run(spark, QUERIES[reg_name].fn, sf_dir) for _ in range(3))
-        timings[bench_name] = round(reps[1], 3)
+        reps = sorted(_run(spark, QUERIES[reg_name].fn, sf_dir) for _ in range(5))
+        timings[bench_name] = round(reps[2], 3)
         timings_min[bench_name] = round(reps[0], 3)
 
     out = {
