@@ -532,3 +532,41 @@ def source_nested_struct_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.filter(F.col("meta.k") >= 50).select(
         "event_id", F.col("meta.k").alias("k")
     )
+
+
+@register(
+    "source_file_manifest",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def source_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+: file-manifest accounting through the hidden ``_metadata``
+    struct — per-partition row counts and key ranges derived from the
+    FILE PATHS the scan actually touched, not from the data's own
+    partition column (which is deliberately not selected). This is the
+    zone-map/manifest primitive: the same query pattern audits what a
+    partitioned sink contains, file by file, without any external
+    catalog. The oracle aggregates the logical table directly, so the
+    match proves path-derived accounting equals data-derived truth."""
+    base = scratch_dir(_sf_tag(sf_dir), "orders_manifest")
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(base)
+    back = spark.read.parquet(base).select(
+        "o_orderkey",
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"o_orderstatus=([^/]+)/", 1
+        ).alias("o_orderstatus"),
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )
