@@ -108,6 +108,8 @@ EXTRAS = {
     "agg_spearman_rank_corr": "ranks from the distinct-value domain broadcast back; fact never sorted; exact decimal power sums",
     "profile_rank_sum_test": "same rank machinery; doubled-U exact BIGINT; one aggregate over the corpus",
     "llm_prefix_filter_pairs": "rarest-prefix inverted index bounds candidates; exact Jaccard only on surfaced pairs",
+    "llm_collocations_pmi": "one positional explode feeds unigram+bigram aggregates; quantized ln per surviving pair; take-ordered top-20",
+    "source_file_manifest": "path-derived partition accounting from _metadata; one aggregate over the manifest scan",
 }
 
 
