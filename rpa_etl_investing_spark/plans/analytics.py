@@ -1795,3 +1795,75 @@ def profile_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tie_term",
         F.floor(F.lit(1e6) * z + F.lit(0.5)).cast("bigint").alias("z_q"),
     )
+
+
+@register(
+    "profile_ks_test",
+    oracle="""
+    WITH pop AS (
+      SELECT n_chars AS v, doc_id % 2 = 0 AS is_a FROM documents),
+    vc AS (
+      SELECT v,
+             CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS ca,
+             CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS cb
+      FROM pop GROUP BY v),
+    cum AS (
+      SELECT v,
+             CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+             CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+      FROM vc),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM vc),
+    gaps AS (
+      SELECT ABS(cuma * nb - cumb * na) AS gap_num FROM cum CROSS JOIN tot)
+    SELECT t.na, t.nb,
+           CAST(MAX(g.gap_num) AS BIGINT) AS d_num,
+           CAST(MAX(g.gap_num) AS DOUBLE) / (t.na * t.nb) AS d_stat
+    FROM gaps g CROSS JOIN tot t
+    GROUP BY t.na, t.nb
+    """,
+)
+def profile_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the A/B cohorts
+    on document length — the supremum CDF gap, computed EXACTLY:
+    ``D = max |cumA·nB − cumB·nA| / (nA·nB)`` keeps the numerator an
+    integer over the distinct-value domain, so the max is bit-exact and
+    only the final division is floating point. Third leg of the drift
+    toolkit: PSI (binned magnitude), Mann-Whitney (ordinal shift), KS
+    (worst-case distributional gap).
+
+    Scale shape: per-value cohort counts (one aggregate over the fact),
+    a cumsum window over the DISTINCT domain (hundreds of rows, not the
+    corpus), totals as a 1-row broadcast, and a max."""
+    from pyspark.sql.window import Window as W
+
+    pop = tbl(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("v"), (F.col("doc_id") % 2 == 0).alias("is_a")
+    )
+    vc = pop.groupBy("v").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("ca"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("cb"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = vc.select(
+        F.sum("ca").over(w).cast("bigint").alias("cuma"),
+        F.sum("cb").over(w).cast("bigint").alias("cumb"),
+    )
+    tot = vc.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "na",
+        "nb",
+        F.abs(
+            F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")
+        ).alias("gap_num"),
+    )
+    return gaps.groupBy("na", "nb").agg(
+        F.max("gap_num").cast("bigint").alias("d_num"),
+        (
+            F.max("gap_num").cast("double") / (F.col("na") * F.col("nb"))
+        ).alias("d_stat"),
+    )
