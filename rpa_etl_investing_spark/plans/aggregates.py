@@ -1058,3 +1058,73 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.lit(1e9) * num / den + F.lit(0.5)).cast("bigint").alias("rho_q"),
         (num / den).alias("rho"),
     )
+
+
+@register(
+    "agg_ols_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS flag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+                  AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE)
+                  AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))
+                           ) AS DOUBLE) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4)))
+                       AS DOUBLE) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                                AS DECIMAL(38,4))) AS DOUBLE) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT flag, CAST(n AS BIGINT) AS n_rows,
+           CAST(FLOOR(1e6 * (n * sxy - sx * sy) / (n * sxx - sx * sx) + 0.5)
+                AS BIGINT) AS slope_q,
+           CAST(FLOOR(1e6 * (sy - sx * ((n * sxy - sx * sy)
+                                        / (n * sxx - sx * sx))) / n + 0.5)
+                AS BIGINT) AS intercept_q,
+           CAST(FLOOR(1e9 * (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)) + 0.5)
+                AS BIGINT) AS r2_q
+    FROM s
+    """,
+)
+def agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression (extendedprice on quantity) by the
+    normal equations: slope, intercept, and R² in closed form from the
+    five exact-decimal power sums — the single-pass regression every
+    massive-data fit reduces to. Decimal accumulation makes the sums
+    order-independent; the closed-form arithmetic after the cast is
+    identical correctly-rounded IEEE on both engines, quantized
+    (slope/intercept 1e-6, R² 1e-9).
+
+    Scale shape: ONE partial+final hash aggregate over the fact — the
+    same profile as ``agg_moment_stats``; no second pass, no gradient
+    iterations, no driver math."""
+    li = tbl(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    d = lambda c, t: F.sum(c.cast(t)).cast("double")
+    s = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").cast("double").alias("n"),
+        d(x, "decimal(27,2)").alias("sx"),
+        d(y, "decimal(27,2)").alias("sy"),
+        d(x * y, "decimal(38,4)").alias("sxy"),
+        d(x * x, "decimal(38,4)").alias("sxx"),
+        d(y * y, "decimal(38,4)").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    q = lambda e, g: F.floor(F.lit(g) * e + F.lit(0.5)).cast("bigint")
+    return s.select(
+        "flag",
+        n.cast("bigint").alias("n_rows"),
+        q(slope, 1e6).alias("slope_q"),
+        q((sy - sx * slope) / n, 1e6).alias("intercept_q"),
+        q(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            1e9,
+        ).alias("r2_q"),
+    )

@@ -1867,3 +1867,92 @@ def profile_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_num").cast("double") / (F.col("na") * F.col("nb"))
         ).alias("d_stat"),
     )
+
+
+@register(
+    "analytics_rfm_features",
+    oracle="""
+    WITH maxd AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS dmax FROM events),
+    base AS (
+      SELECT user_id,
+             CAST(DATE_DIFF('day', MAX(CAST(ts AS TIMESTAMP)),
+                            (SELECT dmax FROM maxd)) AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS monetary
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id),
+    rr AS (
+      SELECT user_id, recency_days, frequency, monetary,
+             ROW_NUMBER() OVER (ORDER BY frequency, user_id) AS rn_f,
+             ROW_NUMBER() OVER (ORDER BY monetary, user_id) AS rn_m,
+             ROW_NUMBER() OVER (ORDER BY recency_days DESC, user_id) AS rn_r,
+             COUNT(*) OVER () AS n
+      FROM base)
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(1 + (5 * (rn_r - 1)) // n AS BIGINT) AS r_score,
+           CAST(1 + (5 * (rn_f - 1)) // n AS BIGINT) AS f_score,
+           CAST(1 + (5 * (rn_m - 1)) // n AS BIGINT) AS m_score
+    FROM rr
+    """,
+)
+def analytics_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM feature engineering — the classic per-entity feature-store
+    build: recency (days since last purchase, against the corpus max
+    timestamp as a broadcast scalar), frequency, and exact-decimal
+    monetary value, each mapped to a 1-5 quintile score by equi-depth
+    ranking (``1 + 5·(rank−1) div n`` — pure integers, deterministic
+    user_id tie-breaks, recency ranked descending so fresher = higher).
+
+    Scale shape: one purchase aggregate per user, then ranking over the
+    PER-USER table (one row per entity — orders of magnitude smaller
+    than the fact); at extreme entity counts the three rank windows
+    swap to the sharded row_number pattern (operators/prefix.py), same
+    scores."""
+    from pyspark.sql.window import Window as W
+
+    ev = tbl(spark, sf_dir, "events")
+    maxd = ev.agg(F.max("ts").alias("dmax"))
+    base = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "user_id",
+            F.datediff(F.col("dmax"), F.col("last_ts"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    n = F.count("*").over(W.partitionBy())
+    score = lambda rn: (F.lit(1) + F.expr(f"(5 * ({rn} - 1)) div _n")).cast("bigint")
+    rr = base.select(
+        "*",
+        F.row_number()
+        .over(W.orderBy(F.asc("frequency"), F.asc("user_id")))
+        .alias("rn_f"),
+        F.row_number()
+        .over(W.orderBy(F.asc("monetary"), F.asc("user_id")))
+        .alias("rn_m"),
+        F.row_number()
+        .over(W.orderBy(F.desc("recency_days"), F.asc("user_id")))
+        .alias("rn_r"),
+        n.alias("_n"),
+    )
+    return rr.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        score("rn_r").alias("r_score"),
+        score("rn_f").alias("f_score"),
+        score("rn_m").alias("m_score"),
+    )
