@@ -95,6 +95,8 @@ MULTI_SF_NAMES = [
     "agg_spearman_rank_corr",
     "profile_rank_sum_test",
     "llm_collocations_pmi",
+    "profile_ks_test",
+    "agg_ols_regression",
 ]
 
 
