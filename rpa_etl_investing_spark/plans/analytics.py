@@ -1956,3 +1956,43 @@ def analytics_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("rn_f").alias("f_score"),
         score("rn_m").alias("m_score"),
     )
+
+
+@register(
+    "analytics_target_encoding",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CASE WHEN a.c > 1
+                THEN (a.s - o.o_totalprice) / (a.c - 1) END AS loo_mean_price
+    FROM orders o JOIN agg a ON o.o_orderpriority = a.o_orderpriority
+    """,
+)
+def analytics_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe categorical
+    feature: each order's priority is encoded as the mean total price
+    of all OTHER orders sharing that priority
+    (``(Σ_cat − x_i)/(n_cat − 1)``). Category aggregates compute once
+    (exact decimal sums) and broadcast back; the per-row exclusion is
+    arithmetic, so no self-join and no per-row re-aggregation —
+    encoding any number of categorical columns stays one aggregate +
+    one broadcast join each over the fact. Singleton categories encode
+    NULL rather than leaking their own target."""
+    orders = tbl(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)")).cast("double").alias("s"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    j = orders.join(F.broadcast(agg), "o_orderpriority")
+    return j.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(
+            F.col("c") > 1,
+            (F.col("s") - F.col("o_totalprice")) / (F.col("c") - 1),
+        ).alias("loo_mean_price"),
+    )

@@ -1816,3 +1816,69 @@ def llm_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w1", "w2", "c12", "c1", "c2", "pmi_q",
         (F.col("pmi_q") / F.lit(1e6)).alias("pmi"),
     ).orderBy(F.desc("pmi_q"), F.asc("w1"), F.asc("w2")).limit(20)
+
+
+@register(
+    "llm_embedding_int8",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             LIST_MAX(LIST_TRANSFORM(embedding,
+                       x -> ABS(CAST(x AS DOUBLE)))) AS scale
+      FROM embeddings),
+    q AS (
+      SELECT e.vec_id, s.scale,
+             LIST_TRANSFORM(e.embedding,
+               x -> CAST(FLOOR(127 * CAST(x AS DOUBLE) / s.scale + 0.5)
+                         AS BIGINT)) AS q8
+      FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id)
+    SELECT vec_id, scale,
+           CAST(LIST_MIN(q8) AS BIGINT) AS q_min,
+           CAST(LIST_MAX(q8) AS BIGINT) AS q_max,
+           CAST(LIST_SUM(LIST_TRANSFORM(q8, v -> ABS(v))) AS BIGINT) AS l1_q,
+           LIST_MIN(q8) >= -127 AND LIST_MAX(q8) <= 127 AS in_int8_range
+    FROM q
+    """,
+)
+def llm_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the 4× storage/bandwidth
+    compression every billion-vector index applies before ANN: each
+    vector scales by its max-abs component and rounds to the ±127 grid.
+    The query emits the per-vector scale and integer summary (min/max/
+    L1 of the quantized codes) plus the range invariant; codes are
+    exact integers by construction (``floor(127·x/scale + 0.5)`` on
+    identical IEEE inputs), so both engines produce byte-identical
+    quantized vectors — the property that makes quantization safe to
+    recompute anywhere in the pipeline.
+
+    Scale shape: pure per-row array arithmetic (higher-order functions,
+    zero UDFs, zero shuffles before any downstream aggregate)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        ).alias("scale"),
+    )
+    q = scaled.select(
+        "vec_id",
+        "scale",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(floor(127 * CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))"
+        ).alias("q8"),
+    )
+    return q.select(
+        "vec_id",
+        "scale",
+        F.expr("CAST(array_min(q8) AS BIGINT)").alias("q_min"),
+        F.expr("CAST(array_max(q8) AS BIGINT)").alias("q_max"),
+        F.expr(
+            "CAST(aggregate(transform(q8, v -> abs(v)), CAST(0 AS BIGINT),"
+            " (a, v) -> a + v) AS BIGINT)"
+        ).alias("l1_q"),
+        F.expr("array_min(q8) >= -127 AND array_max(q8) <= 127").alias(
+            "in_int8_range"
+        ),
+    )
