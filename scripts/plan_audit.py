@@ -110,6 +110,11 @@ EXTRAS = {
     "llm_prefix_filter_pairs": "rarest-prefix inverted index bounds candidates; exact Jaccard only on surfaced pairs",
     "llm_collocations_pmi": "one positional explode feeds unigram+bigram aggregates; quantized ln per surviving pair; take-ordered top-20",
     "source_file_manifest": "path-derived partition accounting from _metadata; one aggregate over the manifest scan",
+    "profile_ks_test": "per-value cohort counts; cumsum over the distinct domain; exact integer gap max",
+    "agg_ols_regression": "ONE partial+final aggregate; closed-form normal equations from exact decimal power sums",
+    "analytics_rfm_features": "per-user aggregate, then rank windows over the per-entity table (not the fact)",
+    "analytics_target_encoding": "category aggregate broadcast back; per-row exclusion is arithmetic, no self-join",
+    "llm_embedding_int8": "map-only higher-order-function projection; zero exchanges",
 }
 
 
