@@ -1996,3 +1996,56 @@ def analytics_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s") - F.col("o_totalprice")) / (F.col("c") - 1),
         ).alias("loo_mean_price"),
     )
+
+
+@register(
+    "analytics_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS prev_type
+      FROM events),
+    cells AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type),
+    rowt AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from
+      FROM cells GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, c.n, r.n_from,
+           CAST(c.n AS DOUBLE) / r.n_from AS p
+    FROM cells c JOIN rowt r ON c.prev_type = r.prev_type
+    """,
+)
+def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    timelines — the user-journey model behind next-action prediction
+    and funnel leak detection. One lag window per user (deterministic
+    (ts, event_id) ordering), one (from, to) hash aggregate; row totals
+    re-aggregate the 25-cell matrix, never the fact, and transition
+    probabilities divide two exact counts."""
+    from pyspark.sql.window import Window as W
+
+    ev = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    cells = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    rowt = cells.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("n_from")
+    )
+    return cells.join(F.broadcast(rowt), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        "n_from",
+        (F.col("n").cast("double") / F.col("n_from")).alias("p"),
+    )

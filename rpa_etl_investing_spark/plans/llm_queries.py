@@ -1882,3 +1882,49 @@ def llm_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_int8_range"
         ),
     )
+
+
+@register(
+    "llm_langid_confusion",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN {_lex_sql("en")} >= {_lex_sql("de")} AND {_lex_sql("en")} >= {_lex_sql("es")} THEN 'en'
+                  WHEN {_lex_sql("de")} >= {_lex_sql("es")} THEN 'de'
+                  ELSE 'es' END AS pred_lang
+      FROM tok JOIN documents USING (doc_id)),
+    cells AS (
+      SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang, pred_lang),
+    truth AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS n_truth FROM cells GROUP BY lang)
+    SELECT c.lang, c.pred_lang, c.n, t.n_truth,
+           CAST(c.n AS DOUBLE) / t.n_truth AS recall_share
+    FROM cells c JOIN truth t ON c.lang = t.lang
+    """,
+)
+def llm_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the confusion matrix of the
+    lexicon language-ID predictions against the labeled ``lang`` column,
+    with per-truth-class recall shares — the evaluation loop every
+    heuristic filter needs before it gates a corpus. One prediction
+    pass (the language_id operator itself), one (truth, pred) hash
+    aggregate, truth totals re-aggregated from the CELLS and broadcast
+    back — evaluation never rescans the corpus."""
+    from rpa_etl_investing_spark.operators.text import language_id
+
+    pred = language_id(tbl(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "pred_lang"
+    )
+    cells = pred.groupBy("lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    truth = cells.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_truth"))
+    return cells.join(F.broadcast(truth), "lang").select(
+        "lang",
+        "pred_lang",
+        "n",
+        "n_truth",
+        (F.col("n").cast("double") / F.col("n_truth")).alias("recall_share"),
+    )
