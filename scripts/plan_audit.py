@@ -115,6 +115,8 @@ EXTRAS = {
     "analytics_rfm_features": "per-user aggregate, then rank windows over the per-entity table (not the fact)",
     "analytics_target_encoding": "category aggregate broadcast back; per-row exclusion is arithmetic, no self-join",
     "llm_embedding_int8": "map-only higher-order-function projection; zero exchanges",
+    "llm_langid_confusion": "one prediction pass + (truth, pred) aggregate; totals re-aggregate the cells",
+    "analytics_markov_transitions": "one per-user lag window + one cell aggregate; row totals from the 25-cell matrix",
 }
 
 
