@@ -1128,3 +1128,69 @@ def agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             1e9,
         ).alias("r2_q"),
     )
+
+
+@register(
+    "agg_sketch_rolling_window",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day
+      FROM events),
+    ex AS (
+      SELECT d.day,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_wau
+      FROM d JOIN events e
+        ON DATE_TRUNC('day', CAST(e.ts AS TIMESTAMP)) <= d.day
+       AND DATE_TRUNC('day', CAST(e.ts AS TIMESTAMP)) >= d.day - INTERVAL 6 DAY
+      GROUP BY d.day)
+    SELECT day, exact_wau, TRUE AS est_within_tol FROM ex
+    """,
+)
+def agg_sketch_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+: mergeable sketches IN A WINDOW FRAME — trailing-7-day
+    distinct users (weekly actives) per day by unioning the per-day HLL
+    sketches inside a 7-row window (``hll_union_agg`` OVER rowsBetween
+    −6..0). The raw data is touched exactly once (one sketch per day);
+    every rolling estimate after that unions seven kilobyte sketches —
+    the pattern that replaces the O(days × week-of-raw) rescan a naive
+    rolling COUNT(DISTINCT) performs, which is precisely what the
+    oracle does to cross-check. Like the whole approx family, the
+    checked output is the exact value plus a ≤5% tolerance boolean
+    (HLL rsd ~1.6% — 3σ inside)."""
+    from pyspark.sql.window import Window as W
+
+    ev = tbl(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    est = daily.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est_wau"),
+    )
+    # exact rolling distinct for the tolerance check: day spine × events
+    # range join (fixture-scale oracle mirror; the sketch path above is
+    # the production shape)
+    days = daily.select("day")
+    e2 = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("eday"), "user_id"
+    )
+    exact = (
+        days.join(
+            e2,
+            (F.col("eday") <= F.col("day"))
+            & (F.col("eday") >= F.col("day") - F.expr("INTERVAL 6 DAY")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_wau"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "exact_wau",
+        (
+            F.abs(F.col("est_wau") - F.col("exact_wau"))
+            <= 0.05 * F.col("exact_wau")
+        ).alias("est_within_tol"),
+    )
