@@ -570,3 +570,58 @@ def source_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("bigint").alias("min_key"),
         F.max("o_orderkey").cast("bigint").alias("max_key"),
     )
+
+
+@register(
+    "source_partition_checksums",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(
+             (STRPOS('0123456789abcdef', SUBSTRING(md5(
+                CAST(o_orderkey AS VARCHAR) || '|' ||
+                CAST(o_custkey AS VARCHAR) || '|' ||
+                CAST(CAST(o_totalprice AS DECIMAL(27,2)) AS VARCHAR)), 1, 1)) - 1) * 4096
+           + (STRPOS('0123456789abcdef', SUBSTRING(md5(
+                CAST(o_orderkey AS VARCHAR) || '|' ||
+                CAST(o_custkey AS VARCHAR) || '|' ||
+                CAST(CAST(o_totalprice AS DECIMAL(27,2)) AS VARCHAR)), 2, 1)) - 1) * 256
+           + (STRPOS('0123456789abcdef', SUBSTRING(md5(
+                CAST(o_orderkey AS VARCHAR) || '|' ||
+                CAST(o_custkey AS VARCHAR) || '|' ||
+                CAST(CAST(o_totalprice AS DECIMAL(27,2)) AS VARCHAR)), 3, 1)) - 1) * 16
+           + (STRPOS('0123456789abcdef', SUBSTRING(md5(
+                CAST(o_orderkey AS VARCHAR) || '|' ||
+                CAST(o_custkey AS VARCHAR) || '|' ||
+                CAST(CAST(o_totalprice AS DECIMAL(27,2)) AS VARCHAR)), 4, 1)) - 1)
+           ) AS BIGINT) AS checksum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def source_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+: content-addressed partition checksums — the cheap
+    table-version diff: every row hashes its canonical column string to
+    a 16-bit md5 value, and the per-partition SUM is an
+    order-independent content fingerprint. Two published versions of a
+    partitioned table can then be diffed partition-by-partition at
+    manifest cost (compare one BIGINT per partition) instead of row
+    cost; only partitions whose checksum moved need the full
+    ``etl_snapshot_diff`` treatment. Row-hash summation commutes, so
+    partitioning, task order, and file layout cannot change a
+    checksum. Doubles canonicalize through DECIMAL before stringifying —
+    raw double→string rendering diverges between engines once values
+    reach scientific-notation territory; the decimal detour pins one
+    textual form everywhere."""
+    orders = tbl(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_totalprice").cast("decimal(27,2)").cast("string"),
+    )
+    h16 = F.conv(F.substring(F.md5(canon), 1, 4), 16, 10).cast("bigint")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(h16).cast("bigint").alias("checksum"),
+    )
