@@ -117,6 +117,8 @@ EXTRAS = {
     "llm_embedding_int8": "map-only higher-order-function projection; zero exchanges",
     "llm_langid_confusion": "one prediction pass + (truth, pred) aggregate; totals re-aggregate the cells",
     "analytics_markov_transitions": "one per-user lag window + one cell aggregate; row totals from the 25-cell matrix",
+    "agg_sketch_rolling_window": "per-day HLL sketches once; rolling estimates union 7 kilobyte sketches in a window frame",
+    "source_partition_checksums": "map-side 16-bit row hash, order-independent per-partition sum; one aggregate",
 }
 
 
