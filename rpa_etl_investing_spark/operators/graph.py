@@ -37,6 +37,26 @@ from pyspark.sql import functions as F
 
 GRID = 1_000_000_000
 
+# Persisted edge lists from prior pagerank() calls. The returned ranks
+# DataFrame is LAZY and references the persisted relation once per
+# unrolled iteration, so pagerank() itself cannot unpersist before
+# returning (consumers would silently re-expand the fact-aggregation
+# subtree into every iteration — the exact rescan the cache prevents).
+# Instead each new call retires the previous call's cache, bounding the
+# leak at one live relation no matter how many times tests/bench invoke
+# the operator; callers that are completely done can force-release via
+# release_edge_caches().
+_LIVE_EDGE_CACHES: list[DataFrame] = []
+
+
+def release_edge_caches() -> None:
+    """Unpersist every edge list cached by prior :func:`pagerank` calls.
+
+    Only call once all previously returned rank DataFrames have been
+    consumed — their plans read these caches."""
+    while _LIVE_EDGE_CACHES:
+        _LIVE_EDGE_CACHES.pop().unpersist()
+
 
 def pagerank(
     nodes: DataFrame,
@@ -59,11 +79,13 @@ def pagerank(
     # aggregation!) into every iteration — k rescans of the fact table.
     # With it, the fact is scanned once and iterations join the cached
     # aggregated graph (asserted in tests/test_plans.py).
+    release_edge_caches()  # retire the previous invocation's cache
     ew = (
         edges.join(outw, "src")
         .select("src", "dst", F.col("w").cast("bigint").alias("w"), "wout")
         .persist()
     )
+    _LIVE_EDGE_CACHES.append(ew)
 
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", F.expr(f"CAST({GRID} AS BIGINT) div _n").alias("rank_q")

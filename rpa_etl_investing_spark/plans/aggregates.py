@@ -1156,7 +1156,13 @@ def agg_sketch_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling COUNT(DISTINCT) performs, which is precisely what the
     oracle does to cross-check. Like the whole approx family, the
     checked output is the exact value plus a ≤5% tolerance boolean
-    (HLL rsd ~1.6% — 3σ inside)."""
+    (HLL rsd ~1.6% — 3σ inside).
+
+    The frame is a RANGE over the integer day number, not ROWS over the
+    sketch series: with any missing day a 7-ROW frame would cover more
+    than 7 calendar days and silently diverge from the calendar-defined
+    exact value — the range frame unions exactly the sketches whose day
+    falls in [d−6, d], dense or not."""
     from pyspark.sql.window import Window as W
 
     ev = tbl(spark, sf_dir, "events")
@@ -1164,8 +1170,9 @@ def agg_sketch_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
         .groupBy("day")
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .withColumn("dnum", F.datediff(F.col("day"), F.lit("1970-01-01")))
     )
-    w = W.orderBy("day").rowsBetween(-6, 0)
+    w = W.orderBy("dnum").rangeBetween(-6, 0)
     est = daily.select(
         "day",
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est_wau"),

@@ -396,12 +396,12 @@ def source_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> Data
     correction = orders.filter(
         (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 2 == 0)
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        correction.write.partitionBy("o_orderstatus").mode("overwrite").parquet(base)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # per-write option, NOT the session conf: scoping the mode to this
+    # DataFrameWriter keeps concurrent writers on the same session from
+    # silently inheriting dynamic-overwrite semantics
+    correction.write.option("partitionOverwriteMode", "dynamic").partitionBy(
+        "o_orderstatus"
+    ).mode("overwrite").parquet(base)
 
     back = spark.read.parquet(base)
     return back.groupBy("o_orderstatus").agg(

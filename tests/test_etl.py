@@ -166,3 +166,42 @@ def test_incremental_streaming_load(spark, tmp_path):
     top = flagship_top10(spark, warehouse).collect()
     assert len(top) > 0
     assert all(r.pais in ("China", "EUA") and r.setor == "Primário" for r in top)
+
+
+def test_merge_apply_rejects_ambiguous_batch(spark):
+    """A batch with two images for one key and no sequence column is
+    ambiguous — merge_apply must fail loudly, not emit the key twice."""
+    from rpa_etl_investing_spark.etl.merge import merge_apply
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    changes = spark.createDataFrame(
+        [(1, "U", "a1"), (1, "U", "a2")], ["k", "op", "v"]
+    ).select("k", "v", "op")
+    with pytest.raises(ValueError, match="multiple change rows"):
+        merge_apply(base, changes, "k")
+
+
+def test_merge_apply_seq_col_latest_wins(spark):
+    """With a sequence column, the latest change per key wins: two U
+    images keep the newer one; U-then-D deletes; D-then-U reinserts —
+    and every key appears at most once in the output."""
+    from rpa_etl_investing_spark.etl.merge import merge_apply
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "U", "a1", 10),
+            (1, "U", "a2", 20),  # newer U wins
+            (2, "U", "b1", 10),
+            (2, "D", None, 20),  # delete after update → gone
+            (3, "D", None, 10),
+            (3, "U", "c2", 20),  # reinsert after delete → present
+        ],
+        ["k", "op", "v", "seq"],
+    ).select("k", "v", "op", "seq")
+    out = merge_apply(base, changes, "k", seq_col="seq")
+    got = {(r["k"], r["v"]) for r in out.collect()}
+    assert got == {(1, "a2"), (3, "c2")}
+    assert out.count() == out.select("k").distinct().count()

@@ -124,20 +124,21 @@ def test_dynamic_vs_static_partition_overwrite(spark, tmp_path):
         [(1, "a"), (2, "a"), (3, "b"), (4, "b")], ["v", "k"]
     )
     patch = spark.createDataFrame([(9, "a")], ["v", "k"])
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try:
-        full.write.partitionBy("k").mode("overwrite").parquet(base)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        patch.write.partitionBy("k").mode("overwrite").parquet(base)
-        got = {(r["v"], r["k"]) for r in spark.read.parquet(base).collect()}
-        assert got == {(9, "a"), (3, "b"), (4, "b")}
+    full.write.partitionBy("k").mode("overwrite").parquet(base)
+    # per-write option (not session conf) — the mode is scoped to the
+    # one writer, so a concurrent overwrite on the same session can't
+    # inherit it
+    patch.write.option("partitionOverwriteMode", "dynamic").partitionBy(
+        "k"
+    ).mode("overwrite").parquet(base)
+    got = {(r["v"], r["k"]) for r in spark.read.parquet(base).collect()}
+    assert got == {(9, "a"), (3, "b"), (4, "b")}
 
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-        patch.write.partitionBy("k").mode("overwrite").parquet(base)
-        got = {(r["v"], r["k"]) for r in spark.read.parquet(base).collect()}
-        assert got == {(9, "a")}
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    patch.write.option("partitionOverwriteMode", "static").partitionBy(
+        "k"
+    ).mode("overwrite").parquet(base)
+    got = {(r["v"], r["k"]) for r in spark.read.parquet(base).collect()}
+    assert got == {(9, "a")}
 
 
 def test_zorder_files_tight_in_both_dimensions(spark, sf_dir, tmp_path):

@@ -411,6 +411,16 @@ def test_transform_with_state_running_max_matches_batch(spark, sf_dir, tmp_path)
     )
     try:
         stream = _stream_events(spark, raw_schema, stream_dir)
+        # capture with foreachBatch so every emission carries its
+        # batch_id: memory-sink collect() order does not reflect
+        # micro-batch emission order, so "last collected row wins"
+        # could pick a stale update and flake — reduce by max batch_id
+        # per user instead
+        captured: list[tuple[int, list]] = []
+
+        def capture(bdf, batch_id: int) -> None:
+            captured.append((batch_id, bdf.collect()))
+
         q = (
             stream.select("user_id", "value")
             .groupBy("user_id")
@@ -421,15 +431,11 @@ def test_transform_with_state_running_max_matches_batch(spark, sf_dir, tmp_path)
                 timeMode="None",
             )
             .writeStream.outputMode("update")
-            .format("memory")
-            .queryName("tws_out")
+            .foreachBatch(capture)
             .start()
         )
         try:
             q.processAllAvailable()
-            rows = spark.sql(
-                "SELECT user_id, max_value FROM tws_out"
-            ).collect()
         finally:
             q.stop()
     finally:
@@ -440,9 +446,13 @@ def test_transform_with_state_running_max_matches_batch(spark, sf_dir, tmp_path)
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
     # update mode may emit several rows per user across micro-batches;
-    # the LAST emission per user is the final state
-    last = {}
-    for r in rows:
-        last[r["user_id"]] = r["max_value"]
-    got = set(last.items())
+    # the emission from the HIGHEST batch_id per user is the final
+    # state (within one batch, update mode emits at most one row/key)
+    last: dict[int, tuple[int, float]] = {}
+    for batch_id, rows in captured:
+        for r in rows:
+            prev = last.get(r["user_id"])
+            if prev is None or batch_id >= prev[0]:
+                last[r["user_id"]] = (batch_id, r["max_value"])
+    got = {(u, v) for u, (_, v) in last.items()}
     assert got == expected
