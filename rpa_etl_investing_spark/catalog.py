@@ -24,9 +24,34 @@ TABLES = [
     "embeddings",
 ]
 
-# Dimension-sized tables: always broadcast-joinable at any scale factor
-# (region/nation are fixed-size; supplier/part/customer grow slowly).
-SMALL_DIMS = {"region", "nation", "supplier"}
+# Tables whose size is BOUNDED regardless of scale factor: region (5
+# rows) and nation (25 rows) are fixed-cardinality domains, so a
+# broadcast hint on them is safe at any SF. Everything else (customer,
+# supplier, part, orders, lineitem, documents, embeddings, events —
+# and any relation derived by filtering/aggregating them on a
+# non-domain key) grows linearly with SF: an explicit F.broadcast on
+# such a table OVERRIDES spark.sql.autoBroadcastJoinThreshold and at
+# 100× scale forces the build of an un-broadcastable multi-GB hash
+# relation. Those joins must stay hint-free so the static planner /
+# AQE picks broadcast from measured size while it fits and falls back
+# to a shuffled join when it doesn't.
+BOUNDED_TABLES = {"region", "nation"}
+
+
+def maybe_broadcast(df: DataFrame, source_table: str) -> DataFrame:
+    """Size-gated broadcast hint.
+
+    ``source_table`` names the fixture table whose cardinality drives
+    ``df``'s size (the table itself, or the base of a derived
+    filter/projection). Bounded domains get the explicit hint; SF-
+    scaling tables are returned unhinted, leaving the join strategy to
+    cost-based planning (at fixture scale the planner still broadcasts
+    them — asserted in tests/test_plans.py — while at 100 TB the same
+    plan degrades safely to a shuffled join instead of OOMing the
+    executors on a forced build side)."""
+    from pyspark.sql import functions as F
+
+    return F.broadcast(df) if source_table in BOUNDED_TABLES else df
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

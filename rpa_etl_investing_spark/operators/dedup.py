@@ -466,8 +466,8 @@ def prefix_filter_pairs(
     sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("size_b"))
     return (
-        common.join(F.broadcast(sa), "da")
-        .join(F.broadcast(sb), "db")
+        common.join(sa, "da")  # keyed join; sizes is corpus-sized (one row
+        .join(sb, "db")   # per doc) — never hint-broadcast it
         .filter(
             F.lit(tau_den) * F.col("common")
             >= F.lit(tau_num)

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rpa_etl_investing_spark.catalog import tbl
+from rpa_etl_investing_spark.catalog import maybe_broadcast, tbl
 from rpa_etl_investing_spark.plans.aggregates import dsum
 from rpa_etl_investing_spark.plans.registry import register
 
@@ -95,7 +95,7 @@ def analytics_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFra
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            maybe_broadcast(s, "supplier"),
             (F.col("l_suppkey") == s.s_suppkey)
             & (F.col("c_nationkey") == s.s_nationkey),
         )
@@ -192,7 +192,7 @@ def analytics_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), (p.p_partkey == l.l_partkey) & cond)
+        l.join(maybe_broadcast(p, "part"), (p.p_partkey == l.l_partkey) & cond)
         .agg(
             dsum(revenue, 4).alias("revenue"),
             F.count("*").alias("n_items"),
@@ -458,7 +458,7 @@ def analytics_lone_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return (
-        blamed.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        blamed.join(maybe_broadcast(s, "supplier"), F.col("l_suppkey") == s.s_suppkey)
         .join(o, F.col("l_orderkey") == o.o_orderkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
@@ -586,8 +586,8 @@ def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("decimal(27,4)")
     flat = (
-        l.join(F.broadcast(p), F.col("p_partkey") == l.l_partkey)
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        l.join(maybe_broadcast(p, "part"), F.col("p_partkey") == l.l_partkey)
+        .join(maybe_broadcast(s, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, o.o_orderkey == F.col("l_orderkey"))
         .join(c, c.c_custkey == o.o_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
@@ -642,7 +642,7 @@ def analytics_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(27,4)"
     )
     zero = F.lit(0).cast("decimal(27,4)")
-    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
+    return l.join(maybe_broadcast(p, "part"), l.l_partkey == p.p_partkey).agg(
         (
             F.sum(F.when(F.col("p_type") == "PROMO", volume).otherwise(zero)).cast(
                 "double"
@@ -867,8 +867,8 @@ def analytics_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(27,4)"
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        l.join(maybe_broadcast(p, "part"), l.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(s, "supplier"), F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(o, F.col("l_orderkey") == o.o_orderkey)
         .groupBy(
@@ -913,8 +913,8 @@ def analytics_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFra
         .select(F.col("s_suppkey").alias("l_suppkey"))
     )
     return (
-        l.join(F.broadcast(bad), "l_suppkey", "left_anti")
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(maybe_broadcast(bad, "supplier"), "l_suppkey", "left_anti")
+        .join(maybe_broadcast(p, "part"), l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -1093,7 +1093,7 @@ def analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     li = tbl(spark, sf_dir, "lineitem").join(
-        F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey")
+        maybe_broadcast(pk, "part"), F.col("l_partkey") == F.col("p_partkey")
     )
     thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (0.2 * (F.sum("l_quantity") / F.count(F.lit(1)))).alias("qty_cut")
@@ -1163,8 +1163,8 @@ def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    pc = cost.join(F.broadcast(p), cost.l_partkey == F.col("p_partkey")).join(
-        F.broadcast(s), cost.l_suppkey == F.col("s_suppkey")
+    pc = cost.join(maybe_broadcast(p, "part"), cost.l_partkey == F.col("p_partkey")).join(
+        maybe_broadcast(s, "supplier"), cost.l_suppkey == F.col("s_suppkey")
     )
     w = Window.partitionBy("l_partkey")
     return (
@@ -1225,7 +1225,7 @@ def analytics_excess_supply_candidates(spark: SparkSession, sf_dir: str) -> Data
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     movers = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        l.join(maybe_broadcast(p, "part"), l.l_partkey == p.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 45)
@@ -1239,7 +1239,7 @@ def analytics_excess_supply_candidates(spark: SparkSession, sf_dir: str) -> Data
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
     )
     return (
-        s.join(F.broadcast(movers), s.s_suppkey == movers.l_suppkey, "left_semi")
+        s.join(maybe_broadcast(movers, "lineitem"), s.s_suppkey == movers.l_suppkey, "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
@@ -1310,7 +1310,7 @@ def graph_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(maybe_broadcast(s, "supplier"), li.l_suppkey == s.s_suppkey)
         .groupBy(
             F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
         )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rpa_etl_investing_spark.catalog import tbl
+from rpa_etl_investing_spark.catalog import maybe_broadcast, tbl
 from rpa_etl_investing_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -56,7 +56,7 @@ def flagship_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = tbl(spark, sf_dir, "customer")
     nation = tbl(spark, sf_dir, "nation")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(maybe_broadcast(customer, "customer"), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .filter(
             (F.col("c_mktsegment") == FLAGSHIP_SEGMENT)

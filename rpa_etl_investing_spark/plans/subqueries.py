@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rpa_etl_investing_spark.catalog import tbl
+from rpa_etl_investing_spark.catalog import maybe_broadcast, tbl
 from rpa_etl_investing_spark.plans.aggregates import davg, dsum
 from rpa_etl_investing_spark.plans.registry import register
 
@@ -100,7 +100,7 @@ def subquery_scalar_per_part_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("l_quantity", 2).alias("avg_qty")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(maybe_broadcast(p, "part"), l.l_partkey == p.p_partkey)
         .join(per_part, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
