@@ -1592,6 +1592,64 @@ def llm_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(tbl(spark, sf_dir, "documents"))
 
 
+_SIMHASH64_DV = (
+    "dv AS (SELECT doc_id, "
+    + ", ".join(
+        f"(POSITION(SUBSTRING(hx, {d + 1}, 1) IN '0123456789abcdef') - 1)"
+        f" AS d{d}"
+        for d in range(16)
+    )
+    + " FROM (SELECT doc_id, md5(tok) AS hx FROM toks))"
+)
+
+_SIMHASH64_VOTES = (
+    "votes AS (SELECT doc_id, "
+    + ", ".join(
+        f"SUM(((d{i // 4} // {2 ** (3 - i % 4)}) % 2) * 2 - 1) AS v{i}"
+        for i in range(64)
+    )
+    + " FROM dv GROUP BY doc_id)"
+)
+
+_SIMHASH64_SIG = (
+    "sig AS (SELECT doc_id, CAST("
+    + "(CASE WHEN v0 >= 0 THEN -9223372036854775807 - 1 ELSE 0 END)"
+    + "".join(
+        f" + (CASE WHEN v{i} >= 0 THEN {1 << (63 - i)} ELSE 0 END)"
+        for i in range(1, 64)
+    )
+    + " AS BIGINT) AS sig FROM votes)"
+)
+
+
+@register(
+    "llm_simhash64_hamming_pairs",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    toks AS (SELECT DISTINCT doc_id, UNNEST(t) AS tok FROM tok),
+    {_SIMHASH64_DV},
+    {_SIMHASH64_VOTES},
+    {_SIMHASH64_SIG}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+)
+def llm_simhash64_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: production-width SimHash — 64-bit BIGINT fingerprints,
+    4 x 16-bit pigeonhole band join, exact Hamming verify as ONE
+    bit_count(sig XOR sig) instruction (operators/dedup.py
+    simhash64_hamming_pairs). The oracle replays the identical integer
+    recurrence (md5 hex digit -> bit votes -> two's-complement
+    assembly) and enumerates ALL pairs brute-force, so the hash match
+    proves both the signature bits and the banded join's exact recall
+    at the width a real corpus would use."""
+    from rpa_etl_investing_spark.operators.dedup import simhash64_hamming_pairs
+
+    return simhash64_hamming_pairs(tbl(spark, sf_dir, "documents"))
+
+
 @register(
     "llm_token_entropy",
     oracle=f"""

@@ -192,3 +192,50 @@ def test_pagerank_star_and_cycle(spark):
     cyc = {r["node"]: r["rank_q"] for r in pagerank(nodes, cycle_edges, 3).collect()}
     assert len(set(cyc.values())) == 1
     assert sum(cyc.values()) <= GRID
+
+
+def test_simhash64_banded_recall_equals_brute_force(spark, sf_dir):
+    """The 4×16-bit band join over the 64-bit BIGINT signature must
+    recover EXACTLY the pairs the brute-force all-pairs bit_count(xor)
+    finds (pigeonhole recall at max_hamming ≤ 3), and signatures must
+    be native longs with band keys inside the 16-bit domain."""
+    from rpa_etl_investing_spark.catalog import tbl
+    from rpa_etl_investing_spark.operators.dedup import (
+        simhash64_hamming_pairs,
+        simhash64_signatures,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    sig = simhash64_signatures(docs)
+    assert dict(sig.dtypes)["sig"] == "bigint"
+    rng = sig.agg(
+        F.min(F.least("band0", "band1", "band2", "band3")).alias("lo"),
+        F.max(F.greatest("band0", "band1", "band2", "band3")).alias("hi"),
+    ).collect()[0]
+    assert 0 <= rng["lo"] and rng["hi"] <= 65535
+
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash64_hamming_pairs(docs, max_hamming=3).collect()
+    }
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb"))
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute and len(brute) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash64_hamming_pairs(docs, max_hamming=4)
