@@ -402,18 +402,26 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.05,
     max_df: int = 1000,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """L2: exact n-gram Jaccard via an inverted-index self-join.
 
     ``max_df`` drops shingles that appear in too many docs (stop-shingle
     skew guard); ``threshold`` bounds the output. Jaccard is computed
     from exact integer set sizes — deterministic cross-engine.
-    """
-    ex = (
-        spread(docs, "doc_id")
-        .select("doc_id", F.explode(shingles(text_col, k)).alias("sh"))
-        .distinct()
-    )
+
+    ``hash_shingles=True`` is the 100 TB shuffle-width knob: the join /
+    group key becomes ``xxhash64(shingle)`` — 8 bytes instead of the
+    raw k-word string — so every post-explode shuffle carries longs.
+    Output is identical absent 64-bit collisions (expected collisions
+    ≈ n²/2⁶⁵ across distinct shingles — negligible even at 10¹² keys,
+    and a collision can only merge two shingles' posting lists, never
+    drop a true pair)."""
+    sh = F.explode(shingles(text_col, k)).alias("sh")
+    ex = spread(docs, "doc_id").select("doc_id", sh)
+    if hash_shingles:
+        ex = ex.select("doc_id", F.xxhash64("sh").alias("sh"))
+    ex = ex.distinct()
     df_counts = ex.groupBy("sh").agg(F.count("*").alias("df"))
     ex = ex.join(df_counts.filter(F.col("df") <= max_df), "sh")
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))

@@ -453,6 +453,7 @@ def repeated_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Cross-document repeated-substring discovery — the find stage of
     exact-substring deduplication (the "train-data repeated 50-grams"
@@ -469,8 +470,11 @@ def repeated_spans(
     shuffle compact (shingle, id, pos) rows once), unlike the benchmark
     variant where the small side broadcasts. The island merge windows
     over HIT positions only, partitioned by the high-cardinality doc
-    id. At 100 TB, swap the raw shingle join key for its 8-byte
-    xxhash64 to shrink shuffle width — semantics unchanged."""
+    id. ``hash_shingles=True`` swaps the raw shingle join key for its
+    8-byte xxhash64 so both post-explode shuffles carry longs instead
+    of k-word strings — semantics unchanged absent 64-bit collisions
+    (a collision can only over-count a shingle's document frequency,
+    ≈ n²/2⁶⁵ odds across distinct shingles)."""
     from pyspark.sql.window import Window as W
 
     from rpa_etl_investing_spark.operators.dedup import shingles, spread
@@ -478,6 +482,8 @@ def repeated_spans(
     pos = spread(docs, id_col).select(
         id_col, F.posexplode(shingles(text_col)).alias("i", "sh")
     )
+    if hash_shingles:
+        pos = pos.select(id_col, "i", F.xxhash64("sh").alias("sh"))
     dup = (
         pos.groupBy("sh")
         .agg(F.countDistinct(id_col).alias("_nd"))

@@ -224,6 +224,23 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(tbl(spark, sf_dir, "documents"))
 
 
+@register(
+    "llm_ngram_jaccard_hashed",
+    oracle=None,  # assigned below: identical result contract to llm_ngram_jaccard
+)
+def llm_ngram_jaccard_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: the SAME inverted-index Jaccard join with the 100 TB
+    shuffle-width knob on — every post-explode shuffle keys on
+    xxhash64(shingle) (8-byte longs) instead of raw k-word strings.
+    The oracle is llm_ngram_jaccard's verbatim: the hashed plan must
+    reproduce the string-keyed answer bit-for-bit (no 64-bit collision
+    exists at fixture scale, and at corpus scale a collision can only
+    merge posting lists, never lose a true pair)."""
+    return ngram_jaccard_pairs(
+        tbl(spark, sf_dir, "documents"), hash_shingles=True
+    )
+
+
 # ---- L3: similarity search -------------------------------------------------
 
 _DOT = (
@@ -1349,6 +1366,22 @@ def llm_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_repeated_spans_hashed",
+    oracle=None,  # assigned below: identical result contract to llm_repeated_spans
+)
+def llm_repeated_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+: repeated-span discovery with xxhash64 shingle keys — the
+    df-count and probe shuffles carry 8-byte longs instead of 3-word
+    strings (operators/text.py repeated_spans hash_shingles). Checked
+    against llm_repeated_spans' oracle verbatim: same spans out."""
+    from rpa_etl_investing_spark.operators.text import repeated_spans
+
+    return repeated_spans(
+        tbl(spark, sf_dir, "documents"), min_docs=2, hash_shingles=True
+    )
+
+
+@register(
     "llm_decontaminated_corpus",
     oracle="""
     WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
@@ -1986,3 +2019,12 @@ def llm_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth",
         (F.col("n").cast("double") / F.col("n_truth")).alias("recall_share"),
     )
+
+
+# The hashed-shingle variants assert bit-identity with their string-key
+# twins: same oracle SQL, so the driver's hash comparison proves the
+# narrower shuffle changes nothing.
+from rpa_etl_investing_spark.plans.registry import QUERIES as _Q_REG
+
+_Q_REG["llm_ngram_jaccard_hashed"].oracle = _Q_REG["llm_ngram_jaccard"].oracle
+_Q_REG["llm_repeated_spans_hashed"].oracle = _Q_REG["llm_repeated_spans"].oracle

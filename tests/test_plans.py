@@ -742,3 +742,21 @@ def test_prefix_filter_sizes_join_not_hint_broadcast(spark, sf_dir):
     on da/db; strategy is left to the planner."""
     analyzed = _analyzed(QUERIES["llm_prefix_filter_pairs"].fn(spark, sf_dir))
     assert "ResolvedHint" not in analyzed, analyzed
+
+
+@pytest.mark.parametrize(
+    "name", ["llm_repeated_spans_hashed", "llm_ngram_jaccard_hashed"]
+)
+def test_hashed_shingle_shuffles_carry_longs(spark, sf_dir, name):
+    """With hash_shingles on, the shingle-keyed exchange must
+    partition on the 8-byte xxhash64 (a LongType column, '#nL' in the
+    plan), and the hashing must happen BEFORE the exchange so no raw
+    k-word string ever crosses the wire on that key."""
+    import re
+
+    plan = _plan(QUERIES[name].fn(spark, sf_dir))
+    assert "xxhash64(sh" in plan, plan
+    # every exchange keyed on a shingle column partitions on a long
+    sh_exchanges = re.findall(r"hashpartitioning\(sh#(\d+)(L?)[,)]", plan)
+    assert sh_exchanges, plan
+    assert all(suffix == "L" for _, suffix in sh_exchanges), plan
