@@ -546,19 +546,27 @@ def curation_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced per-source subset: exactly 10 docs per source, chosen by
     md5 order — an unbiased, rerun-stable draw (hash order is
     uncorrelated with doc content or insertion order), the deterministic
-    stand-in for per-group reservoir sampling. One windowed rank per
-    source partition, no global shuffle."""
-    from pyspark.sql import Window
+    stand-in for per-group reservoir sampling.
 
-    docs = tbl(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    Same scale path as ``curation_stratified_sample``: the per-source
+    rank runs through ``sharded_row_number`` (operators/prefix.py) with
+    the hash's first hex char as a 16-way monotone shard — no task ever
+    sorts a whole source, so source cardinality never bounds
+    parallelism. (The naive alternative, one ``row_number`` window per
+    source, is acceptable ONLY for small k where Spark plans a
+    WindowGroupLimit pushdown; the sharded form is the documented
+    default so callers don't have to reason about that.)"""
+    from rpa_etl_investing_spark.operators.prefix import sharded_row_number
+
+    docs = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        .withColumn("_shard", F.substring("h", 1, 1))
     )
-    return (
-        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= 10)
-        .select("doc_id", "source")
+    ranked = sharded_row_number(
+        docs, ["source"], [F.col("h"), F.col("doc_id")], "rn", shard_col="_shard"
     )
+    return ranked.filter(F.col("rn") <= 10).select("doc_id", "source")
 
 
 def _stop_in() -> str:

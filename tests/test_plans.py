@@ -463,18 +463,40 @@ def test_id_range_shards_multiply_key_parallelism(spark, sf_dir):
     assert n_groups > n_sources, (n_groups, n_sources)
 
 
-@pytest.mark.parametrize(
-    "qname", ["curation_balanced_sample", "window_topk_per_group"]
-)
+@pytest.mark.parametrize("qname", ["window_topk_per_group"])
 def test_topk_per_group_plans_partial_window_group_limit(spark, sf_dir, qname):
     """rank()<=k / row_number()<=k windows must plan WindowGroupLimit in
     Partial+Final mode: each mapper pre-trims its groups to k rows before
     the shuffle, so a low-cardinality partition key shuffles k rows per
-    mapper, not the whole group — the property that keeps per-source
-    sampling scale-safe without the prefix-sum machinery."""
+    mapper, not the whole group — acceptable for small-k top-k; the
+    sampling queries proper now route through the sharded-rank path
+    (see test_balanced_sample_uses_sharded_rank)."""
     plan = _plan(QUERIES[qname].fn(spark, sf_dir))
     assert plan.count("WindowGroupLimit") == 2, plan  # Partial + Final
     assert "WindowGroupLimit Partial" in plan or "Partial" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "qname", ["curation_balanced_sample", "curation_stratified_sample"]
+)
+def test_balanced_sample_uses_sharded_rank(spark, sf_dir, qname):
+    """r4 verdict item #4: both per-group sampling queries share ONE
+    scale path — sharded_row_number (operators/prefix.py). The
+    row-level ranking window must partition by (group, _shard) at full
+    shuffle width; the only window over the bare group key is the
+    constant-sized per-shard offsets frame."""
+    import re
+
+    plan = _plan(QUERIES[qname].fn(spark, sf_dir))
+    n = spark.conf.get("spark.sql.shuffle.partitions")
+    assert re.search(
+        rf"hashpartitioning\((source|lang)#\d+, _shard#\d+, {n}\)", plan
+    ), plan
+    for val, spec in re.findall(
+        r"Window \[sum\((\w+)#?\d*L?\) windowspecdefinition\(([^)]*)\)", plan
+    ):
+        if val != "_ps_tot":
+            assert "_shard" in spec, (val, spec, plan)
 
 
 def test_exact_quantiles_avoid_global_sort(spark, sf_dir):
