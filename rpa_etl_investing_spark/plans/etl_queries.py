@@ -273,6 +273,91 @@ def etl_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_two_phase_publish",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey AS k, 'U' AS op,
+             'upd_' || CAST(c_custkey AS VARCHAR) AS name,
+             CAST(0 AS INTEGER) AS nat,
+             CAST(c_custkey AS DOUBLE) AS bal,
+             'CDC' AS seg
+      FROM customer WHERE c_custkey % 10 = 7
+      UNION ALL
+      SELECT c_custkey, 'D', NULL, NULL, NULL, NULL
+      FROM customer WHERE c_custkey % 10 = 3),
+    merged AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey NOT IN (SELECT k FROM changes)
+      UNION ALL
+      SELECT k, seg, bal FROM changes WHERE op = 'U')
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS total_bal
+    FROM merged GROUP BY c_mktsegment ORDER BY segment
+    """,
+)
+def etl_two_phase_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase atomic publish (sources/publish.py): snapshot v1 is
+    the customer table; a CDC batch (updates for keys ending in 7,
+    deletes for keys ending in 3) merges into snapshot v2; each
+    snapshot is STAGED fully before one atomic pointer swap commits it
+    — the parquet-native stand-in for the reference's Postgres COMMIT
+    (``/root/reference/main.py:147``). The readback goes through
+    ``read_published`` (pointer-resolved, immutable snapshot dir), so
+    what the oracle checks is exactly what any concurrent reader could
+    have seen: the old complete snapshot or the new complete one,
+    never a torn mix — asserted crash-by-crash in
+    tests/test_publish.py."""
+    import os
+
+    from rpa_etl_investing_spark.etl.merge import merge_apply
+    from rpa_etl_investing_spark.sources.formats import scratch_dir
+    from rpa_etl_investing_spark.sources.publish import (
+        publish_snapshot,
+        read_published,
+        vacuum_versions,
+    )
+
+    table = scratch_dir(
+        os.path.basename(os.path.normpath(sf_dir)), "customer_published"
+    )
+    base = tbl(spark, sf_dir, "customer")
+    publish_snapshot(base, table)
+
+    upd = base.filter(F.col("c_custkey") % 10 == 7).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        F.concat(F.lit("upd_"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        F.col("c_custkey").cast("double").alias("c_acctbal"),
+        F.lit("CDC").alias("c_mktsegment"),
+    )
+    dels = base.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    merged = merge_apply(base, upd.unionByName(dels), "c_custkey")
+    publish_snapshot(merged, table)
+    vacuum_versions(table, keep=2)
+
+    return (
+        read_published(spark, table)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(27,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
     "etl_expectations_report",
     oracle="""
     WITH one_pass AS (
