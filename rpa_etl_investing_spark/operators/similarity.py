@@ -630,10 +630,11 @@ def gram_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     per-row products ≤ ~2.5e11, so 38 digits holds >1e26 rows.
 
     Dimension guidance: the per-row fan-out is d(d+1)/2 structs — fine
-    to d≈128 (8k cells). For d≈1024+ (524k cells/row) keep the same
-    cell-keyed aggregate but produce cells per BLOCK pair via an
-    Arrow-batched ``mapInPandas`` numpy outer product — identical
-    output contract, one code path swap, no plan change downstream."""
+    to d≈128 (8k cells). For d≈1024+ (524k cells/row) use
+    :func:`gram_matrix_blocked` — same cell-keyed aggregate, cells
+    produced per BLOCK pair by an Arrow-batched ``mapInPandas`` integer
+    matmul; identical output contract (equality-tested), no plan
+    change downstream."""
     q = F.expr(
         f"transform({vec_col}, x -> "
         "CAST(floor(1e6 * CAST(x AS DOUBLE) + 0.5) AS BIGINT))"
@@ -651,6 +652,89 @@ def gram_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         .agg(
             F.sum("p").cast("bigint").alias("s_q"),
             F.count("*").cast("bigint").alias("n_vecs"),
+        )
+        .select(
+            "i", "j", "s_q", "n_vecs", (F.col("s_q") / F.lit(1e12)).alias("gram")
+        )
+    )
+
+
+def gram_matrix_blocked(
+    emb: DataFrame, vec_col: str = "embedding", block: int = 64
+) -> DataFrame:
+    """The d≥1024 form of :func:`gram_matrix` — identical output
+    contract (upper-triangle cells ``i, j, s_q, n_vecs, gram`` on the
+    same 1e-6 grid), different fan-out mechanism.
+
+    At d≈1024 the flat path's per-row explode is 524k structs per
+    vector — the struct bookkeeping, not the arithmetic, dominates.
+    Here each Arrow batch is quantized to an int64 matrix once and the
+    partial Gram is computed as BLOCK-PAIR integer matmuls
+    ``Qᵀ[:,bi] @ Q[:,bj]`` over upper-triangle block pairs (bi ≤ bj) —
+    vectorized numpy on zero-copy Arrow batches, memory bounded by
+    ``batch_rows × d + block²`` regardless of d. Each task emits at
+    most d(d+1)/2 partial cells (one per cell, already summed over the
+    batch), so the shuffle is the same tiny (cell, partial) stream the
+    flat path produces; the final aggregate is unchanged.
+
+    Exactness: quantization (floor(1e6·x + 0.5) on float64) and the
+    int64 block matmul replay the flat path's integer recurrence —
+    the equality test in tests/test_curation.py asserts cell-for-cell
+    identity, and overflow headroom is the same bound documented
+    above (per-row products ≤ ~2.5e11, int64 holds ~4e7 batch rows)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("p", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def partial_gram(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            qm = np.floor(1e6 * mat + 0.5).astype(np.int64)
+            n, d = qm.shape
+            out_i, out_j, out_p = [], [], []
+            for bi in range(0, d, block):
+                qi = qm[:, bi : bi + block]
+                for bj in range(bi, d, block):
+                    qj = qm[:, bj : bj + block]
+                    g = qi.T @ qj  # (block × block) int64 partial Gram
+                    ii, jj = np.meshgrid(
+                        np.arange(bi, bi + qi.shape[1]),
+                        np.arange(bj, bj + qj.shape[1]),
+                        indexing="ij",
+                    )
+                    keep = jj >= ii  # upper triangle only
+                    out_i.append(ii[keep])
+                    out_j.append(jj[keep])
+                    out_p.append(g[keep])
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate(out_i).astype("int32"),
+                    "j": np.concatenate(out_j).astype("int32"),
+                    "p": np.concatenate(out_p),
+                    "n": np.int64(n),
+                }
+            )
+
+    return (
+        emb.select(F.col(vec_col).alias("_v"))
+        .mapInPandas(partial_gram, out_schema)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("p").cast("bigint").alias("s_q"),
+            F.sum("n").cast("bigint").alias("n_vecs"),
         )
         .select(
             "i", "j", "s_q", "n_vecs", (F.col("s_q") / F.lit(1e12)).alias("gram")

@@ -1746,6 +1746,21 @@ def llm_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_embedding_gram_blocked",
+    oracle=None,  # assigned below: identical contract to llm_embedding_gram
+)
+def llm_embedding_gram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+: the wide-dimension Gram path — Arrow-batched block-pair
+    integer matmuls in mapInPandas (operators/similarity.py
+    gram_matrix_blocked), checked against llm_embedding_gram's oracle
+    verbatim: the numpy block recurrence must reproduce the codegen'd
+    flat fan-out cell-for-cell on the same 1e-6 grid."""
+    from rpa_etl_investing_spark.operators.similarity import gram_matrix_blocked
+
+    return gram_matrix_blocked(tbl(spark, sf_dir, "embeddings"), block=8)
+
+
+@register(
     "llm_bpe_first_merges",
     oracle=f"""
     WITH {_TOK_CTE},
@@ -2027,4 +2042,5 @@ def llm_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 from rpa_etl_investing_spark.plans.registry import QUERIES as _Q_REG
 
 _Q_REG["llm_ngram_jaccard_hashed"].oracle = _Q_REG["llm_ngram_jaccard"].oracle
+_Q_REG["llm_embedding_gram_blocked"].oracle = _Q_REG["llm_embedding_gram"].oracle
 _Q_REG["llm_repeated_spans_hashed"].oracle = _Q_REG["llm_repeated_spans"].oracle

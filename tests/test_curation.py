@@ -411,3 +411,25 @@ def test_gumbel_key_is_pure_function_of_doc_id(spark, sf_dir):
     # Gumbel(0,1) draws concentrate in [-2, 12] for 16-bit u granularity
     lo, hi = a.agg(F.min("g"), F.max("g")).first()
     assert lo >= -2_000_000 and hi <= 12_000_000, (lo, hi)
+
+
+def test_gram_blocked_equals_flat(spark, sf_dir):
+    """gram_matrix_blocked (Arrow block-pair integer matmul) must
+    reproduce the flat explode path cell-for-cell — including with a
+    block size that doesn't divide the dimension (ragged tail blocks)."""
+    from rpa_etl_investing_spark.catalog import tbl
+    from rpa_etl_investing_spark.operators.similarity import (
+        gram_matrix,
+        gram_matrix_blocked,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    flat = {
+        (r["i"], r["j"]): (r["s_q"], r["n_vecs"], r["gram"])
+        for r in gram_matrix(emb).collect()
+    }
+    blocked = {
+        (r["i"], r["j"]): (r["s_q"], r["n_vecs"], r["gram"])
+        for r in gram_matrix_blocked(emb, block=7).collect()
+    }
+    assert flat == blocked and len(flat) > 0
