@@ -41,7 +41,15 @@ HEADLINE = {
     "q10_token_stats": "llm_token_stats",
     "q11_shipping_priority": "analytics_shipping_priority",
     "q12_similarity_ivf": "llm_similarity_ivf",
+    # r5 rotation: track newer operator-family cost round-over-round.
+    # The original 12-query subtotal is still reported (subtotal_12) so
+    # totals stay comparable with BENCH_r01-r04 / BASELINE.md.
+    "q13_prefix_filter_pairs": "llm_prefix_filter_pairs",
+    "q14_simhash64_pairs": "llm_simhash64_hamming_pairs",
 }
+
+# the set whose sum is comparable with the r1 baseline recording
+_ORIGINAL_12 = [f"q{i}_" for i in range(1, 13)]
 
 
 def _run(spark, fn, sf_dir: str) -> float:
@@ -88,6 +96,11 @@ def main() -> int:
         timings[bench_name] = round(reps[2], 3)
         timings_min[bench_name] = round(reps[0], 3)
 
+    sub12 = sum(
+        t
+        for name, t in timings.items()
+        if any(name.startswith(p) for p in _ORIGINAL_12)
+    )
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
@@ -95,6 +108,7 @@ def main() -> int:
         "queries": timings,
         "queries_min": timings_min,
         "min_total": round(sum(timings_min.values()), 3),
+        "subtotal_12": round(sub12, 3),
         "sf": sf,
     }
     print(json.dumps(out))
