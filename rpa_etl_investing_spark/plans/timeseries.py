@@ -438,6 +438,236 @@ def timeseries_vwap_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "timeseries_ewma",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS x
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY 1, 2),
+    pre AS (
+      SELECT event_type, day, x,
+             list(x) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS xs
+      FROM daily)
+    SELECT event_type, day, x,
+           CAST(FLOOR(1e6 * list_reduce(
+                  list_prepend(CAST(0.0 AS DOUBLE), xs),
+                  (acc, v) -> 0.25 * v + (1.0 - 0.25) * acc) + 0.5)
+                AS BIGINT) AS ewma_q,
+           CAST(FLOOR(1e6 * list_reduce(
+                  list_prepend(CAST(0.0 AS DOUBLE), xs),
+                  (acc, v) -> 0.25 * v + (1.0 - 0.25) * acc) + 0.5)
+                AS BIGINT) / 1e6 AS ewma
+    FROM pre
+    """,
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily volume series
+    per event_type — the smoothed-price consumer of the reference's
+    snapshot timeline, computed by the DISTRIBUTED two-level affine
+    scan (operators/recurrence.py): JVM-side shard folds + a
+    constant-sized shard-summary composition, never one sequential
+    task per key.
+
+    alpha = 0.25 so both alpha and 1-alpha are exact binary doubles
+    (no literal-parsing skew between engines); the scan's re-associated
+    arithmetic is reconciled with the oracle's strict left fold
+    (``list_reduce``) on the 1e-6 grid — the same quantization
+    discipline as every transcendental in this package.
+
+    Scale shape: the heavy pass is the (type, day) hash-aggregate over
+    raw events (map-side partials, one shuffle); the recurrence then
+    runs over the aggregated daily series, sharded by day range, with
+    no per-key global sort anywhere in the plan."""
+    from rpa_etl_investing_spark.operators.prefix import with_id_range_shard
+    from rpa_etl_investing_spark.operators.recurrence import ewma
+
+    ev = tbl(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum("value", 6).alias("x"))
+        .withColumn(
+            "ord", F.datediff(F.col("day"), F.lit("1970-01-01")).cast("bigint")
+        )
+    )
+    sharded = with_id_range_shard(daily, "ord", n_shards=8)
+    sm = ewma(sharded, ["event_type"], "ord", "x", alpha=0.25)
+    q = F.floor(F.lit(1e6) * F.col("ewma") + F.lit(0.5)).cast("bigint")
+    return (
+        daily.join(sm, ["event_type", "ord"])
+        .select(
+            "event_type",
+            "day",
+            "x",
+            q.alias("ewma_q"),
+            (q / F.lit(1e6)).alias("ewma"),
+        )
+    )
+
+
+@register(
+    "timeseries_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      FROM events),
+    l AS (
+      SELECT *, LAG(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS pts
+      FROM e),
+    f AS (
+      SELECT *, CASE WHEN pts IS NULL
+                       OR epoch_us(ts) - epoch_us(pts) > 1800000000
+                     THEN 1 ELSE 0 END AS ns
+      FROM l),
+    s AS (
+      SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS sid
+      FROM f)
+    SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS volume
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def timeseries_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gap-based analogue of the streaming
+    session window (streaming/windows.py): a new session starts when a
+    user is idle for more than 30 minutes. One lag pass marks session
+    starts, a running sum numbers them, one aggregate collapses each
+    session to (start, end, count, exact-decimal volume). Gap compare
+    is integer microseconds (``unix_micros``) on both engines; (ts,
+    event_id) is the total order so ties cannot reshuffle sessions.
+
+    Scale shape: both windows and the final aggregate share the
+    user_id partitioning — ONE shuffle for the whole query, and the
+    parallelism axis (users) grows with the data. Per-user history is
+    bounded by retention, so no per-key global-sort pathology; a
+    hot-key user would shard by time range with the
+    operators/prefix.py machinery."""
+    from pyspark.sql.window import Window as W
+
+    e = tbl(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts arrives TIMESTAMP_NTZ; the session TZ is pinned UTC
+    # (session.py) so the LTZ cast unix_micros requires is an identity
+    us = lambda c: F.unix_micros(c.cast("timestamp_ltz"))  # noqa: E731
+    ns = F.when(
+        F.lag("ts").over(wo).isNull()
+        | (us(F.col("ts")) - us(F.lag("ts").over(wo)) > F.lit(1800000000)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    s = e.withColumn(
+        "sid",
+        F.sum(ns).over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return s.groupBy("user_id", F.col("sid").cast("bigint").alias("session_seq")).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").cast("bigint").alias("n_events"),
+        dsum("value", 6).alias("volume"),
+    )
+
+
+@register(
+    "timeseries_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT l.l_suppkey AS supp,
+             CAST(o.o_orderdate AS DATE) AS ivl_start,
+             CAST(l.l_shipdate AS DATE) AS ivl_end,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate <= l.l_shipdate),
+    m AS (
+      SELECT *, MAX(ivl_end) OVER (
+               PARTITION BY supp
+               ORDER BY ivl_start, ivl_end, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM iv),
+    f AS (
+      SELECT *, CASE WHEN pmax IS NULL OR ivl_start > pmax
+                     THEN 1 ELSE 0 END AS ni
+      FROM m),
+    isl AS (
+      SELECT *, SUM(ni) OVER (
+               PARTITION BY supp
+               ORDER BY ivl_start, ivl_end, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM f),
+    merged AS (
+      SELECT supp, island, MIN(ivl_start) AS i_start, MAX(ivl_end) AS i_end
+      FROM isl GROUP BY supp, island)
+    SELECT supp,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(date_diff('day', i_start, i_end) + 1) AS BIGINT)
+             AS covered_days,
+           CAST(MAX(date_diff('day', i_start, i_end) + 1) AS BIGINT)
+             AS longest_island_days
+    FROM merged
+    GROUP BY supp
+    """,
+)
+def timeseries_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per supplier — merge every overlapping
+    [order-placed, shipped] fulfilment window into maximal busy
+    "islands" and report how many there are and how many distinct
+    calendar days they cover. The gaps-and-islands classic: a strict
+    1-PRECEDING running max of interval ends marks island starts, a
+    running sum numbers islands, two aggregates finish.
+
+    Scale shape: the only data-sized join is lineitem-orders on the
+    orderkey both tables are naturally keyed by; the windows and both
+    aggregates all share the supplier partitioning (one shuffle), and
+    supplier cardinality grows with SF so the window axis stays
+    parallel. All arithmetic is DATE/BIGINT-exact."""
+    from pyspark.sql.window import Window as W
+
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    iv = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("o_orderdate") <= F.col("l_shipdate"))
+        .select(
+            F.col("l_suppkey").alias("supp"),
+            F.col("o_orderdate").cast("date").alias("ivl_start"),
+            F.col("l_shipdate").cast("date").alias("ivl_end"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    order_cols = ["ivl_start", "ivl_end", "l_orderkey", "l_linenumber"]
+    wm = (
+        W.partitionBy("supp")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ws = (
+        W.partitionBy("supp")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pmax = F.max("ivl_end").over(wm)
+    ni = F.when(pmax.isNull() | (F.col("ivl_start") > pmax), 1).otherwise(0)
+    isl = iv.withColumn("island", F.sum(ni).over(ws))
+    merged = isl.groupBy("supp", "island").agg(
+        F.min("ivl_start").alias("i_start"), F.max("ivl_end").alias("i_end")
+    )
+    days = F.datediff("i_end", "i_start") + F.lit(1)
+    return merged.groupBy("supp").agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum(days).cast("bigint").alias("covered_days"),
+        F.max(days).cast("bigint").alias("longest_island_days"),
+    )
+
+
+@register(
     "timeseries_max_drawdown",
     oracle=f"""
     WITH {_DAILY_CLOSE_SQL},
