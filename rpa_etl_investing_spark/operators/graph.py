@@ -58,6 +58,43 @@ def release_edge_caches() -> None:
         _LIVE_EDGE_CACHES.pop().unpersist()
 
 
+def bfs_hops(edges: DataFrame, source, max_hops: int = 4) -> DataFrame:
+    """Single-source shortest hop counts by unrolled frontier BFS.
+
+    ``edges``: ``src, dst`` (directed). Returns ``node, hops`` for
+    every node reachable from ``source`` within ``max_hops`` (the
+    source itself at 0). Pure integer arithmetic — bit-identical to a
+    recursive-CTE evaluation of the same bounded expansion.
+
+    Scale shape: same contract as :func:`pagerank` — the caller builds
+    ``edges`` by aggregating the fact table down to the entity graph,
+    this operator persists that aggregated relation once (retiring the
+    previous call's cache, see ``_LIVE_EDGE_CACHES``) and each of the
+    ``max_hops`` unrolled steps is a keyed hash join + min-aggregate on
+    the small graph. No driver-side state; the frontier never leaves
+    the cluster."""
+    release_edge_caches()
+    e = edges.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+    ).persist()
+    _LIVE_EDGE_CACHES.append(e)
+    spark = edges.sparkSession
+    dist = spark.range(1).select(
+        F.lit(source).cast("bigint").alias("node"), F.lit(0).alias("hops")
+    )
+    for _ in range(max_hops):
+        nxt = dist.join(e, dist["node"] == e["src"]).select(
+            F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops")
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("hops").cast("int").alias("hops"))
+        )
+    return dist
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,

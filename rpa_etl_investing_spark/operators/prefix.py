@@ -121,6 +121,50 @@ def sharded_running_sum(
     )
 
 
+def sharded_running_max(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[Column | str],
+    value_col: Column | str,
+    out_col: str,
+    shard_col: str = SHARD,
+    strict: bool = False,
+) -> DataFrame:
+    """Running MAX over (``partition_cols`` ORDER BY ``order_cols``),
+    two-level like :func:`sharded_running_sum`: per-shard local window
+    + per-shard maxima composed over the constant-sized totals frame.
+    ``strict=True`` computes the 1-PRECEDING (exclusive) prefix max —
+    the skyline/Pareto primitive — which is NULL for each partition's
+    first row, exactly like the plain-window form's empty frame."""
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    upper = -1 if strict else Window.currentRow
+    local_w = (
+        Window.partitionBy(*partition_cols, shard_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    local = df.withColumn("_pm_local", F.max(value).over(local_w))
+    totals = df.groupBy(*partition_cols, shard_col).agg(
+        F.max(value).alias("_pm_tot")
+    )
+    off_w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(shard_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn("_pm_off", F.max("_pm_tot").over(off_w)).select(
+        *partition_cols, shard_col, "_pm_off"
+    )
+    # greatest() ignores NULLs, which is exactly prefix-max semantics:
+    # an empty local frame (strict first-in-shard row) defers to the
+    # prior shards' max, and a first shard has no offset to defer to
+    return (
+        local.join(F.broadcast(offsets), [*partition_cols, shard_col])
+        .withColumn(out_col, F.greatest("_pm_local", "_pm_off"))
+        .drop("_pm_local", "_pm_off")
+    )
+
+
 def with_value_range_shard(
     df: DataFrame, value_col: str, n_shards: int | None = None, out: str = SHARD
 ) -> DataFrame:

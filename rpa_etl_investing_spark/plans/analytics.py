@@ -2049,3 +2049,207 @@ def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_from",
         (F.col("n").cast("double") / F.col("n_from")).alias("p"),
     )
+
+
+@register(
+    "graph_nation_reach",
+    oracle="""
+    WITH RECURSIVE flow AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,2))) AS DECIMAL(27,2))
+               AS flow
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(flow) AS DECIMAL(27,2)) AS t FROM flow),
+    edges AS (
+      SELECT src, dst FROM flow CROSS JOIN tot
+      WHERE src <> dst AND flow * 625 > t),
+    hops(node, d) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT e.dst, h.d + 1
+      FROM hops h JOIN edges e ON e.src = h.node
+      WHERE h.d < 4)
+    SELECT h.node AS nationkey, n.n_name AS nation,
+           CAST(MIN(h.d) AS INT) AS hops
+    FROM hops h JOIN nation n ON h.node = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def graph_nation_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest hops over the *thresholded* nation trade
+    graph: keep only supply edges whose exact-decimal quantity flow
+    exceeds the mean pair flow (``flow * 625 > total`` — 625 = 25²
+    nation pairs, the integer-product form of "above average" so no
+    division touches the compare), then BFS from nation 0 with the
+    unrolled frontier expansion (operators/graph.py bfs_hops). The
+    oracle replays the identical bounded expansion as a recursive CTE —
+    Spark's unrolled min-hop lattice must agree exactly.
+
+    Scale shape: the fact-sized work is one (src, dst) aggregation
+    (joins keyed on orderkey/custkey, supplier broadcast); the BFS
+    iterates on the ≤625-row aggregated edge list, persisted once, and
+    every hop is a keyed join + min-aggregate with no driver state."""
+    from rpa_etl_investing_spark.operators.graph import bfs_hops
+
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    flow = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(s, "supplier"), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(27,2)"))
+            .cast("decimal(27,2)")
+            .alias("flow")
+        )
+    )
+    tot = flow.agg(F.sum("flow").cast("decimal(27,2)").alias("t"))
+    edges = (
+        flow.crossJoin(F.broadcast(tot))
+        .filter((F.col("src") != F.col("dst")) & (F.col("flow") * 625 > F.col("t")))
+        .select("src", "dst")
+    )
+    d = bfs_hops(edges, source=0, max_hops=4)
+    return d.join(F.broadcast(n), d.node == n.n_nationkey).select(
+        F.col("node").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+        "hops",
+    )
+
+
+@register(
+    "analytics_robust_zscore",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS priority, o_totalprice AS v FROM orders),
+    r AS (
+      SELECT priority, v,
+             ROW_NUMBER() OVER (PARTITION BY priority ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY priority) AS n
+      FROM v),
+    med AS (
+      SELECT priority, v AS med FROM r
+      WHERE rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1),
+    d AS (
+      SELECT v.priority, v.v, m.med, ABS(v.v - m.med) AS dev
+      FROM v JOIN med m ON v.priority = m.priority),
+    r2 AS (
+      SELECT priority, dev,
+             ROW_NUMBER() OVER (PARTITION BY priority ORDER BY dev) AS rn,
+             COUNT(*) OVER (PARTITION BY priority) AS n
+      FROM d),
+    mad AS (
+      SELECT priority, dev AS mad FROM r2
+      WHERE rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1)
+    SELECT d.priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(d.med) AS med,
+           MAX(a.mad) AS mad,
+           CAST(SUM(CASE WHEN d.dev > 4.4478 * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           MAX(d.dev) AS max_dev
+    FROM d JOIN mad a ON d.priority = a.priority
+    GROUP BY d.priority
+    """,
+)
+def analytics_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier scan of order totals per priority —
+    the anomaly gate that, unlike the mean/stddev z-score, a single
+    fat-finger row cannot poison. Both order statistics are the exact
+    discrete median (k = floor(0.5·(n−1)) + 1) computed by the
+    SHARDED two-pass selection (operators/prefix.py exact_quantiles —
+    no per-group sort, no collect), the second pass running on the
+    |v − med| derived column. The 3σ-equivalent cut is the single
+    literal 4.4478 (= 3 × 1.4826 pre-folded, so engines cannot
+    associate the product differently).
+
+    Scale shape: two selection passes + one final aggregate, all
+    keyed on the group column; the only ordered windows run inside
+    value-range shards (~1/n_shards of a group) or over the
+    constant-sized (groups × shards) count frame."""
+    from rpa_etl_investing_spark.operators.prefix import exact_quantiles
+
+    v = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("v"),
+    )
+    med = exact_quantiles(v, "v", {"med": 0.5}, group_cols=["priority"])
+    d = v.join(med, "priority").withColumn("dev", F.abs(F.col("v") - F.col("med")))
+    mad = exact_quantiles(d, "dev", {"mad": 0.5}, group_cols=["priority"])
+    j = d.join(mad, "priority")
+    return j.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        F.sum(
+            F.when(F.col("dev") > F.lit(4.4478) * F.col("mad"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.max("dev").alias("max_dev"),
+    )
+
+
+@register(
+    "analytics_pareto_frontier",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_brand = p.p_brand
+        AND q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+)
+def analytics_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier (skyline) of parts on (cheaper price,
+    larger size): a part survives iff no brand-mate strictly dominates
+    it. The oracle states the definition as a quadratic NOT EXISTS;
+    the Spark plan is the LINEAR sweep — collapse to one row per
+    (brand, price) with the price's max size, take the *strict* prefix
+    max of size over cheaper prices (sharded two-level running max,
+    operators/prefix.py sharded_running_max), and keep rows that beat
+    it while matching their own price's max.
+
+    Scale shape: one (brand, price) aggregate, one sharded prefix-max
+    whose ordered windows only ever see a price-range shard, and a
+    keyed join back — no self-join, no quadratic candidate set,
+    no global sort. Price/size compares are exact (parquet doubles
+    compared, never recomputed)."""
+    from rpa_etl_investing_spark.operators.prefix import (
+        sharded_running_max,
+        with_value_range_shard,
+    )
+
+    p = tbl(spark, sf_dir, "part")
+    pp = p.groupBy("p_brand", "p_retailprice").agg(
+        F.max("p_size").alias("pmax")
+    )
+    sharded = with_value_range_shard(pp, "p_retailprice", n_shards=16)
+    m = sharded_running_max(
+        sharded, ["p_brand"], ["p_retailprice"], "pmax", "best_cheaper",
+        strict=True,
+    ).select("p_brand", "p_retailprice", "pmax", "best_cheaper")
+    return (
+        p.join(m, ["p_brand", "p_retailprice"])
+        .filter(
+            (F.col("p_size") == F.col("pmax"))
+            & (
+                F.col("best_cheaper").isNull()
+                | (F.col("p_size") > F.col("best_cheaper"))
+            )
+        )
+        .select("p_partkey", "p_brand", "p_retailprice", "p_size")
+    )
