@@ -2253,3 +2253,109 @@ def analytics_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_brand", "p_retailprice", "p_size")
     )
+
+
+@register(
+    "analytics_woe_binning",
+    oracle="""
+    WITH v AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS good
+      FROM orders),
+    r AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+             COUNT(*) OVER () AS n
+      FROM v),
+    cuts AS (
+      SELECT MAX(CASE WHEN rn = CAST(FLOOR(0.1 * (n - 1)) AS BIGINT) + 1 THEN v END) AS c1,
+             MAX(CASE WHEN rn = CAST(FLOOR(0.2 * (n - 1)) AS BIGINT) + 1 THEN v END) AS c2,
+             MAX(CASE WHEN rn = CAST(FLOOR(0.3 * (n - 1)) AS BIGINT) + 1 THEN v END) AS c3,
+             MAX(CASE WHEN rn = CAST(FLOOR(0.4 * (n - 1)) AS BIGINT) + 1 THEN v END) AS c4,
+             MAX(CASE WHEN rn = CAST(FLOOR(0.5 * (n - 1)) AS BIGINT) + 1 THEN v END) AS c5,
+             MAX(CASE WHEN rn = CAST(FLOOR(0.6 * (n - 1)) AS BIGINT) + 1 THEN v END) AS c6,
+             MAX(CASE WHEN rn = CAST(FLOOR(0.7 * (n - 1)) AS BIGINT) + 1 THEN v END) AS c7,
+             MAX(CASE WHEN rn = CAST(FLOOR(0.8 * (n - 1)) AS BIGINT) + 1 THEN v END) AS c8,
+             MAX(CASE WHEN rn = CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) + 1 THEN v END) AS c9
+      FROM r),
+    binned AS (
+      SELECT CAST((v.v > c.c1)::INT + (v.v > c.c2)::INT + (v.v > c.c3)::INT
+                + (v.v > c.c4)::INT + (v.v > c.c5)::INT + (v.v > c.c6)::INT
+                + (v.v > c.c7)::INT + (v.v > c.c8)::INT + (v.v > c.c9)::INT
+                AS INT) AS bin,
+             v.good
+      FROM v CROSS JOIN cuts c),
+    g AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(good) AS BIGINT) AS n_good,
+             CAST(SUM(1 - good) AS BIGINT) AS n_bad
+      FROM binned GROUP BY bin),
+    t AS (
+      SELECT CAST(SUM(n_good) AS BIGINT) AS tg,
+             CAST(SUM(n_bad) AS BIGINT) AS tb
+      FROM g)
+    SELECT g.bin, g.n, g.n_good, g.n_bad,
+           CASE WHEN g.n_good > 0 AND g.n_bad > 0
+                THEN CAST(FLOOR(1e6 * LN((g.n_good * t.tb) / (g.n_bad * t.tg))
+                                + 0.5) AS BIGINT) END AS woe_q,
+           CASE WHEN g.n_good > 0 AND g.n_bad > 0
+                THEN CAST(FLOOR(1e6 * LN((g.n_good * t.tb) / (g.n_bad * t.tg))
+                                + 0.5) AS BIGINT) / 1e6 END AS woe
+    FROM g CROSS JOIN t
+    """,
+)
+def analytics_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence feature discretization: equi-depth decile
+    bins of order value (exact type-1 quantile cut points — the
+    sharded selection of operators/prefix.py, NOT a global ntile
+    window), then per-bin ``WoE = ln(good-share / bad-share)`` against
+    the finished-order label. The credit-scoring / feature-engineering
+    classic, with every count exact and the single ln per bin
+    quantized on the 1e-6 grid (its argument is one division of exact
+    BIGINT products, so both engines feed ln the identical double).
+
+    Scale shape: the cut points come from the two-pass sharded
+    selection (no global sort, no single-task ntile); they ride in as
+    a 1-row broadcast; binning is a map-side expression and the rest
+    is one 10-group aggregate. The oracle derives identical cuts via
+    ROW_NUMBER with the same k = floor(q·(n−1))+1 rule."""
+    from rpa_etl_investing_spark.operators.prefix import exact_quantiles
+
+    v = tbl(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("good"),
+    )
+    cuts = exact_quantiles(
+        v, "v", {f"c{i}": i / 10.0 for i in range(1, 10)}
+    )
+    bin_expr = sum(
+        (F.col("v") > F.col(f"c{i}")).cast("int") for i in range(1, 10)
+    ).cast("int")
+    binned = v.crossJoin(F.broadcast(cuts)).select(
+        bin_expr.alias("bin"), "good"
+    )
+    g = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("good").cast("bigint").alias("n_good"),
+        F.sum(F.lit(1) - F.col("good")).cast("bigint").alias("n_bad"),
+    )
+    t = g.agg(
+        F.sum("n_good").cast("bigint").alias("tg"),
+        F.sum("n_bad").cast("bigint").alias("tb"),
+    )
+    ok = (F.col("n_good") > 0) & (F.col("n_bad") > 0)
+    woe_q = F.floor(
+        F.lit(1e6)
+        * F.log(
+            (F.col("n_good") * F.col("tb")) / (F.col("n_bad") * F.col("tg"))
+        )
+        + F.lit(0.5)
+    ).cast("bigint")
+    return g.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "n",
+        "n_good",
+        "n_bad",
+        F.when(ok, woe_q).alias("woe_q"),
+        F.when(ok, woe_q / F.lit(1e6)).alias("woe"),
+    )

@@ -2044,3 +2044,108 @@ from rpa_etl_investing_spark.plans.registry import QUERIES as _Q_REG
 _Q_REG["llm_ngram_jaccard_hashed"].oracle = _Q_REG["llm_ngram_jaccard"].oracle
 _Q_REG["llm_embedding_gram_blocked"].oracle = _Q_REG["llm_embedding_gram"].oracle
 _Q_REG["llm_repeated_spans_hashed"].oracle = _Q_REG["llm_repeated_spans"].oracle
+
+
+@register(
+    "llm_hashed_nb_classifier",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    ex AS (SELECT doc_id, UNNEST(t) AS tok FROM tok),
+    lab AS (SELECT doc_id, lang FROM documents),
+    b AS (
+      SELECT ex.doc_id, lab.lang,
+             ('0x' || substr(md5(ex.tok), 1, 4))::INT % 16384 AS bucket
+      FROM ex JOIN lab ON ex.doc_id = lab.doc_id),
+    counts AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cpos,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+               AS cneg
+      FROM b GROUP BY bucket),
+    tot AS (
+      SELECT CAST(SUM(cpos) AS BIGINT) AS tpos,
+             CAST(SUM(cneg) AS BIGINT) AS tneg
+      FROM counts),
+    w AS (
+      SELECT bucket,
+             CAST(FLOOR(1e6 * (LN((cpos + 1.0) / (tpos + 16384.0))
+                               - LN((cneg + 1.0) / (tneg + 16384.0)))
+                        + 0.5) AS BIGINT) AS w_q
+      FROM counts CROSS JOIN tot)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w.w_q) AS BIGINT) AS score_q,
+           CAST(SUM(w.w_q) AS BIGINT) / 1e6 AS score,
+           CAST(SUM(w.w_q) AS BIGINT) > 0 AS pred_en
+    FROM b JOIN w ON b.bucket = w.bucket
+    GROUP BY b.doc_id
+    """,
+)
+def llm_hashed_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+: fastText-shaped quality/language classifier, trained and
+    applied in one plan — hash every token into 2^14 buckets (the
+    hashing trick; Weinberger et al., ICML'09), learn Laplace-smoothed
+    Naive-Bayes log-odds per bucket against the ``lang = 'en'`` label,
+    and score each document as the sum of its tokens' bucket weights.
+    This is the linear-classifier curation gate (CCNet/fastText style)
+    expressed as two hash aggregates and two keyed joins.
+
+    Determinism: the bucket hash is the engine-portable
+    ``md5-hex-prefix % 16384`` (the same device as the minhash
+    mirrors); weights are quantized to BIGINT on the 1e-6 grid at the
+    bucket level (one ln per bucket — the PMI discipline), so the
+    per-doc score is an exact integer sum no shuffle order can change.
+
+    Scale shape: token explode → (bucket) hash-aggregate with map-side
+    partials; the weights relation is BOUNDED at 2^14 rows by
+    construction — broadcastable at any corpus size (unlike a raw
+    vocabulary), which is the point of the hashing trick; scoring is
+    one broadcast join + one (doc_id) aggregate."""
+    docs = tbl(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
+        % 16384
+    )
+    b = ex.select("doc_id", "lang", bucket.alias("bucket"))
+    counts = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cpos"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
+        .cast("bigint")
+        .alias("cneg"),
+    )
+    tot = counts.agg(
+        F.sum("cpos").cast("bigint").alias("tpos"),
+        F.sum("cneg").cast("bigint").alias("tneg"),
+    )
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            F.lit(1e6)
+            * (
+                F.log((F.col("cpos") + F.lit(1.0)) / (F.col("tpos") + F.lit(16384.0)))
+                - F.log((F.col("cneg") + F.lit(1.0)) / (F.col("tneg") + F.lit(16384.0)))
+            )
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("w_q"),
+    )
+    score_q = F.sum("w_q").cast("bigint")
+    # 2^14 buckets is a hard cardinality bound, not a fixture artifact:
+    # the broadcast is size-safe at any SF
+    return (
+        b.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            score_q.alias("score_q"),
+            (score_q / F.lit(1e6)).alias("score"),
+            (score_q > F.lit(0)).alias("pred_en"),
+        )
+    )
