@@ -2359,3 +2359,80 @@ def analytics_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, woe_q).alias("woe_q"),
         F.when(ok, woe_q / F.lit(1e6)).alias("woe"),
     )
+
+
+@register(
+    "profile_key_skew",
+    oracle="""
+    WITH c AS (
+      SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1),
+    r AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt) AS rn,
+             COUNT(*) OVER () AS nk
+      FROM c),
+    qs AS (
+      SELECT MAX(CASE WHEN rn = CAST(FLOOR(0.5 * (nk - 1)) AS BIGINT) + 1
+                      THEN cnt END) AS p50,
+             MAX(CASE WHEN rn = CAST(FLOOR(0.9 * (nk - 1)) AS BIGINT) + 1
+                      THEN cnt END) AS p90,
+             MAX(CASE WHEN rn = CAST(FLOOR(0.99 * (nk - 1)) AS BIGINT) + 1
+                      THEN cnt END) AS p99
+      FROM r),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM c)
+    SELECT a.n_keys, a.total, a.max_cnt, q.p50, q.p90, q.p99,
+           CAST(FLOOR(1e6 * a.max_cnt / (a.total / a.n_keys) + 0.5)
+                AS BIGINT) AS skew_ratio_q,
+           CAST(FLOOR(1e6 * a.max_cnt / a.total + 0.5) AS BIGINT)
+             AS top1_share_q
+    FROM agg a CROSS JOIN qs q
+    """,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profiler — the diagnostic a planner consults
+    before choosing salting (operators/skew.py) or AQE skew-join for a
+    key: per-key row counts reduced to one row of distribution facts
+    (key count, total, max, exact p50/p90/p99 of the per-key counts,
+    max-to-mean skew ratio, top-1 share). The count percentiles use
+    the SHARDED exact selection over the per-key count table
+    (operators/prefix.py), so profiling a billion-key fact never
+    sorts or collects the counts.
+
+    Scale shape: one (key) hash-aggregate over the fact, then all
+    statistics run on the per-key table (rows = |keys|, not |fact|);
+    both quantized divisions divide exact BIGINTs in IEEE doubles, the
+    same on any engine."""
+    from rpa_etl_investing_spark.operators.prefix import exact_quantiles
+
+    c = (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("k"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    qs = exact_quantiles(c, "cnt", {"p50": 0.5, "p90": 0.9, "p99": 0.99})
+    agg = c.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    return agg.crossJoin(F.broadcast(qs)).select(
+        "n_keys",
+        "total",
+        "max_cnt",
+        F.col("p50").cast("bigint").alias("p50"),
+        F.col("p90").cast("bigint").alias("p90"),
+        F.col("p99").cast("bigint").alias("p99"),
+        F.floor(
+            F.lit(1e6) * F.col("max_cnt") / (F.col("total") / F.col("n_keys"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("skew_ratio_q"),
+        F.floor(F.lit(1e6) * F.col("max_cnt") / F.col("total") + F.lit(0.5))
+        .cast("bigint")
+        .alias("top1_share_q"),
+    )

@@ -2149,3 +2149,79 @@ def llm_hashed_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (score_q > F.lit(0)).alias("pred_en"),
         )
     )
+
+
+@register(
+    "llm_source_vocab_overlap",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    v AS (SELECT DISTINCT source, tok FROM (
+            SELECT t2.source, UNNEST(t.t) AS tok
+            FROM tok t JOIN documents t2 ON t.doc_id = t2.doc_id)),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+    co AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS common
+      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT co.src_a, co.src_b, co.common,
+           sa.n AS vocab_a, sb.n AS vocab_b,
+           CAST(FLOOR(1e6 * co.common / (sa.n + sb.n - co.common) + 0.5)
+                AS BIGINT) AS jaccard_q
+    FROM co
+    JOIN sizes sa ON co.src_a = sa.source
+    JOIN sizes sb ON co.src_b = sb.source
+    """,
+)
+def llm_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+: corpus-composition audit — pairwise vocabulary Jaccard
+    between sources, the statistic that tells a mixture designer which
+    sources are near-redundant before weighting them
+    (cf. temperature/epoch mixing in plans/curation_queries.py). One
+    distinct (source, token) projection feeds both the per-source
+    vocabulary sizes and the token-keyed co-occurrence self-join;
+    overlap division is quantized once on the 1e-6 grid.
+
+    Scale shape: the join is keyed on token (inverted-index shape,
+    never all-pairs of documents); per-token fan-out is bounded by
+    n_sources², and n_sources is the SMALL axis of a curation corpus
+    (dozens-to-thousands while docs are billions). A stop-token df-cap
+    (as in ngram_jaccard_pairs' max_df) is the documented guard if a
+    universal token ever dominated a shuffle partition."""
+    docs = tbl(spark, sf_dir, "documents")
+    v = (
+        docs.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .distinct()
+    )
+    sizes = v.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a = v.select(F.col("source").alias("src_a"), "tok")
+    b = v.select(F.col("source").alias("src_b"), "tok")
+    co = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("vocab_b"))
+    return (
+        co.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "common",
+            "vocab_a",
+            "vocab_b",
+            F.floor(
+                F.lit(1e6)
+                * F.col("common")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("common"))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("jaccard_q"),
+        )
+    )

@@ -668,6 +668,96 @@ def timeseries_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "timeseries_cusum_alarm",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS x
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY 1, 2),
+    q AS (
+      SELECT event_type, day,
+             CAST(FLOOR(1e6 * x + 0.5) AS BIGINT) AS x_q
+      FROM daily),
+    k AS (
+      SELECT event_type,
+             CAST(SUM(x_q) // COUNT(*) AS BIGINT) AS k_q
+      FROM q GROUP BY event_type),
+    d AS (
+      SELECT q.event_type, q.day, q.x_q, k.k_q, q.x_q - k.k_q AS dd
+      FROM q JOIN k ON q.event_type = k.event_type),
+    p AS (
+      SELECT *, CAST(SUM(dd) OVER w AS BIGINT) AS pp
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    m AS (
+      SELECT *, LEAST(CAST(0 AS BIGINT), MIN(pp) OVER w) AS mm
+      FROM p
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type, day, x_q, k_q,
+           CAST(pp - mm AS BIGINT) AS cusum_q,
+           (pp - mm) > 3 * k_q AS alarm
+    FROM m
+    """,
+)
+def timeseries_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point alarm per event_type: accumulate
+    positive drift of the daily volume above its own mean and alarm
+    when the cumulative excess tops 3× the mean daily level (Page
+    1954's control chart). The sequential-looking recursion
+    ``s_i = max(0, s_{i-1} + x_i − k)`` is rewritten by its closed
+    form ``s_i = P_i − min(0, min_{j≤i} P_j)`` — a running SUM plus a
+    running MIN of that sum — so the whole detector is two sharded
+    two-level scans (operators/prefix.py), entirely in exact BIGINT
+    once the daily value is quantized to the 1e-6 grid: no recursion,
+    no floats, no per-key sequential task.
+
+    Scale shape: one (type, day) fact aggregate, then both prefix
+    passes run inside day-range shards sharing one partitioning; the
+    only unsharded windows are over the constant-sized per-shard
+    totals frames."""
+    from rpa_etl_investing_spark.operators.prefix import (
+        sharded_running_max,
+        sharded_running_sum,
+        with_id_range_shard,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum("value", 6).alias("x"))
+        .withColumn(
+            "x_q", F.floor(F.lit(1e6) * F.col("x") + F.lit(0.5)).cast("bigint")
+        )
+        .withColumn(
+            "ord", F.datediff(F.col("day"), F.lit("1970-01-01")).cast("bigint")
+        )
+    )
+    k = daily.groupBy("event_type").agg(
+        F.expr("sum(x_q) div count(*)").cast("bigint").alias("k_q")
+    )
+    d = daily.join(k, "event_type").withColumn(
+        "dd", F.col("x_q") - F.col("k_q")
+    )
+    sharded = with_id_range_shard(d, "ord", n_shards=8)
+    p = sharded_running_sum(sharded, ["event_type"], ["ord"], "dd", "pp")
+    m = sharded_running_max(
+        p, ["event_type"], ["ord"], -F.col("pp"), "neg_min"
+    ).withColumn("mm", F.least(F.lit(0).cast("bigint"), -F.col("neg_min")))
+    return m.select(
+        "event_type",
+        "day",
+        "x_q",
+        "k_q",
+        (F.col("pp") - F.col("mm")).cast("bigint").alias("cusum_q"),
+        ((F.col("pp") - F.col("mm")) > 3 * F.col("k_q")).alias("alarm"),
+    )
+
+
+@register(
     "timeseries_max_drawdown",
     oracle=f"""
     WITH {_DAILY_CLOSE_SQL},

@@ -97,6 +97,16 @@ MULTI_SF_NAMES = [
     "llm_collocations_pmi",
     "profile_ks_test",
     "agg_ols_regression",
+    # r5: the re-associated affine scan reconciled on the 1e-6 grid
+    # (ewma), quantized-ln log-odds and WoE, and double dev-vs-MAD
+    # threshold compares — the exact float-sensitivity class
+    "timeseries_ewma",
+    "llm_hashed_nb_classifier",
+    "analytics_woe_binning",
+    "analytics_robust_zscore",
+    "timeseries_cusum_alarm",
+    "llm_source_vocab_overlap",
+    "profile_key_skew",
 ]
 
 
