@@ -2436,3 +2436,91 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("top1_share_q"),
     )
+
+
+@register(
+    "analytics_ab_proportion_test",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id % 2 AS variant, user_id,
+             CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                         > SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS BIGINT) AS conv
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS c
+      FROM per_user GROUP BY variant),
+    w AS (
+      SELECT CAST(MAX(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n1,
+             CAST(MAX(CASE WHEN variant = 0 THEN c END) AS BIGINT) AS c1,
+             CAST(MAX(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n2,
+             CAST(MAX(CASE WHEN variant = 1 THEN c END) AS BIGINT) AS c2
+      FROM g),
+    d AS (
+      SELECT *, c1 * n2 - c2 * n1 AS dd, c1 + c2 AS cc, n1 + n2 AS nn
+      FROM w)
+    SELECT n1, c1, n2, c2,
+           CASE WHEN cc > 0 AND cc < nn THEN
+             (CAST(dd AS DOUBLE) * dd * nn)
+               / (CAST(n1 AS DOUBLE) * n2 * cc * (nn - cc)) END
+             AS z_squared,
+           CAST(dd AS DECIMAL(38,0)) * dd * nn * 10000
+             > CAST(38416 AS DECIMAL(38,0)) * n1 * n2 * cc * (nn - cc)
+             AS significant
+    FROM d
+    """,
+)
+def analytics_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between the two hash-assigned experiment
+    arms (user_id parity) on a per-user conversion flag (here: more
+    purchases than clicks — a metric with genuine variance at every
+    fixture scale): the A/B readout every event pipeline ends in. The significance verdict is the
+    EXACT integer inequality ``d²·N·10⁴ > 38416·n₁·n₂·c·(N−c)``
+    (z² > 1.96², cross-multiplied so no division, no sqrt, no float
+    compare — the vwap-anomaly device), evaluated in DECIMAL(38,0) on
+    both engines; z² itself is reported as the identically-associated
+    double ratio.
+
+    Scale shape: one (variant, user) aggregate — partial+final, keyed
+    on the natural user axis — then a 2-row pivot and pure scalar
+    arithmetic; nothing downstream of the first aggregate scales with
+    the event count."""
+    ev = tbl(spark, sf_dir, "events")
+    per_user = ev.groupBy(
+        (F.col("user_id") % 2).alias("variant"), "user_id"
+    ).agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("conv")
+    )
+    g = per_user.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("c"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).cast("bigint").alias("n1"),
+        F.max(F.when(F.col("variant") == 0, F.col("c"))).cast("bigint").alias("c1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).cast("bigint").alias("n2"),
+        F.max(F.when(F.col("variant") == 1, F.col("c"))).cast("bigint").alias("c2"),
+    )
+    n1, c1, n2, c2 = F.col("n1"), F.col("c1"), F.col("n2"), F.col("c2")
+    dd = (c1 * n2 - c2 * n1).alias("dd")
+    d = w.select("n1", "c1", "n2", "c2", dd,
+                 (c1 + c2).alias("cc"), (n1 + n2).alias("nn"))
+    ddc, cc, nn = F.col("dd"), F.col("cc"), F.col("nn")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return d.select(
+        "n1", "c1", "n2", "c2",
+        F.when(
+            (cc > 0) & (cc < nn),
+            (ddc.cast("double") * ddc * nn)
+            / (n1.cast("double") * n2 * cc * (nn - cc)),
+        ).alias("z_squared"),
+        (
+            dec(ddc) * ddc * nn * 10000 > dec(F.lit(38416)) * n1 * n2 * cc * (nn - cc)
+        ).alias("significant"),
+    )

@@ -1204,3 +1204,51 @@ def curation_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ah") != F.col("bh"))
         .select("anchor_id", "neg_id", "neg_lang", "neg_source")
     )
+
+
+@register(
+    "curation_weighted_sample_k",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              + 0.5) / 4294967296.0 AS u
+      FROM documents WHERE n_chars > 0),
+    keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(FLOOR(1e12 * LN(u) / n_chars + 0.5) AS BIGINT) AS key_q
+      FROM u)
+    SELECT doc_id, n_chars, key_q
+    FROM keyed
+    ORDER BY key_q DESC, doc_id
+    LIMIT 100
+    """,
+)
+def curation_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k survivors:
+    Efraimidis–Spirakis A-ES keys (IPL 2006) — rank every doc by
+    ``u^(1/w)`` (monotonically, by ``ln(u)/w``) with weight = doc
+    length, keep the top 100. The uniform u is the engine-portable
+    md5-prefix grid (deterministic, replayable), the key is quantized
+    once to the 1e-12 grid, and the selection carries a doc_id total
+    order so ties cannot flap.
+
+    Scale shape: the key is a map-side expression; top-k plans
+    TakeOrderedAndProject (per-partition heads merged at the driver,
+    k rows each — never a global sort). This is the one-pass
+    distributed form of weighted reservoir sampling: ANY fixed k works
+    at ANY corpus size with one scan and k·partitions rows moved."""
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.floor(F.lit(1e12) * F.log(u) / F.col("n_chars") + F.lit(0.5))
+        .cast("bigint")
+        .alias("key_q"),
+    )
+    return keyed.orderBy(F.desc("key_q"), F.asc("doc_id")).limit(100)

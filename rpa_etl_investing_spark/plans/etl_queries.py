@@ -521,3 +521,94 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(kind.alias("change_kind")).groupBy("change_kind").agg(
         F.count("*").cast("bigint").alias("n_rows")
     )
+
+
+@register(
+    "etl_referential_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_child,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'nation.n_regionkey->region',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def etl_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole star: one row per
+    FK relationship with child row count and orphan count — the load
+    gate the reference gets implicitly from Postgres FK constraints
+    (`/root/reference/main.py:122-147` loads parent dims before
+    facts); on a lakehouse it must be an explicit scan.
+
+    Scale shape: each relationship is one left join keyed on the FK
+    (parent side reduced to its key column first — the only columns
+    shuffled are the keys) folded into a 1-row aggregate; the seven
+    audits union AFTER aggregation, so the combined plan moves seven
+    rows, not seven tables. Dim-sized parents broadcast under AQE;
+    the orders parent of the lineitem audit stays a shuffled join at
+    scale, exactly as it should."""
+
+    def audit(child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
+              label: str) -> DataFrame:
+        pk = parent.select(F.col(pkey).alias("_pk")).distinct()
+        j = child.select(F.col(ckey).alias("_ck")).join(
+            pk, F.col("_ck") == F.col("_pk"), "left"
+        )
+        return j.agg(
+            F.lit(label).alias("fk"),
+            F.count("*").cast("bigint").alias("n_child"),
+            F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+        )
+
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    p = tbl(spark, sf_dir, "part")
+    s = tbl(spark, sf_dir, "supplier")
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    parts = [
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders"),
+        audit(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey->part"),
+        audit(li, "l_suppkey", s, "s_suppkey", "lineitem.l_suppkey->supplier"),
+        audit(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer"),
+        audit(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey->nation"),
+        audit(s, "s_nationkey", n, "n_nationkey", "supplier.s_nationkey->nation"),
+        audit(n, "n_regionkey", r, "r_regionkey", "nation.n_regionkey->region"),
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out

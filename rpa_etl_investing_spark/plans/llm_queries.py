@@ -2225,3 +2225,85 @@ def llm_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_q"),
         )
     )
+
+
+@register(
+    "llm_zipf_slope",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    ex AS (SELECT doc_id, UNNEST(t) AS tok FROM tok),
+    freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM ex GROUP BY tok),
+    head AS (
+      SELECT tok, f FROM freq ORDER BY f DESC, tok LIMIT 1000),
+    ranked AS (
+      SELECT tok, f,
+             ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r
+      FROM head),
+    pts AS (
+      SELECT CAST(FLOOR(1e6 * LN(CAST(r AS DOUBLE)) + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(1e6 * LN(CAST(f AS DOUBLE)) + 0.5) AS BIGINT) AS y
+      FROM ranked),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(x) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * y) AS DECIMAL(38,0)) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(x * x) AS DECIMAL(38,0)) AS DOUBLE) AS sxx
+      FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+           CAST(FLOOR(1e6 * ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                      + 0.5) AS BIGINT) AS slope_q,
+           CAST(FLOOR(1e6 * ((sy - sx * ((n * sxy - sx * sy)
+                                         / (n * sxx - sx * sx))) / n)
+                      + 0.5) AS BIGINT) AS intercept_q
+    FROM s
+    """,
+)
+def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the frequency head: OLS slope of
+    ln(frequency) on ln(rank) for the top-1000 tokens — the
+    one-number corpus-health check (natural text sits near −1;
+    boilerplate-heavy or template corpora drift off it; Zipf 1949,
+    Piantadosi 2014 review). Both lns are quantized per point (the PMI
+    grid discipline), the regression sums are exact over the quantized
+    BIGINTs, and the closed form follows agg_ols_regression's
+    decimal→double pattern.
+
+    Scale shape: token frequency is one explode + hash-aggregate with
+    map-side partials; the head selection is TakeOrderedAndProject
+    (per-partition top-k, never a global sort), and the only ordered
+    window ranks the CONSTANT-sized 1000-row head — bounded by k, not
+    by the corpus."""
+    from pyspark.sql.window import Window as W
+
+    docs = tbl(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    head = freq.orderBy(F.desc("f"), F.asc("tok")).limit(1000)
+    ranked = head.withColumn(
+        "r", F.row_number().over(W.orderBy(F.desc("f"), F.asc("tok")))
+    )
+    q6 = lambda e: F.floor(F.lit(1e6) * e + F.lit(0.5)).cast("bigint")  # noqa: E731
+    pts = ranked.select(
+        q6(F.log(F.col("r").cast("double"))).alias("x"),
+        q6(F.log(F.col("f").cast("double"))).alias("y"),
+    )
+    d38 = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    s = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        d38(F.col("x")).alias("sx"),
+        d38(F.col("y")).alias("sy"),
+        d38(F.col("x") * F.col("y")).alias("sxy"),
+        d38(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("bigint").alias("n_tokens"),
+        q6(slope).alias("slope_q"),
+        q6((sy - sx * slope) / n).alias("intercept_q"),
+    )

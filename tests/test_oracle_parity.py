@@ -107,6 +107,9 @@ MULTI_SF_NAMES = [
     "timeseries_cusum_alarm",
     "llm_source_vocab_overlap",
     "profile_key_skew",
+    "llm_zipf_slope",
+    "analytics_ab_proportion_test",
+    "curation_weighted_sample_k",
 ]
 
 
