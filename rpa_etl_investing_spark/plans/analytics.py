@@ -2176,7 +2176,11 @@ def analytics_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two selection passes + one final aggregate, all
     keyed on the group column; the only ordered windows run inside
     value-range shards (~1/n_shards of a group) or over the
-    constant-sized (groups × shards) count frame."""
+    constant-sized (groups × shards) count frame. The 2-column fact
+    projection is re-scanned by each pass rather than cached — at
+    100 TB a pruned parquet rescan is cheaper than materializing a
+    fact-sized relation (operators/caching.py doctrine; the small
+    aggregated medians DO ride broadcast)."""
     from rpa_etl_investing_spark.operators.prefix import exact_quantiles
 
     v = tbl(spark, sf_dir, "orders").select(
@@ -2406,9 +2410,13 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics run on the per-key table (rows = |keys|, not |fact|);
     both quantized divisions divide exact BIGINTs in IEEE doubles, the
     same on any engine."""
+    from rpa_etl_investing_spark.operators.caching import keep
     from rpa_etl_investing_spark.operators.prefix import exact_quantiles
 
-    c = (
+    # persist the per-key count table (rows = |keys|, a huge reduction
+    # from the fact): the quantile selection and the summary aggregate
+    # both read it repeatedly
+    c = keep(
         tbl(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_suppkey").alias("k"))
         .agg(F.count("*").cast("bigint").alias("cnt"))

@@ -481,11 +481,15 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw events (map-side partials, one shuffle); the recurrence then
     runs over the aggregated daily series, sharded by day range, with
     no per-key global sort anywhere in the plan."""
+    from rpa_etl_investing_spark.operators.caching import keep
     from rpa_etl_investing_spark.operators.prefix import with_id_range_shard
     from rpa_etl_investing_spark.operators.recurrence import ewma
 
     ev = tbl(spark, sf_dir, "events")
-    daily = (
+    # persist the aggregated daily series: the recurrence references it
+    # through several branches (fold, summaries, final join-back) and a
+    # re-expansion would rescan the raw fact per branch
+    daily = keep(
         ev.filter(F.col("event_type").isNotNull())
         .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(dsum("value", 6).alias("x"))
@@ -718,6 +722,7 @@ def timeseries_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes run inside day-range shards sharing one partitioning; the
     only unsharded windows are over the constant-sized per-shard
     totals frames."""
+    from rpa_etl_investing_spark.operators.caching import keep
     from rpa_etl_investing_spark.operators.prefix import (
         sharded_running_max,
         sharded_running_sum,
@@ -739,8 +744,11 @@ def timeseries_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = daily.groupBy("event_type").agg(
         F.expr("sum(x_q) div count(*)").cast("bigint").alias("k_q")
     )
-    d = daily.join(k, "event_type").withColumn(
-        "dd", F.col("x_q") - F.col("k_q")
+    # persist the AGGREGATED series (rows = types × days, fact-decoupled):
+    # both sharded scans reference it repeatedly and would otherwise
+    # re-expand the fact aggregation — and its raw scan — per branch
+    d = keep(
+        daily.join(k, "event_type").withColumn("dd", F.col("x_q") - F.col("k_q"))
     )
     sharded = with_id_range_shard(d, "ord", n_shards=8)
     p = sharded_running_sum(sharded, ["event_type"], ["ord"], "dd", "pp")
