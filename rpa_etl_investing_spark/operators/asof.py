@@ -24,6 +24,7 @@ def asof_join(
     value_cols: list[str],
     suffix: str = "_asof",
     direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the adjacent right row for the same key:
     ``direction="backward"`` (default) takes the most recent right row
@@ -34,6 +35,11 @@ def asof_join(
 
     ``right`` must be unique per (key, ts); pre-dedupe otherwise or the
     survivor at duplicate timestamps is unspecified.
+
+    ``tolerance_seconds`` bounds staleness (pandas ``merge_asof``
+    tolerance): a match farther than the bound in the scan direction is
+    nulled out AFTER the merge-scan — a map-side conditional on the
+    already-attached timestamps, costing no extra shuffle.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -60,7 +66,7 @@ def asof_join(
         .orderBy(ts_order, F.col("_is_left").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return (
+    out = (
         unioned.select(
             *left.columns,
             "_is_left",
@@ -73,3 +79,20 @@ def asof_join(
         .filter(F.col("_is_left") == 1)
         .drop("_is_left")
     )
+    if tolerance_seconds is not None:
+        us = lambda c: F.unix_micros(c.cast("timestamp_ltz"))  # noqa: E731
+        gap = (
+            us(F.col(ts)) - us(F.col(f"{ts}{suffix}"))
+            if direction == "backward"
+            else us(F.col(f"{ts}{suffix}")) - us(F.col(ts))
+        )
+        within = gap <= F.lit(int(tolerance_seconds) * 1_000_000)
+        out = out.select(
+            *left.columns,
+            F.when(within, F.col(f"{ts}{suffix}")).alias(f"{ts}{suffix}"),
+            *[
+                F.when(within, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+                for c in value_cols
+            ],
+        )
+    return out

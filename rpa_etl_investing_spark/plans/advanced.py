@@ -297,3 +297,54 @@ def explode_outer_empty_preserved(spark: SparkSession, sf_dir: str) -> DataFrame
     return toks.select(
         "doc_id", F.explode_outer("long_toks").alias("long_tok")
     )
+
+
+@register(
+    "asof_join_tolerance",
+    oracle="""
+    WITH clicks AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+      WHERE rn = 1)
+    SELECT c.event_id, c.user_id, c.ts,
+           CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 7200000000
+                THEN p.ts END AS ts_asof,
+           CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 7200000000
+                THEN p.value END AS value_asof
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 variant: as-of join with a staleness bound (pandas
+    ``merge_asof(tolerance=...)`` semantics) — a purchase older than
+    two hours no longer explains the click and the match is nulled.
+    The bound is applied AFTER the one-shuffle merge-scan as a
+    map-side integer-microsecond conditional (operators/asof.py
+    ``tolerance_seconds``), so the tolerant form costs exactly the
+    same plan as the unbounded one; the oracle applies the identical
+    CASE over DuckDB's native ASOF JOIN."""
+    ev = tbl(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    dedup_w = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        ts="ts",
+        value_cols=["value"],
+        tolerance_seconds=7200,
+    )
