@@ -356,11 +356,13 @@ def segment_boilerplate_strip(
     ``posexplode`` (no UDF); document-frequency counting groups on
     ``md5(segment)`` so the df shuffle moves 32-byte hashes + ids, not
     segment text; the boilerplate set (hashes above ``max_df``) is the
-    small side of a LEFT ANTI join — broadcast-able at any corpus size
-    that has a bounded boilerplate vocabulary. The only text-bearing
-    shuffle is the final per-document reassembly groupBy, which any
-    reconstruction needs and which partitions on the high-cardinality
-    doc id."""
+    small side of a LEFT ANTI join keyed on ``seg_hash`` — deliberately
+    NOT hint-pinned, because at web scale the set of cross-document
+    repeated segments grows with the corpus (at ``max_df=1`` it is ALL
+    duplicated content): AQE broadcasts it while it fits and shuffles
+    the anti join when it doesn't. The only text-bearing shuffle is the
+    final per-document reassembly groupBy, which any reconstruction
+    needs and which partitions on the high-cardinality doc id."""
     toks = F.split(F.col(text_col), " ")
     n_segs = F.ceil(F.size(toks) / float(seg_words)).cast("int")
     segs = (
@@ -383,7 +385,7 @@ def segment_boilerplate_strip(
         .filter(F.col("df") > max_df)
         .select("seg_hash")
     )
-    kept = segs.join(F.broadcast(boiler), "seg_hash", "left_anti")
+    kept = segs.join(boiler, "seg_hash", "left_anti")
     reassembled = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("int").alias("n_kept"),
         F.array_join(

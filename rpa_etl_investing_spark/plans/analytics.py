@@ -1664,7 +1664,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     dir_edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(maybe_broadcast(s, "supplier"), li.l_suppkey == s.s_suppkey)
         .groupBy(
             F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
         )

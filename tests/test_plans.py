@@ -733,6 +733,8 @@ def test_flagship_broadcast_is_size_gated_not_pinned(spark, sf_dir):
         "analytics_parts_supplier_counts",
         "analytics_min_cost_supplier",
         "analytics_excess_supply_candidates",
+        "graph_nation_pagerank",
+        "graph_triangle_count",
     ],
 )
 def test_no_broadcast_hint_on_sf_scaling_tables(spark, sf_dir, name):
