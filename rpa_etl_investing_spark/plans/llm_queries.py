@@ -2307,3 +2307,324 @@ def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(slope).alias("slope_q"),
         q6((sy - sx * slope) / n).alias("intercept_q"),
     )
+
+
+# ---- L4+: classifier evaluation metrics ------------------------------------
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# Integer-grid score shared by the AUC and calibration queries: the
+# stopword ratio on a 1e-6 grid via BIGINT floor division — exact and
+# engine-identical, so distinct-score grouping can never split on
+# floating-point representation.
+_SCORE_CTE = f"""
+    sc AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             (CAST(LEN(LIST_FILTER(t, x -> x IN ({_STOP_IN}))) AS BIGINT)
+              * 1000000) // LEN(t) AS score_q
+      FROM tok JOIN documents USING (doc_id))
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
+        F.size(toks).alias("nt"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("sh"),
+    )
+    return base.select(
+        "y", F.expr("CAST(sh AS BIGINT) * 1000000 div nt").alias("score_q")
+    )
+
+
+@register(
+    "llm_classifier_auc",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SCORE_CTE},
+    g AS (SELECT score_q, COUNT(*) AS n, SUM(y) AS npos FROM sc GROUP BY score_q),
+    w AS (SELECT n, npos,
+                 SUM(n) OVER (ORDER BY score_q
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM g),
+    agg AS (SELECT CAST(SUM(npos * (2 * (cum - n) + n + 1)) AS BIGINT) AS s2r,
+                   CAST(SUM(npos) AS BIGINT) AS np,
+                   CAST(SUM(n) AS BIGINT) AS ntot
+            FROM w)
+    SELECT np AS n_pos, ntot - np AS n_neg,
+           s2r - np * (np + 1) AS u2,
+           CAST(s2r - np * (np + 1) AS DOUBLE) / (2 * np * (ntot - np)) AS auc
+    FROM agg
+    """,
+)
+def llm_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ eval: exact ROC AUC of a quality-classifier score (stopword
+    ratio as the score, lang='en' as the positive class) via the
+    rank-statistic identity AUC = U / (n⁺n⁻) with tie-averaged ranks —
+    the Mann-Whitney connection makes the whole computation one hash
+    aggregate over DISTINCT score values plus integer arithmetic,
+    never a per-row sort of the corpus.
+
+    Tie handling is exact: for a score group of size n with B rows
+    below it, each member's average rank is B + (n+1)/2, so
+    2·Σranks⁺ = Σ_g npos·(2B + n + 1) stays in BIGINT; u2 = 2U.
+    The only ordered pass runs over the distinct-score table, whose
+    cardinality the 1e-6 grid bounds at ~1e6 rows regardless of corpus
+    size — the corpus itself is touched once, map-side."""
+    from pyspark.sql.window import Window as W
+
+    scored = _scored(spark, sf_dir)
+    g = scored.groupBy("score_q").agg(
+        F.count("*").alias("n"), F.sum("y").alias("npos")
+    )
+    w = W.orderBy("score_q").rowsBetween(W.unboundedPreceding, W.currentRow)
+    t = g.select("n", "npos", F.sum("n").over(w).alias("cum"))
+    agg = t.agg(
+        F.sum(
+            F.col("npos") * (2 * (F.col("cum") - F.col("n")) + F.col("n") + 1)
+        ).alias("s2r"),
+        F.sum("npos").alias("np"),
+        F.sum("n").alias("ntot"),
+    )
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        (F.col("ntot") - F.col("np")).alias("n_neg"),
+        (F.col("s2r") - F.col("np") * (F.col("np") + 1)).alias("u2"),
+        (
+            (F.col("s2r") - F.col("np") * (F.col("np") + 1))
+            / (2 * F.col("np") * (F.col("ntot") - F.col("np")))
+        ).alias("auc"),
+    )
+
+
+@register(
+    "llm_calibration_bins",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SCORE_CTE}
+    SELECT LEAST(score_q // 100000, 9) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(score_q) AS DOUBLE) / (1000000.0 * COUNT(*)) AS mean_score,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS frac_pos,
+           ABS(CAST(SUM(y) AS DOUBLE) / COUNT(*)
+               - CAST(SUM(score_q) AS DOUBLE) / (1000000.0 * COUNT(*)))
+             AS abs_gap
+    FROM sc
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def llm_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ eval: reliability diagram / calibration table for the same
+    score-vs-label pair as ``llm_classifier_auc`` — 10 equal-width
+    score bins, each with its mean predicted score and observed
+    positive fraction (the per-bin |gap| is the ECE contribution
+    before weighting). One hash aggregate over the corpus; all
+    divisions are double-over-exact-integer so the bits match the
+    oracle."""
+    scored = _scored(spark, sf_dir)
+    return (
+        scored.groupBy(
+            F.least(F.expr("score_q div 100000"), F.lit(9)).alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("y").alias("n_pos"),
+            (F.sum("score_q") / (F.lit(1000000.0) * F.count("*"))).alias(
+                "mean_score"
+            ),
+            (F.sum("y") / F.count("*")).alias("frac_pos"),
+            F.abs(
+                F.sum("y") / F.count("*")
+                - F.sum("score_q") / (F.lit(1000000.0) * F.count("*"))
+            ).alias("abs_gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "llm_sorted_neighborhood_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, lang,
+             LEN(STRING_SPLIT(text, ' ')) // 8 AS szb
+      FROM documents),
+    r AS (
+      SELECT doc_id, text, lang, szb,
+             ROW_NUMBER() OVER (PARTITION BY lang, szb
+                                ORDER BY text, doc_id) AS rn
+      FROM t)
+    SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(LEVENSHTEIN(a.text, b.text) AS BIGINT) AS edit_distance
+    FROM r a JOIN r b
+      ON a.lang = b.lang AND a.szb = b.szb
+     AND b.rn - a.rn BETWEEN 1 AND 2
+    """,
+)
+def llm_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+: sorted-neighborhood blocking (Hernández & Stolfo '95) — the
+    sort-based candidate generator that complements the hash-based
+    families (MinHash bands, SimHash bands, prefix filter): records are
+    blocked, sorted within each block, and only a sliding window of
+    w=2 neighbors is verified with exact edit distance.
+
+    Scale shape: the sort is PER BLOCK (lang × size-bucket), so it is a
+    window over a hash-partitioned exchange — never a global
+    single-task sort — and the candidate join is keyed on the block
+    with a ±w rank band, so fan-out is ≤ w per record by construction
+    (no skew cap needed, unlike LSH buckets). The O(len²) verify runs
+    on ≤ w·n candidates."""
+    from pyspark.sql.window import Window as W
+
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        F.expr("size(split(text, ' ')) div 8").alias("szb"),
+    )
+    w = W.partitionBy("lang", "szb").orderBy("text", "doc_id")
+    r = d.withColumn("rn", F.row_number().over(w))
+    a = r.select(
+        "lang",
+        "szb",
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.col("rn").alias("rn_a"),
+    )
+    b = r.select(
+        F.col("lang").alias("lang_b"),
+        F.col("szb").alias("szb_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.lang == b.lang_b)
+            & (a.szb == b.szb_b)
+            & (b.rn_b - a.rn_a >= 1)
+            & (b.rn_b - a.rn_a <= 2),
+        )
+        .select(
+            "lang",
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").cast("long").alias("edit_distance"),
+        )
+    )
+
+
+def _pca_oracle() -> str:
+    """Power-iteration oracle: the same integer recurrence as the Spark
+    query, unrolled into CTEs. HUGEINT carries the matrix-vector
+    products; the renorm divides magnitudes only (both engines truncate
+    non-negative integer division identically — Spark's ``div``
+    truncates toward zero while DuckDB's ``//`` floors, so signed
+    division would disagree on negatives)."""
+    sql = """
+    WITH ex AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(FLOOR(1e6 * CAST(UNNEST(embedding) AS DOUBLE) + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings),
+    tri AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS s
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+      GROUP BY 1, 2),
+    gram AS MATERIALIZED (
+             SELECT i, j, s FROM tri
+             UNION ALL
+             SELECT j AS i, i AS j, s FROM tri WHERE i <> j),
+    v0 AS (SELECT DISTINCT i AS j,
+                  CAST(CASE WHEN i = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS v
+           FROM gram)
+    """
+    for k in range(1, 4):
+        sql += f""",
+    u{k} AS (SELECT g.i, SUM(CAST(g.s AS HUGEINT) * v.v) AS u
+             FROM gram g JOIN v{k - 1} v ON g.j = v.j GROUP BY g.i),
+    m{k} AS (SELECT MAX(ABS(u)) AS mx FROM u{k}),
+    v{k} AS (SELECT i AS j,
+                    CAST(CASE WHEN u < 0 THEN -((ABS(u) * 1000000) // mx)
+                              ELSE (u * 1000000) // mx END AS BIGINT) AS v
+             FROM u{k}, m{k})
+        """
+    return sql + "\n    SELECT j AS i, v AS v_q FROM v3"
+
+
+@register("llm_embedding_pca_top", oracle=_pca_oracle())
+def llm_embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+: dominant principal direction of the embedding corpus by
+    power iteration on the distributed Gram matrix — the first step of
+    PCA / spectral whitening, run end-to-end in EXACT integer
+    arithmetic so the driver's hash comparator can check it bit-for-bit
+    (no float eigen-solver tolerance games).
+
+    Structure: one corpus pass builds the exact 1e-6-grid Gram
+    (operators/similarity.py gram_matrix — map-side triangle fan-out,
+    never a self-join); the iteration then runs on the d×d cell table
+    ONLY, so its cost is independent of corpus size. Three unrolled
+    iterations of u = G·v (DECIMAL(38,0) products — |s_q·v| ≤ ~1e23,
+    far inside decimal range) each renormalize to the 1e6 grid by
+    max-|component| with sign-magnitude division, which truncation-
+    agnostic both engines compute identically. The bounded d×d gram is
+    persisted via the retire-previous cache (operators/caching.py), so
+    the three iteration branches don't re-expand the corpus scan.
+
+    Convergence to the dominant eigenvector needs v0 non-orthogonal to
+    it — e_0 scaled to the grid is the standard deterministic choice;
+    three iterations are enough to pin the metric's value as a
+    regression signature (the goal here), not to converge to machine
+    precision."""
+    from rpa_etl_investing_spark.operators.caching import keep
+    from rpa_etl_investing_spark.operators.similarity import gram_matrix
+
+    # The gram is bounded at d(d+1)/2 cells (d=64 → 2080 rows): collapse
+    # it onto ONE partition before caching so the three iteration
+    # branches schedule single-task stages instead of
+    # shuffle-partition-wide waves of empty tasks.
+    tri = keep(
+        gram_matrix(tbl(spark, sf_dir, "embeddings"))
+        .select("i", "j", "s_q")
+        .coalesce(1)
+    )
+    full = tri.unionByName(
+        tri.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("s_q")
+        )
+    )
+    v = (
+        full.select("i")
+        .distinct()
+        .select(
+            F.col("i").alias("j"),
+            F.when(F.col("i") == 0, F.lit(1000000))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    for _ in range(3):
+        u = (
+            full.join(F.broadcast(v), full.j == v.j)
+            .groupBy(full.i)
+            .agg(
+                F.sum(
+                    F.col("s_q").cast("decimal(20,0)")
+                    * F.col("v").cast("decimal(18,0)")
+                ).alias("u")
+            )
+        )
+        mx = u.agg(F.max(F.abs(F.col("u"))).alias("mx"))
+        v = u.crossJoin(F.broadcast(mx)).select(
+            F.col("i").alias("j"),
+            F.expr(
+                "CAST(CASE WHEN u < 0 THEN -((ABS(u) * 1000000) div mx)"
+                " ELSE (u * 1000000) div mx END AS BIGINT)"
+            ).alias("v"),
+        )
+    return v.select(F.col("j").alias("i"), F.col("v").alias("v_q"))

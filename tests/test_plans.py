@@ -784,3 +784,52 @@ def test_hashed_shingle_shuffles_carry_longs(spark, sf_dir, name):
     sh_exchanges = re.findall(r"hashpartitioning\(sh#(\d+)(L?)[,)]", plan)
     assert sh_exchanges, plan
     assert all(suffix == "L" for _, suffix in sh_exchanges), plan
+
+
+def test_bloom_prefilter_runs_below_join_exchange(spark, sf_dir):
+    """join_bloom_prefilter: the bloom membership test (element_at on
+    the literal word array + bitwise AND over xxhash64 probes) must
+    evaluate inside the fact scan stage, BEFORE the exact semi join —
+    that map-side thinning is the operator's entire point. (The naive
+    cross-join formulation FAILED this: Catalyst reordered the semi
+    join below the bloom test, turning the prefilter into a
+    postfilter — hence the literal-predicate design in
+    operators/bloom.py.) The bloom Filter must sit strictly deeper
+    than the semi join, on its streamed side."""
+    plan = _plan(QUERIES["join_bloom_prefilter"].fn(spark, sf_dir))
+    lines = plan.splitlines()
+
+    def depth(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-*("))
+
+    join_depth = None
+    filt_depth = None
+    for ln in lines:
+        if "LeftSemi" in ln and join_depth is None:
+            join_depth = depth(ln)
+        if "element_at" in ln and "xxhash64" in ln and filt_depth is None:
+            filt_depth = depth(ln)
+    assert filt_depth is not None, f"no bloom filter node in plan:\n{plan}"
+    assert join_depth is not None, f"no semi join in plan:\n{plan}"
+    assert filt_depth > join_depth, (
+        f"bloom filter (depth {filt_depth}) must sit below the semi join "
+        f"(depth {join_depth}):\n{plan}"
+    )
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """Every fact row whose key IS in the dim key set must survive the
+    bloom prefilter (false positives allowed, false negatives never)."""
+    from pyspark.sql import functions as F
+
+    from rpa_etl_investing_spark.catalog import tbl
+    from rpa_etl_investing_spark.operators.bloom import bloom_prefilter
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_suppkey")
+    keys = tbl(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") > 9000
+    ).select("s_suppkey")
+    pre = bloom_prefilter(li, keys, "l_suppkey", "s_suppkey")
+    truth = li.join(keys, li.l_suppkey == keys.s_suppkey, "left_semi")
+    missing = truth.exceptAll(pre.select(*truth.columns)).count()
+    assert missing == 0
