@@ -1,0 +1,105 @@
+"""Exact frequency-threshold heavy hitters via a two-pass
+Misra–Gries candidate sweep.
+
+The query "which tokens exceed θ of the corpus?" is the backbone of
+stop-token discovery, boilerplate detection, and vocabulary pruning.
+The naive plan — ``groupBy(token).count()`` then filter — shuffles the
+ENTIRE vocabulary: at 100 TB of text that is billions of distinct keys
+moved for a result of at most ⌈1/θ⌉ rows.  The classical fix
+(Misra & Gries '82; the "MG summary" is mergeable, Agarwal et al.
+PODS'12) is:
+
+pass 1 — each partition runs a bounded Misra–Gries summary with
+  k = ⌈1/θ⌉ counters over its own rows, streaming, O(k) memory.  The
+  pigeonhole guarantee: an item with global count ≥ θ·N must hold
+  count ≥ θ·n_p on at least one partition (else Σ_p count_p < θ·N),
+  and MG with k counters retains every item whose partition frequency
+  is ≥ n_p/k — so the UNION of partition summaries is a SUPERSET of
+  the true heavy hitters, at most P·k candidate rows total.
+pass 2 — exact recount of candidate tokens only: the corpus is
+  re-scanned once, thinned by a broadcast semi join against the
+  candidate set, and hash-aggregated.  The shuffle now carries only
+  occurrences of ≤ P·k distinct tokens.  The final ≥ θ·N filter uses
+  the EXACT counts, so false candidates drop out and the result is
+  exact and deterministic regardless of how pass 1 split partitions.
+
+Pass 1 is genuinely per-partition imperative state, so it is the
+legitimate Arrow-batched ``mapInPandas`` case (SURVEY §2.11); pass 2 is
+pure JVM (split/explode/semi-join/hash-agg).  The reference has no
+analogue (its corpus is a handful of scraped rows); this is the
+scale-path generalization of `llm_stop_tokens`' full-vocabulary scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_partition(
+    batches: Iterator[pd.DataFrame], text_col: str, k: int
+) -> Iterator[pd.DataFrame]:
+    """Misra–Gries over one partition's documents: k counters, stream
+    tokens, decrement-all when full.  Emits the surviving candidate
+    tokens once, at end of partition."""
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for text in pdf[text_col]:
+            if text is None:
+                continue
+            for tok in text.split(" "):
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k:
+                    counters[tok] = 1
+                else:
+                    # decrement-all step: drop zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+    yield pd.DataFrame({"token": list(counters.keys())})
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    threshold_ppm: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """All tokens whose corpus frequency is ≥ ``threshold_ppm`` parts
+    per million of the total token count — EXACT counts, computed
+    without ever shuffling the full vocabulary.
+
+    Returns (token, cnt, total_tokens) with the comparison done in
+    BIGINT ppm arithmetic (cnt·1e6 ≥ threshold_ppm·N) so no float
+    enters the threshold."""
+    spark = docs.sparkSession
+    k = max(1, 1_000_000 // threshold_ppm)
+
+    candidates = docs.select(text_col).mapInPandas(
+        lambda it: _mg_partition(it, text_col, k), schema="token string"
+    ).distinct()
+
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    total = toks.agg(F.count("*").cast("long").alias("total_tokens"))
+    counted = (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("cnt") * F.lit(1_000_000)
+            >= F.lit(int(threshold_ppm)) * F.col("total_tokens")
+        )
+        .select("token", "cnt", "total_tokens")
+    )

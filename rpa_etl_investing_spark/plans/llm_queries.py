@@ -2628,3 +2628,36 @@ def llm_embedding_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v"),
         )
     return v.select(F.col("j").alias("i"), F.col("v").alias("v_q"))
+
+
+@register(
+    "llm_heavy_hitters",
+    oracle="""
+    WITH ex AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens FROM ex),
+    cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM ex GROUP BY token)
+    SELECT token, cnt, total_tokens
+    FROM cnt CROSS JOIN tot
+    WHERE cnt * 1000000 >= 2500 * total_tokens
+    ORDER BY cnt DESC, token
+    """,
+)
+def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+: exact frequency-threshold heavy hitters (≥ 2500 ppm of the
+    corpus token stream) via the two-pass Misra-Gries sweep
+    (operators/heavy_hitters.py): pass 1 bounds per-partition state to
+    k = ⌈1/θ⌉ counters in Arrow-batched ``mapInPandas`` and unions the
+    ≤ P·k survivors; pass 2 thins the re-scan with a broadcast semi
+    join against that candidate set before the exact recount — so the
+    shuffle never carries the full vocabulary, only occurrences of the
+    bounded candidate list. The oracle is the naive full-vocabulary
+    scan; the MG superset guarantee makes the two identical. This is
+    the scale path behind `llm_stop_tokens`' full scan (the reference
+    has no corpus statistics at all — its workload is ~300 scraped
+    rows, /root/reference/main.py:149-157)."""
+    from rpa_etl_investing_spark.operators.heavy_hitters import heavy_hitters
+
+    docs = tbl(spark, sf_dir, "documents")
+    return heavy_hitters(docs, threshold_ppm=2500).orderBy(
+        F.desc("cnt"), "token"
+    )
