@@ -1252,3 +1252,118 @@ def curation_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("key_q"),
     )
     return keyed.orderBy(F.desc("key_q"), F.asc("doc_id")).limit(100)
+
+
+@register(
+    "curation_ccnet_buckets",
+    oracle="""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    b AS (
+      SELECT doc_id, s['w1'] AS w1, s['w2'] AS w2 FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(2, LEN(t) + 1),
+                                     i -> {'w1': t[i-1], 'w2': t[i]})) AS s
+        FROM tok WHERE LEN(t) >= 2)),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM b GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM b GROUP BY w1),
+    q AS (SELECT c2.w1, c2.w2,
+                 CAST(FLOOR(1e10 * (n2 / n1) + 0.5) AS BIGINT) AS qp
+          FROM c2 JOIN c1 USING (w1)),
+    s AS (
+      SELECT b.doc_id,
+             CAST(CAST(SUM(qp) AS BIGINT) // COUNT(*) AS BIGINT) AS score_q
+      FROM b JOIN q ON b.w1 = q.w1 AND b.w2 = q.w2
+      GROUP BY b.doc_id),
+    sl AS (
+      SELECT s.doc_id, d.lang, s.score_q
+      FROM s JOIN documents d ON s.doc_id = d.doc_id),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score_q) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM sl),
+    cuts AS (
+      SELECT lang,
+        MAX(CASE WHEN rn = CAST(FLOOR((1.0/3)*(n-1)) AS BIGINT)+1
+                 THEN score_q END) AS c33,
+        MAX(CASE WHEN rn = CAST(FLOOR((2.0/3)*(n-1)) AS BIGINT)+1
+                 THEN score_q END) AS c66
+      FROM r GROUP BY lang)
+    SELECT sl.doc_id, sl.lang, sl.score_q,
+           CASE WHEN score_q <= c33 THEN 'tail'
+                WHEN score_q <= c66 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM sl JOIN cuts USING (lang)
+    ORDER BY sl.doc_id
+    """,
+)
+def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5+: CCNet-style head/middle/tail split — per LANGUAGE, rank
+    every document by its corpus-LM fluency score and cut at the exact
+    per-language terciles (Wenzek et al., CCNet: documents are bucketed
+    by LM perplexity percentile within language; the head feeds
+    training, the tail is dropped or down-weighted).
+
+    Score: the integer-grid bigram fluency proxy of
+    `llm_bigram_doc_score` reduced to pure BIGINT (Σ qp // n_bigrams) so
+    no float ever enters ranking or comparison. Docs with < 2 tokens
+    carry no bigram evidence and are excluded (CCNet likewise drops
+    un-scorable fragments).
+
+    Scale shape: the LM is distributed (two hash aggregates + one
+    bigram-keyed equi-join — never broadcast; at corpus scale it
+    exceeds any driver), and the tercile cuts come from the SHARDED
+    exact selection (operators/prefix.py `exact_quantiles`,
+    group_cols=[lang]) — no per-language sort, no `percentile()`
+    collect buffer. The cut table is n_langs rows — genuinely bounded,
+    so ITS broadcast back onto the scored corpus is the legitimate
+    kind. Tie handling is value-based (`<=` against the cut VALUE), so
+    the split is deterministic under any tie order."""
+    from rpa_etl_investing_spark.operators.dedup import spread
+    from rpa_etl_investing_spark.operators.prefix import exact_quantiles
+
+    docs = tbl(spark, sf_dir, "documents")
+    toks = (
+        spread(docs, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    b = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+    c2 = b.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = b.groupBy("w1").agg(F.count("*").alias("n1"))
+    q = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.floor(F.lit(1e10) * (F.col("n2") / F.col("n1")) + F.lit(0.5))
+        .cast("bigint")
+        .alias("qp"),
+    )
+    s = (
+        b.join(q, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.expr("CAST(sum(qp) DIV count(*) AS BIGINT)").alias("score_q"))
+    )
+    sl = s.join(docs.select("doc_id", "lang"), "doc_id")
+    cuts = exact_quantiles(
+        sl, "score_q", {"c33": 1.0 / 3.0, "c66": 2.0 / 3.0}, group_cols=["lang"]
+    )
+    return (
+        sl.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "score_q",
+            F.when(F.col("score_q") <= F.col("c33"), F.lit("tail"))
+            .when(F.col("score_q") <= F.col("c66"), F.lit("middle"))
+            .otherwise(F.lit("head"))
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

@@ -612,3 +612,86 @@ def etl_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in parts[1:]:
         out = out.unionByName(x)
     return out
+
+
+@register(
+    "etl_incremental_rollup",
+    oracle="""
+    SELECT DATE_TRUNC('month', o_orderdate) AS month,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY month, o_orderstatus
+    """,
+)
+def etl_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/A7 gen: incremental view maintenance for a materialized
+    rollup — the append-only refresh an ETL pipeline runs nightly
+    (the reference recomputes its whole table per run,
+    /root/reference/main.py:122-147; at 100 TB the history scan is the
+    thing you must NOT repeat).
+
+    Mechanics: the pre-cutoff history is aggregated ONCE into mergeable
+    state — (count, decimal sum, min, max) per (month, status) — and
+    materialized to parquet. The refresh touches only the delta
+    (orderdate ≥ cutoff), reduces it to the same state shape, and
+    merges state⊎delta with the algebraic second level (sum of counts,
+    sum of sums, min of mins, max of maxes). Non-mergeable forms (avg,
+    median) must be DERIVED from state, never merged — avg rides as
+    sum/count downstream.
+
+    The oracle recomputes the rollup from ALL rows: the driver's hash
+    compare is the IVM correctness proof (merge(state, delta) ≡ full
+    recompute, bit-exact because the sums accumulate in DECIMAL on both
+    paths). Scale shape: history cost is paid once and amortized; each
+    refresh scans only the delta partition range (the parquet scan
+    prunes on the pushed orderdate filter) plus state whose cardinality
+    is the GROUP's, not the fact's."""
+    import os
+
+    from rpa_etl_investing_spark.sources.formats import scratch_dir
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cutoff = "1997-06-01"
+    orders = tbl(spark, sf_dir, "orders")
+
+    def _state(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            "o_orderstatus",
+        ).agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("s_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+
+    state_path = scratch_dir(sf_tag, "rollup_state")
+    _state(orders.filter(F.col("o_orderdate") < F.lit(cutoff))).write.mode(
+        "overwrite"
+    ).parquet(state_path)
+
+    state = spark.read.parquet(state_path)
+    delta = _state(orders.filter(F.col("o_orderdate") >= F.lit(cutoff)))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("month", "o_orderstatus")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("s_price").cast("decimal(27,2)").alias("s_price"),
+            F.min("min_price").alias("min_price"),
+            F.max("max_price").alias("max_price"),
+        )
+    )
+    return merged.select(
+        "month",
+        "o_orderstatus",
+        "n_orders",
+        F.col("s_price").cast("double").alias("sum_price"),
+        "min_price",
+        "max_price",
+    ).orderBy("month", "o_orderstatus")

@@ -179,3 +179,96 @@ def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bigint"
         ).alias("total_patches"),
     )
+
+
+@register(
+    "multimodal_length_batching",
+    oracle=f"""
+    WITH meta AS ({_META_SQL}),
+    pg AS (
+      SELECT doc_id, media_type,
+             CAST(((width + 15) // 16) * ((height + 15) // 16) * n_frames
+                  AS BIGINT) AS total_patches
+      FROM meta),
+    r AS (
+      SELECT doc_id, media_type, total_patches,
+             ROW_NUMBER() OVER (PARTITION BY media_type
+                                ORDER BY total_patches, doc_id) AS rk
+      FROM pg),
+    b AS (
+      SELECT media_type, CAST((rk - 1) // 8 AS BIGINT) AS batch_id,
+             total_patches
+      FROM r)
+    SELECT media_type, batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(total_patches) AS BIGINT) AS max_patches,
+           CAST(SUM(total_patches) AS BIGINT) AS sum_patches,
+           CAST(COUNT(*) * MAX(total_patches) - SUM(total_patches)
+                AS BIGINT) AS padding_waste
+    FROM b
+    GROUP BY media_type, batch_id
+    ORDER BY media_type, batch_id
+    """,
+)
+def multimodal_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batch shaping for multimodal training: per
+    modality, sort assets by vision-token count (the ViT patch budget
+    from the REAL byte-level decode), cut into fixed-size batches of 8,
+    and account the padding waste each batch pays (batch pads every
+    sample to its max). Sorting by length before batching is the
+    standard trick that collapses padding waste versus random batching
+    — this query IS the accounting that justifies it.
+
+    Scale shape: the per-modality rank comes from the SHARDED running
+    count (operators/prefix.py `sharded_row_number` over value-range
+    shards on the patch count — ties never cross shards, so the
+    composite (patches, doc_id) order stays shard-monotone): no
+    per-modality global sort task, no single-partition Window. The
+    batch reduction is one hash aggregate on (media_type, batch_id).
+    Everything after the Arrow-batched header parse is JVM-side integer
+    arithmetic."""
+    from pyspark.sql import functions as F
+
+    from rpa_etl_investing_spark.operators.prefix import (
+        SHARD,
+        sharded_row_number,
+        with_value_range_shard,
+    )
+
+    meta = decode_media_metadata(
+        attach_binary_media(tbl(spark, sf_dir, "documents"))
+    )
+    npx = F.expr("CAST((width + 15) div 16 AS INT)")
+    npy = F.expr("CAST((height + 15) div 16 AS INT)")
+    pg = meta.select(
+        "doc_id",
+        "media_type",
+        (npx.cast("bigint") * npy.cast("bigint") * F.col("n_frames"))
+        .cast("bigint")
+        .alias("total_patches"),
+    )
+    ranked = sharded_row_number(
+        with_value_range_shard(pg, "total_patches"),
+        ["media_type"],
+        ["total_patches", "doc_id"],
+        "rk",
+    )
+    b = ranked.select(
+        "media_type",
+        ((F.col("rk") - 1) / 8).cast("bigint").alias("batch_id"),
+        "total_patches",
+    )
+    return (
+        b.groupBy("media_type", "batch_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_samples"),
+            F.max("total_patches").cast("bigint").alias("max_patches"),
+            F.sum("total_patches").cast("bigint").alias("sum_patches"),
+        )
+        .withColumn(
+            "padding_waste",
+            (F.col("n_samples") * F.col("max_patches") - F.col("sum_patches"))
+            .cast("bigint"),
+        )
+        .orderBy("media_type", "batch_id")
+    )

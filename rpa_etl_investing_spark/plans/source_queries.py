@@ -625,3 +625,83 @@ def source_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum(h16).cast("bigint").alias("checksum"),
     )
+
+
+@register(
+    "source_inverted_index",
+    oracle="""
+    WITH post AS (
+      SELECT DISTINCT token, doc_id FROM (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+        FROM documents)),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_terms_hit
+      FROM post WHERE token IN ('query', 'window', 'merge')
+      GROUP BY doc_id
+      HAVING COUNT(*) = 3)
+    SELECT h.doc_id, h.n_terms_hit, d.lang, d.n_chars
+    FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+    ORDER BY h.doc_id
+    """,
+)
+def source_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+/L4 gen: materialized inverted index + conjunctive keyword
+    search — the secondary-index path a document engine needs once
+    "find the docs containing all of X Y Z" stops being a full-text
+    scan. The index is (token, doc_id) postings written to parquet
+    PARTITIONED BY a hash bucket of the token, so a query's terms read
+    only their buckets (partition pruning on the pushed bucket filter)
+    instead of the whole index; the corpus text itself is never
+    re-scanned at query time.
+
+    The AND-semantics intersection is counting, not nested loops: read
+    the query terms' postings, hash-aggregate per doc_id, keep docs
+    hitting all |terms| — the classic document-at-a-time merge
+    re-expressed as one aggregation, shuffling only (token, doc_id)
+    pairs for the queried terms. The enrich join back to `documents` is
+    keyed on doc_id. At 100 TB the index build is one explode +
+    distinct (shuffle carries 8-byte ids + short tokens), and each
+    search touches df(term) rows per term — never the corpus."""
+    import os
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    docs = tbl(spark, sf_dir, "documents")
+    idx_path = scratch_dir(sf_tag, "inverted_index")
+    post = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .distinct()
+        .withColumn("bucket", F.abs(F.xxhash64("token")) % 16)
+    )
+    post.write.mode("overwrite").partitionBy("bucket").parquet(idx_path)
+
+    terms = ["query", "window", "merge"]
+    idx = spark.read.parquet(idx_path)
+    term_lit = F.array(*[F.lit(t) for t in terms])
+    hits = (
+        idx.filter(
+            (F.col("bucket").isin(*{abs(h) % 16 for h in _xxh_py(spark, terms)}))
+            & F.array_contains(term_lit, F.col("token"))
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_terms_hit"))
+        .filter(F.col("n_terms_hit") == len(terms))
+    )
+    return (
+        hits.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+        .select("doc_id", "n_terms_hit", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _xxh_py(spark: SparkSession, terms: list[str]) -> list[int]:
+    """xxhash64 of each literal term, evaluated JVM-side once (a 1-row
+    local relation — no data scan), so the bucket filter can be a
+    pushdown-able literal IN-list."""
+    row = (
+        spark.range(1)
+        .select(*[F.xxhash64(F.lit(t)).alias(f"h{i}") for i, t in enumerate(terms)])
+        .head()
+    )
+    return [row[i] for i in range(len(terms))]

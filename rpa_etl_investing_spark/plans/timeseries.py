@@ -819,3 +819,125 @@ def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dd_q") / F.lit(1e6)).alias("max_drawdown"),
         )
     )
+
+
+@register(
+    "timeseries_interpolate_linear",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    users AS (SELECT DISTINCT user_id FROM events),
+    spine AS (
+      SELECT user_id,
+             UNNEST(generate_series(TIMESTAMP '2024-01-01',
+                                    TIMESTAMP '2024-01-30',
+                                    INTERVAL 1 DAY)) AS day
+      FROM users),
+    j AS (
+      SELECT s.user_id, s.day, d.v
+      FROM spine s LEFT JOIN daily d
+        ON d.user_id = s.user_id AND d.day = s.day),
+    br AS (
+      SELECT user_id, day, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j)
+    SELECT user_id, day, v AS v_obs,
+           CASE
+             WHEN v IS NOT NULL THEN CAST(FLOOR(1e6 * v + 0.5) AS BIGINT)
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               CAST(FLOOR(1e6 * (pv + (nv - pv) *
+                    (CAST(DATE_DIFF('day', pd, day) AS DOUBLE) /
+                     CAST(DATE_DIFF('day', pd, nd) AS DOUBLE))) + 0.5) AS BIGINT)
+             ELSE NULL
+           END AS v_lin_q
+    FROM br
+    ORDER BY user_id, day
+    """,
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/F9 gen: dense daily spine with LINEAR interpolation across
+    gaps — the numeric sibling of LOCF gap-fill for model-feature
+    series (smoothed price/activity inputs; the reference's snapshot
+    timeline consumers, /root/reference/main.py:44, want exactly this
+    once gaps appear). Interior holes get the straight line between the
+    bracketing observations; days before the first / after the last
+    observation stay NULL (no extrapolation).
+
+    Exactness discipline: the interpolation weight is a ratio of small
+    day-count INTEGERS cast to double, the line is evaluated in the
+    identical association on both engines, and the reported value is
+    quantized to the 1e-6 grid — so the cross-engine hash compare is
+    byte-stable despite the float multiply.
+
+    Scale shape: one (user × day) spine join + TWO frames over ONE
+    `user_id` shuffle+sort (Spark plans both the backward and forward
+    frame inside the same Window exchange); no self-join, no Python.
+    At 100 TB the spine explode is executor-side and the per-user
+    series is the only sorted unit — same contract as gap_fill_locf."""
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(dsum("value", 4).alias("v"))
+    users = ev.select("user_id").distinct()
+    spine = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("timestamp"),
+                F.lit("2024-01-30").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    br = j.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("pd"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("nd"),
+    )
+    frac = F.datediff("day", "pd").cast("double") / F.datediff(
+        "nd", "pd"
+    ).cast("double")
+    line = F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    return br.select(
+        "user_id",
+        "day",
+        F.col("v").alias("v_obs"),
+        F.when(
+            F.col("v").isNotNull(),
+            F.floor(F.lit(1e6) * F.col("v") + F.lit(0.5)).cast("bigint"),
+        )
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.floor(F.lit(1e6) * line + F.lit(0.5)).cast("bigint"),
+        )
+        .alias("v_lin_q"),
+    ).orderBy("user_id", "day")
