@@ -2661,3 +2661,54 @@ def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(docs, threshold_ppm=2500).orderBy(
         F.desc("cnt"), "token"
     )
+
+
+@register(
+    "llm_count_min_freq",
+    oracle="""
+    WITH ex AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens FROM ex),
+    cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM ex GROUP BY token)
+    SELECT token, cnt, total_tokens,
+           TRUE AS est_ge_exact, TRUE AS est_within_eps
+    FROM cnt CROSS JOIN tot
+    WHERE cnt * 1000000 >= 2500 * total_tokens
+    ORDER BY cnt DESC, token
+    """,
+)
+def llm_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+: Count-Min sketch point-frequency estimation
+    (operators/cms.py — 4×1024 BIGINT table, mergeable, bounded at any
+    corpus size) probed on the exact heavy-hitter set and checked
+    against exact counts. Like the HLL/GK tolerance queries, the
+    engine-specific estimate is reported through deterministic
+    booleans: ``est ≥ exact`` (the CMS one-sided guarantee — counters
+    only over-count) and ``est ≤ exact + ceil((e/w)·N)`` (the
+    Markov-bound accuracy at d=4, a deterministic fact of this corpus
+    + hash). The probe set is the ≥2500 ppm heavy-hitter list — bounded
+    by ⌈1/θ⌉, so the whole query's non-scan state is bounded: sketch
+    4096 rows, probes ≤ 400 rows.
+
+    Scale shape: sketch build is one (row, bucket) hash aggregate —
+    map-side combine collapses every partition to ≤ 4096 rows before
+    the only shuffle; no vocabulary-sized key set ever moves."""
+    from rpa_etl_investing_spark.operators.cms import (
+        CMS_WIDTH,
+        cms_build,
+        cms_estimate,
+    )
+    from rpa_etl_investing_spark.operators.heavy_hitters import heavy_hitters
+
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    sketch = cms_build(toks)
+    probes = heavy_hitters(docs, threshold_ppm=2500)
+    est = cms_estimate(sketch, probes)
+    eps_n = F.ceil(F.lit(2.718281828459045 / CMS_WIDTH) * F.col("total_tokens"))
+    return est.select(
+        "token",
+        "cnt",
+        "total_tokens",
+        (F.col("est") >= F.col("cnt")).alias("est_ge_exact"),
+        (F.col("est") <= F.col("cnt") + eps_n).alias("est_within_eps"),
+    ).orderBy(F.desc("cnt"), "token")
