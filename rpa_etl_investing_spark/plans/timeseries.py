@@ -941,3 +941,79 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .alias("v_lin_q"),
     ).orderBy("user_id", "day")
+
+
+@register(
+    "timeseries_holt_trend",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS x
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily),
+    -- strict sequential replay (NOTE: list_reduce with a STRUCT
+    -- accumulator miscomputes multi-step folds in DuckDB 1.0.0, so the
+    -- 2-state recurrence recurses row-by-row instead)
+    rec AS (
+      SELECT event_type, day, x, rn,
+             0.25 * x AS l, 0.125 * x AS b
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.event_type, r.day, r.x, r.rn,
+             0.75 * rec.l + 0.75 * rec.b + 0.25 * r.x,
+             -0.125 * rec.l + 0.875 * rec.b + 0.125 * r.x
+      FROM rec JOIN r ON r.event_type = rec.event_type
+                     AND r.rn = rec.rn + 1)
+    SELECT event_type, day, x,
+           CAST(FLOOR(1e6 * l + 0.5) AS BIGINT) AS level_q,
+           CAST(FLOOR(1e6 * b + 0.5) AS BIGINT) AS trend_q,
+           CAST(FLOOR(1e6 * (l + b) + 0.5) AS BIGINT) AS forecast_q
+    FROM rec
+    """,
+)
+def timeseries_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 gen: Holt double-exponential smoothing — level + trend + the
+    one-step-ahead forecast (l + b) per event_type's daily volume
+    series, computed by the SECOND-ORDER distributed affine scan
+    (operators/recurrence.py `affine2_recurrence`): the (level, trend)
+    state pair evolves as one constant 2×2 matrix recurrence, and
+    affine maps on R² compose, so the same two-level shard-fold +
+    summary-composition shape as the scalar EWMA applies — no per-key
+    sequential task, no Window, no Python.
+
+    α = 0.25, β = 0.5 — both exact binary doubles, so every matrix
+    entry (0.75, −0.125, 0.875) is too; the re-associated scan is
+    reconciled with the oracle's strict left fold on the 1e-6 grid
+    (the EWMA discipline, unchanged)."""
+    from rpa_etl_investing_spark.operators.caching import keep
+    from rpa_etl_investing_spark.operators.prefix import with_id_range_shard
+    from rpa_etl_investing_spark.operators.recurrence import holt
+
+    ev = tbl(spark, sf_dir, "events")
+    daily = keep(
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum("value", 6).alias("x"))
+        .withColumn(
+            "ord", F.datediff(F.col("day"), F.lit("1970-01-01")).cast("bigint")
+        )
+    )
+    sharded = with_id_range_shard(daily, "ord", n_shards=8)
+    sm = holt(sharded, ["event_type"], "ord", "x", alpha=0.25, beta=0.5)
+    lq = F.floor(F.lit(1e6) * F.col("level") + F.lit(0.5)).cast("bigint")
+    tq = F.floor(F.lit(1e6) * F.col("trend") + F.lit(0.5)).cast("bigint")
+    fq = F.floor(
+        F.lit(1e6) * (F.col("level") + F.col("trend")) + F.lit(0.5)
+    ).cast("bigint")
+    return daily.join(sm, ["event_type", "ord"]).select(
+        "event_type",
+        "day",
+        "x",
+        lq.alias("level_q"),
+        tq.alias("trend_q"),
+        fq.alias("forecast_q"),
+    )

@@ -97,3 +97,76 @@ def test_plan_has_no_per_key_window_and_no_python(spark):
     # the within-shard fold groups by (key, shard), proving shard-level
     # parallelism in the aggregate that carries the heavy rows
     assert "_lr_shard" in plan
+
+
+# --- second-order (matrix) recurrence: Holt smoothing --------------------
+
+
+def _holt_sequential(rows, alpha, beta):
+    out = {}
+    state = {}
+    for r in sorted(rows, key=lambda r: (r["k"], r["ord"])):
+        l_prev, b_prev = state.get(r["k"], (0.0, 0.0))
+        l_new = alpha * r["x"] + (1 - alpha) * (l_prev + b_prev)
+        b_new = beta * (l_new - l_prev) + (1 - beta) * b_prev
+        state[r["k"]] = (l_new, b_new)
+        out[(r["k"], r["ord"])] = (l_new, b_new)
+    return out
+
+
+def _holt_series(spark, n_keys=3, n=40):
+    return spark.range(n_keys * n).select(
+        (F.col("id") % n_keys).alias("k"),
+        (F.col("id") / n_keys).cast("bigint").alias("ord"),
+        ((F.col("id") % 13) * 2.5 - 6.0).alias("x"),
+    )
+
+
+def test_holt_matches_sequential_reference(spark):
+    from rpa_etl_investing_spark.operators.recurrence import holt
+
+    df = _holt_series(spark)
+    sharded = with_id_range_shard(df, "ord", n_shards=5)
+    got = holt(sharded, ["k"], "ord", "x", alpha=0.25, beta=0.5).collect()
+    ref = _holt_sequential(df.collect(), 0.25, 0.5)
+    assert len(got) == len(ref)
+    for r in got:
+        el, eb = ref[(r["k"], r["ord"])]
+        assert r["level"] == pytest.approx(el, abs=1e-9)
+        assert r["trend"] == pytest.approx(eb, abs=1e-9)
+
+
+def test_holt_shard_count_invariance(spark):
+    from rpa_etl_investing_spark.operators.recurrence import holt
+
+    df = _holt_series(spark, n_keys=2, n=50)
+    one = {
+        (r["k"], r["ord"]): (r["level"], r["trend"])
+        for r in holt(
+            with_id_range_shard(df, "ord", n_shards=1), ["k"], "ord", "x", 0.25, 0.5
+        ).collect()
+    }
+    many = holt(
+        with_id_range_shard(df, "ord", n_shards=7), ["k"], "ord", "x", 0.25, 0.5
+    ).collect()
+    assert len(many) == len(one)
+    for r in many:
+        el, eb = one[(r["k"], r["ord"])]
+        assert r["level"] == pytest.approx(el, abs=1e-9)
+        assert r["trend"] == pytest.approx(eb, abs=1e-9)
+
+
+def test_affine2_plan_has_no_window_and_no_python(spark):
+    from rpa_etl_investing_spark.operators.recurrence import holt
+
+    df = _holt_series(spark)
+    sharded = with_id_range_shard(df, "ord", n_shards=5)
+    plan = (
+        holt(sharded, ["k"], "ord", "x", 0.25, 0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "_lr_shard" in plan
