@@ -149,3 +149,64 @@ def pagerank(
             )
         )
     return ranks
+
+
+_KCORE_CACHES: list[DataFrame] = []
+
+
+def release_kcore_caches() -> None:
+    """Unpersist the per-round relations cached by prior
+    :func:`kcore_peel` calls. The RESULT DataFrame reads the last
+    round's cache, so only call once it has been consumed."""
+    while _KCORE_CACHES:
+        _KCORE_CACHES.pop().unpersist()
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Bounded k-core peeling (Seidman '83; the distributed peel is
+    Montresor et al.'s iterative formulation): symmetrize ``edges``
+    (``src, dst``, no self-loops), then ``rounds`` times drop every
+    node whose current degree is < ``k`` and restrict edges to the
+    survivors. Returns ``(node, deg)`` — each survivor with its degree
+    in the round-``rounds`` induced subgraph. With enough rounds this
+    is the k-core; a bounded unroll is the deterministic,
+    oracle-replayable form (convergence at the fixture's round count is
+    asserted in tests, the same discipline as the unrolled PageRank
+    grid).
+
+    Scale shape: every round is one hash aggregate (degrees) + two
+    semi joins (endpoint survival), all keyed on node id — no driver
+    state, no collect, plan unrolled. Callers pass the AGGREGATED
+    entity graph (same contract as :func:`pagerank`/:func:`bfs_hops`)."""
+    # Each round's edge set is referenced THREE times by the next round
+    # (degree aggregate + both endpoint semi joins): left fully lazy,
+    # the unrolled tree holds 3^rounds copies of the caller's
+    # fact-sized edge aggregation. A lazy persist per round keeps the
+    # plan linear — every reference compiles to a scan of the round's
+    # cached relation — with NO driver action anywhere (measured 63 s →
+    # 19 s at sf0.001, on par with the other unrolled graph queries).
+    # Previous calls' caches retire first; the result reads the last
+    # round's cache, so this call cannot unpersist its own.
+    release_kcore_caches()
+    sym = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    _KCORE_CACHES.append(sym)
+    e = sym
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        alive = deg.filter(F.col("_deg") >= k).select("src")
+        e = (
+            e.join(alive, "src", "left_semi")
+            .join(alive.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .persist()
+        )
+        _KCORE_CACHES.append(e)
+    return e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    ).select(F.col("src").alias("node"), "deg")

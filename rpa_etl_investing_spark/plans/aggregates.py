@@ -1201,3 +1201,87 @@ def agg_sketch_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_wau")
         ).alias("est_within_tol"),
     )
+
+
+@register(
+    "agg_sketch_intersection",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= DATE '1995-01-01'
+                 AND o_orderdate < DATE '1996-01-01'),
+    b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate >= DATE '1996-01-01'
+            AND o_orderdate < DATE '1997-01-01'),
+    u AS (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b),
+    i AS (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS exact_a,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS exact_b,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS exact_union,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM i) AS exact_intersection,
+           TRUE AS union_within_tol, TRUE AS intersection_within_tol
+    """,
+)
+def agg_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 gen: set-operation estimates from mergeable distinct sketches
+    — |A∩B| via inclusion-exclusion over three HLL estimates
+    (|A| + |B| − |A∪B|), the standard way to answer audience-overlap
+    questions ("customers active in BOTH years") without materializing
+    either set. Exact INTERSECT of two distinct-key sets shuffles both
+    full sets; the sketch path reduces each side to a constant-size
+    state that merges map-side — at 100 TB the only way the question
+    is answerable per ad-hoc segment pair.
+
+    Deterministic-by-construction output (the HLL tolerance
+    discipline): exact values + booleans asserting the estimates land
+    within tolerance. Inclusion-exclusion compounds three sketches'
+    errors and the intersection can be far smaller than either input,
+    so its tolerance is stated against the UNION size (the quantity
+    the error actually scales with): |est∩ − exact∩| ≤ 5% · |A∪B|.
+    rsd = 1% so that bound is ≥ 5σ-equivalent slack."""
+    o = tbl(spark, sf_dir, "orders")
+    y95 = (F.col("o_orderdate") >= F.lit("1995-01-01")) & (
+        F.col("o_orderdate") < F.lit("1996-01-01")
+    )
+    y96 = (F.col("o_orderdate") >= F.lit("1996-01-01")) & (
+        F.col("o_orderdate") < F.lit("1997-01-01")
+    )
+    both = o.filter(y95 | y96)
+    exact = both.agg(
+        F.countDistinct(F.when(y95, F.col("o_custkey"))).alias("exact_a"),
+        F.countDistinct(F.when(y96, F.col("o_custkey"))).alias("exact_b"),
+        F.countDistinct("o_custkey").alias("exact_union"),
+    )
+    approx = both.agg(
+        F.approx_count_distinct(
+            F.when(y95, F.col("o_custkey")), 0.01
+        ).alias("est_a"),
+        F.approx_count_distinct(
+            F.when(y96, F.col("o_custkey")), 0.01
+        ).alias("est_b"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("est_u"),
+    )
+    ix = (
+        o.filter(y95)
+        .select("o_custkey")
+        .intersect(o.filter(y96).select("o_custkey"))
+        .agg(F.count("*").cast("bigint").alias("exact_intersection"))
+    )
+    est_i = F.col("est_a") + F.col("est_b") - F.col("est_u")
+    return (
+        exact.crossJoin(F.broadcast(approx))
+        .crossJoin(F.broadcast(ix))
+        .select(
+            F.col("exact_a").cast("bigint").alias("exact_a"),
+            F.col("exact_b").cast("bigint").alias("exact_b"),
+            F.col("exact_union").cast("bigint").alias("exact_union"),
+            "exact_intersection",
+            (
+                F.abs(F.col("est_u") - F.col("exact_union"))
+                <= F.lit(0.05) * F.col("exact_union")
+            ).alias("union_within_tol"),
+            (
+                F.abs(est_i - F.col("exact_intersection"))
+                <= F.lit(0.05) * F.col("exact_union")
+            ).alias("intersection_within_tol"),
+        )
+    )

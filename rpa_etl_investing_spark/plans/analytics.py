@@ -2532,3 +2532,88 @@ def analytics_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec(ddc) * ddc * nn * 10000 > dec(F.lit(38416)) * n1 * n2 * cc * (nn - cc)
         ).alias("significant"),
     )
+
+
+_KCORE_ORACLE = """
+    WITH flow AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,2))) AS DECIMAL(27,2))
+               AS flow
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(flow) AS DECIMAL(27,2)) AS t FROM flow),
+    edges AS (
+      SELECT src, dst FROM flow CROSS JOIN tot
+      WHERE src <> dst AND flow * 625 > t),
+    e0 AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    d1 AS (SELECT src AS node, COUNT(*) AS deg FROM e0 GROUP BY src),
+    k1 AS (SELECT node FROM d1 WHERE deg >= 3),
+    e1 AS (SELECT s.src, s.dst FROM e0 s
+             JOIN k1 a ON s.src = a.node
+             JOIN k1 b ON s.dst = b.node),
+    d2 AS (SELECT src AS node, COUNT(*) AS deg FROM e1 GROUP BY src),
+    k2 AS (SELECT node FROM d2 WHERE deg >= 3),
+    e2 AS (SELECT s.src, s.dst FROM e1 s
+             JOIN k2 a ON s.src = a.node
+             JOIN k2 b ON s.dst = b.node),
+    d3 AS (SELECT src AS node, COUNT(*) AS deg FROM e2 GROUP BY src),
+    k3 AS (SELECT node FROM d3 WHERE deg >= 3),
+    e3 AS (SELECT s.src, s.dst FROM e2 s
+             JOIN k3 a ON s.src = a.node
+             JOIN k3 b ON s.dst = b.node),
+    d4 AS (SELECT src AS node, COUNT(*) AS deg FROM e3 GROUP BY src),
+    k4 AS (SELECT node FROM d4 WHERE deg >= 3),
+    e4 AS (SELECT s.src, s.dst FROM e3 s
+             JOIN k4 a ON s.src = a.node
+             JOIN k4 b ON s.dst = b.node)
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM e4 GROUP BY src
+    ORDER BY node
+"""
+
+
+@register("graph_kcore", oracle=_KCORE_ORACLE)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 gen: bounded k-core peeling (k=3, 4 unrolled rounds) over the
+    symmetrized thresholded nation trade graph — the cohesion filter
+    that strips low-degree periphery until only the mutually-dense core
+    remains (the entity-graph "who trades with enough partners that
+    ALSO trade with enough partners" question). Operator:
+    operators/graph.py `kcore_peel`; each round is one degree hash
+    aggregate + two endpoint semi joins, loop unrolled into the plan,
+    no driver state. The oracle replays the identical 4 rounds as
+    unrolled CTEs, and convergence at 4 rounds on this graph is
+    asserted in tests (round 5 ≡ round 4), so the bounded unroll IS the
+    fixpoint here. Edge construction reuses the graph_nation_reach
+    threshold (flow·625 > total, division-free above-average cut)."""
+    from rpa_etl_investing_spark.operators.graph import kcore_peel
+
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    s = tbl(spark, sf_dir, "supplier")
+    flow = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(s, "supplier"), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(27,2)"))
+            .cast("decimal(27,2)")
+            .alias("flow")
+        )
+    )
+    tot = flow.agg(F.sum("flow").cast("decimal(27,2)").alias("t"))
+    edges = (
+        flow.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("src") != F.col("dst")) & (F.col("flow") * 625 > F.col("t"))
+        )
+        .select("src", "dst")
+    )
+    return kcore_peel(edges, k=3, rounds=4).orderBy("node")

@@ -2712,3 +2712,113 @@ def llm_count_min_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est") >= F.col("cnt")).alias("est_ge_exact"),
         (F.col("est") <= F.col("cnt") + eps_n).alias("est_within_eps"),
     ).orderBy(F.desc("cnt"), "token")
+
+
+@register(
+    "llm_bm25_retrieval",
+    oracle="""
+    WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    dl AS (SELECT doc_id, CAST(LEN(t) AS BIGINT) AS dl FROM d),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, UNNEST(t) AS token FROM d)
+      WHERE token IN ('query', 'window', 'merge')
+      GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    idf AS (
+      SELECT token,
+             CAST(FLOOR(1e6 * LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) + 0.5)
+                  AS BIGINT) AS idf_q
+      FROM df CROSS JOIN g),
+    sc AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(idf_q * (tf * 2.2)
+                        / (tf + 1.2 * (0.25 + 0.75 *
+                           ((dl.dl * n_docs) / CAST(total_len AS DOUBLE))))
+                        + 0.5) AS BIGINT) AS contrib_q
+      FROM tf JOIN idf USING (token)
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN g)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+           CAST(SUM(contrib_q) AS BIGINT) AS score_q
+    FROM sc GROUP BY doc_id
+    ORDER BY score_q DESC, doc_id
+    LIMIT 20
+    """,
+)
+def llm_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+/S20 gen: BM25 ranked retrieval (Robertson-Spärck Jones IDF,
+    Lucene's +1 variant; k1=1.2, b=0.75) for a literal query over the
+    corpus — the scoring layer on top of the inverted-index AND-search.
+
+    Exactness discipline: each ln(·) IDF is quantized ONCE per term to
+    the 1e-6 grid; each (doc, term) contribution is then quantized to
+    BIGINT, so the per-doc reduction is an exact integer SUM — no
+    cross-engine float accumulation anywhere, and the final ranking
+    compares BIGINTs.
+
+    Scale shape: doc length is `size(split(..))` map-side (no explode);
+    the explode is immediately thinned to the query's terms before the
+    (doc, term) aggregate, so the only corpus-wide shuffle carries hits
+    of 3 terms; (n_docs, total_len) ride as a 1-row broadcast; the IDF
+    table is |query| rows (broadcast); top-20 is
+    TakeOrderedAndProject."""
+    docs = tbl(spark, sf_dir, "documents")
+    terms = ["query", "window", "merge"]
+    d = docs.select("doc_id", F.split("text", " ").alias("t"))
+    dl = d.select("doc_id", F.size("t").cast("bigint").alias("dl"))
+    g = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    tf = (
+        d.select("doc_id", F.explode("t").alias("token"))
+        .filter(F.col("token").isin(*terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    idf = df_.crossJoin(F.broadcast(g)).select(
+        "token",
+        F.floor(
+            F.lit(1e6)
+            * F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("idf_q"),
+    )
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25)
+        + F.lit(0.75)
+        * ((F.col("dl") * F.col("n_docs")) / F.col("total_len").cast("double"))
+    )
+    sc = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            F.floor(
+                F.col("idf_q") * (F.col("tf") * F.lit(2.2)) / denom + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("contrib_q"),
+        )
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+            F.sum("contrib_q").cast("bigint").alias("score_q"),
+        )
+        .orderBy(F.desc("score_q"), "doc_id")
+        .limit(20)
+    )

@@ -705,3 +705,53 @@ def _xxh_py(spark: SparkSession, terms: list[str]) -> list[int]:
         .head()
     )
     return [row[i] for i in range(len(terms))]
+
+
+@register(
+    "source_phrase_search",
+    oracle="""
+    WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    b AS (
+      SELECT doc_id, s['w1'] AS w1, s['w2'] AS w2 FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(2, LEN(t) + 1),
+                                     i -> {'w1': t[i-1], 'w2': t[i]})) AS s
+        FROM d WHERE LEN(t) >= 2))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM b WHERE w1 = 'window' AND w2 = 'join'
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def source_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20 gen: exact-phrase search over a POSITIONAL index — the
+    adjacency step that turns the inverted index's bag-of-words
+    AND-search into "these words, consecutively". Postings carry
+    (doc_id, pos) from `posexplode`; each phrase term's postings are
+    thinned FIRST (the filter reaches the scan side of the explode, so
+    only the phrase's two terms ever shuffle), then adjacency is one
+    equi-join on (doc_id, next_pos == pos) — the standard
+    positional-index phrase merge, never a substring scan of the
+    corpus. The oracle independently recounts via the bigram-array
+    derivation. At 100 TB the join's inputs are df(term) rows per term
+    — document text is never re-read or re-scanned at query time."""
+    docs = tbl(spark, sf_dir, "documents")
+    w1, w2 = "window", "join"
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    a = pos.filter(F.col("token") == w1).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = pos.filter(F.col("token") == w2).select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    hits = a.join(
+        b,
+        (a["doc_id"] == b["doc_id"]) & (F.col("pos_b") == F.col("pos_a") + 1),
+    ).select(a["doc_id"])
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+        .orderBy("doc_id")
+    )
