@@ -11,7 +11,7 @@ is TakeOrderedAndProject (no global sort).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rpa_etl_investing_spark.catalog import maybe_broadcast, tbl
@@ -2617,3 +2617,163 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return kcore_peel(edges, k=3, rounds=4).orderBy("node")
+
+
+@register(
+    "profile_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM d GROUP BY digit)
+    SELECT digit, n_obs,
+           CAST(FLOOR(1e10 * (n_obs / n) + 0.5) AS BIGINT) AS share_obs_q,
+           CAST(FLOOR(1e10 * LOG10(1.0 + 1.0 / digit) + 0.5) AS BIGINT)
+             AS share_exp_q,
+           CAST(FLOOR(1e10 * (n_obs / n) + 0.5)
+                - FLOOR(1e10 * LOG10(1.0 + 1.0 / digit) + 0.5)
+                AS BIGINT) AS deviation_q
+    FROM obs CROSS JOIN tot
+    ORDER BY digit
+    """,
+)
+def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 gen: Benford first-digit audit — the classic fabricated-data
+    screen (Newcomb 1881 / Benford 1938; real multiplicative-process
+    amounts follow P(d) = log10(1 + 1/d), fabricated ones usually
+    don't). One 9-key hash aggregate over the fact; the observed and
+    expected shares are quantized to the 1e-10 grid (the log10 is
+    evaluated once per digit — 9 values) and compared as exact BIGINTs,
+    so the deviation column is integer arithmetic. The 1-row total
+    rides as a broadcast scalar. At 100 TB this is one map-side-combined
+    aggregate over a single column — the cheapest possible fraud
+    screen."""
+    o = tbl(spark, sf_dir, "orders")
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    tot = d.agg(F.count("*").cast("bigint").alias("n"))
+    obs = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n_obs"))
+    share_obs = F.floor(
+        F.lit(1e10) * (F.col("n_obs") / F.col("n")) + F.lit(0.5)
+    ).cast("bigint")
+    share_exp = F.floor(
+        F.lit(1e10) * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            share_obs.alias("share_obs_q"),
+            share_exp.alias("share_exp_q"),
+            (share_obs - share_exp).cast("bigint").alias("deviation_q"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "analytics_kaplan_meier",
+    oracle="""
+    WITH it AS (
+      SELECT DATE_DIFF('day', o.o_orderdate, l.l_shipdate) AS dur
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    obs AS (
+      SELECT CASE WHEN dur <= 90 THEN dur ELSE 90 END AS t,
+             CASE WHEN dur <= 90 THEN 1 ELSE 0 END AS ev
+      FROM it),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs),
+    g AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+                 CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c
+          FROM obs GROUP BY t),
+    r AS (
+      SELECT t, d, c,
+             n - COALESCE(SUM(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM g CROSS JOIN tot),
+    s AS (
+      SELECT t, d, c, CAST(n_risk AS BIGINT) AS n_risk,
+             SUM(CASE WHEN d > 0 THEN
+                   CAST(FLOOR(1e6 * LN(1.0 - d / CAST(n_risk AS DOUBLE)) - 0.5)
+                        AS BIGINT)
+                 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS ln_surv_q
+      FROM r)
+    SELECT t, n_risk, d AS d_events, c AS c_censored,
+           CAST(ln_surv_q AS BIGINT) AS ln_surv_q
+    FROM s
+    ORDER BY t
+    """,
+)
+def analytics_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 gen: Kaplan-Meier survival estimator (Kaplan & Meier 1958)
+    over order→ship latency with administrative right-censoring at 90
+    days (items still unshipped at the 90-day follow-up horizon are
+    censored, not events — dropping them would bias the curve, the
+    exact mistake KM exists to fix). Output per distinct duration day:
+    at-risk count, events, censored, and the log-survival
+    Σ ln(1 − d/n) accumulated as exact BIGINTs on the 1e-6 ln-grid
+    (each ln quantized once per row; ln(1−d/n) < 0 so the grid uses
+    FLOOR(x − 0.5) — round-half-away symmetric with the positive-side
+    convention; no cross-engine exp/product ever runs).
+
+    Scale shape: the fact-sized work is one (duration) hash aggregate
+    after the keyed order join; every window after that runs on the
+    duration-day table, whose cardinality is bounded by the follow-up
+    horizon (≤ 91 rows REGARDLESS of corpus size) — the windows are on
+    a bounded relation by construction, the same argument as the
+    shard-summary frames in operators/prefix.py."""
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    it = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.datediff("l_shipdate", "o_orderdate").alias("dur")
+    )
+    obs = it.select(
+        F.when(F.col("dur") <= 90, F.col("dur")).otherwise(F.lit(90)).alias("t"),
+        F.when(F.col("dur") <= 90, F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+    )
+    tot = obs.agg(F.count("*").cast("bigint").alias("n"))
+    g = obs.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        (F.count("*") - F.sum("ev")).cast("bigint").alias("c"),
+    )
+    w_prev = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        (
+            F.col("n")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).cast("bigint"),
+    )
+    ln_term = F.when(
+        F.col("d") > 0,
+        F.floor(
+            F.lit(1e6)
+            * F.log(F.lit(1.0) - F.col("d") / F.col("n_risk").cast("double"))
+            - F.lit(0.5)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    s = r.withColumn("ln_surv_q", F.sum(ln_term).over(w_cum).cast("bigint"))
+    return s.select(
+        "t",
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        "ln_surv_q",
+    ).orderBy("t")

@@ -319,3 +319,83 @@ def stream_upsert_journal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compact_journal(spark, sink_dir, ["user_id"]).select(
         "user_id", F.col("n_events").cast("bigint").alias("n_events")
     )
+
+
+@register(
+    "stream_stateful_ewma",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS xq
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             list(xq / 1e6 ORDER BY day) AS xs
+      FROM daily GROUP BY event_type)
+    SELECT event_type, n_days,
+           CAST(FLOOR(1e6 * list_reduce(
+                  list_prepend(CAST(0.0 AS DOUBLE), xs),
+                  (acc, v) -> 0.25 * v + 0.75 * acc) + 0.5)
+                AS BIGINT) AS ewma_q
+    FROM agg
+    ORDER BY event_type
+    """,
+)
+def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 gen: stateful NUMERIC streaming — per-event-type EWMA of the
+    daily value total maintained in ``applyInPandasWithState`` state
+    (constant-size (n_days, ewma) per key), run as a real readStream →
+    memory-sink query over the events fixture. Day totals are exact
+    integer micro-units before the fold (the float-sum-order trap the
+    operator docstring documents), so the final streaming emission is
+    bit-reconcilable with the oracle's strict scalar left fold on the
+    1e-6 grid. The batch twin of this state machine is the distributed
+    affine scan (timeseries_ewma) — same recurrence, two execution
+    models."""
+    import os
+    import uuid
+
+    from rpa_etl_investing_spark.catalog import normalize_events_ts
+    from rpa_etl_investing_spark.sources import scratch_dir
+    from rpa_etl_investing_spark.streaming import running_type_ewma
+
+    stream_dir = scratch_dir(
+        os.path.basename(os.path.normpath(sf_dir)), "events_ewma", "x"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(stream_dir)
+    )
+    sink = f"stateful_ewma_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_type_ewma(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # keep the emission from the most advanced state per key (n_days is
+    # monotone across a key's emissions, so max-n_days = final)
+    return spark.sql(
+        f"""
+        SELECT event_type, n_days,
+               CAST(FLOOR(1e6 * ewma + 0.5) AS BIGINT) AS ewma_q
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY n_days DESC) AS rn
+          FROM {sink}) WHERE rn = 1
+        ORDER BY event_type
+        """
+    )

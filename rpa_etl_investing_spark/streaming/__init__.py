@@ -13,7 +13,10 @@ from rpa_etl_investing_spark.streaming.sinks import (
     compact_journal,
     journal_upsert_sink,
 )
-from rpa_etl_investing_spark.streaming.stateful import running_user_totals
+from rpa_etl_investing_spark.streaming.stateful import (
+    running_type_ewma,
+    running_user_totals,
+)
 from rpa_etl_investing_spark.streaming.windows import (
     dedup_first_event,
     drop_late_events,
@@ -27,6 +30,7 @@ __all__ = [
     "interval_join",
     "static_enrich",
     "journal_upsert_sink",
+    "running_type_ewma",
     "running_user_totals",
     "tumbling_window_counts",
     "sliding_window_counts",

@@ -58,3 +58,57 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUTPUT_SCHEMA = "event_type string, n_days bigint, ewma double"
+EWMA_STATE_SCHEMA = "n_days bigint, ewma double"
+_EWMA_ALPHA = 0.25
+
+
+def _update_ewma(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold the key's micro-batch into the running daily EWMA.
+
+    Numerics contract: each event value is quantized to 1e-6 integer
+    units BEFORE the per-day sum, so the day totals are exact integer
+    arithmetic (order-independent — a float sum here would drift from
+    the engine-side DECIMAL aggregation); the EWMA fold itself is the
+    strict left fold over day totals in day order. Within a batch days
+    are sorted; batches are assumed to arrive in event-time order (one
+    batch in the registered demo) — production late data would need a
+    reordering buffer keyed on the stored last day."""
+    n_days, y = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        q = (pdf["value"].astype("float64") * 1e6).round().astype("int64")
+        day = pdf["ts"].dt.floor("D")
+        per_day = q.groupby(day).sum().sort_index()
+        for total_q in per_day:
+            x = total_q / 1e6
+            y = _EWMA_ALPHA * x + (1.0 - _EWMA_ALPHA) * y
+            n_days += 1
+    state.update((n_days, y))
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "n_days": [n_days], "ewma": [y]}
+    )
+
+
+def running_type_ewma(events: DataFrame) -> DataFrame:
+    """Per-event-type streaming EWMA of the daily value total — the
+    stateful-numeric sibling of :func:`running_user_totals`: state is a
+    constant-size (n_days, ewma) pair per key in the executor state
+    store, each micro-batch folds its days in and emits the updated
+    smoothed value. The batch equivalent is the distributed scan
+    (operators/recurrence.py ewma); the final streaming emission per
+    key equals the batch fold's last value."""
+    return events.filter(events.event_type.isNotNull()).groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        _update_ewma,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
