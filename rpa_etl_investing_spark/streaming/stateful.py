@@ -79,16 +79,20 @@ def _update_ewma(
     batch in the registered demo) — production late data would need a
     reordering buffer keyed on the stored last day."""
     n_days, y = state.get if state.exists else (0, 0.0)
+    # merge day totals across ALL the batch's Arrow chunks BEFORE
+    # folding: a key whose rows span multiple chunks (≥ ~10k rows)
+    # would otherwise fold a chunk-straddling day twice
+    sums: dict = {}
     for pdf in pdfs:
         if not len(pdf):
             continue
         q = (pdf["value"].astype("float64") * 1e6).round().astype("int64")
-        day = pdf["ts"].dt.floor("D")
-        per_day = q.groupby(day).sum().sort_index()
-        for total_q in per_day:
-            x = total_q / 1e6
-            y = _EWMA_ALPHA * x + (1.0 - _EWMA_ALPHA) * y
-            n_days += 1
+        for day, total_q in q.groupby(pdf["ts"].dt.floor("D")).sum().items():
+            sums[day] = sums.get(day, 0) + int(total_q)
+    for day in sorted(sums):
+        x = sums[day] / 1e6
+        y = _EWMA_ALPHA * x + (1.0 - _EWMA_ALPHA) * y
+        n_days += 1
     state.update((n_days, y))
     yield pd.DataFrame(
         {"event_type": [key[0]], "n_days": [n_days], "ewma": [y]}

@@ -110,6 +110,19 @@ MULTI_SF_NAMES = [
     "llm_zipf_slope",
     "analytics_ab_proportion_test",
     "curation_weighted_sample_k",
+    # r5 late-session widening: the second-order re-associated scan
+    # (holt), IEEE interpolation weights, quantized-ln survival and
+    # BM25/Benford grids, CMS tolerance booleans, the bigram-LM
+    # fluency quantization feeding tercile cuts, and the stateful
+    # streaming fold reconciled against the strict scalar fold
+    "timeseries_holt_trend",
+    "timeseries_interpolate_linear",
+    "analytics_kaplan_meier",
+    "llm_bm25_retrieval",
+    "profile_benford_digits",
+    "llm_count_min_freq",
+    "curation_ccnet_buckets",
+    "stream_stateful_ewma",
 ]
 
 
