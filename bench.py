@@ -44,8 +44,16 @@ HEADLINE = {
     # r5 rotation: track newer operator-family cost round-over-round.
     # The original 12-query subtotal is still reported (subtotal_12) so
     # totals stay comparable with BENCH_r01-r04 / BASELINE.md.
-    "q13_prefix_filter_pairs": "llm_prefix_filter_pairs",
+    #
+    # NOT benched: llm_prefix_filter_pairs. Exact τ=0.6 set-similarity
+    # output is QUADRATIC on this fixture (template near-dup clusters
+    # grow linearly with SF ⇒ 71k pairs at sf0.01 → 7.1M at sf0.1,
+    # ~2 min even with PPJoin's length+positional filters); the scale
+    # path for that question is the capped MinHash banding already
+    # benched as q8. The exact join stays correctness-gated at sf0.01.
+    "q13_zorder_layout": "source_zorder_layout",
     "q14_simhash64_pairs": "llm_simhash64_hamming_pairs",
+    "q15_heavy_hitters": "llm_heavy_hitters",
 }
 
 # the set whose sum is comparable with the r1 baseline recording
