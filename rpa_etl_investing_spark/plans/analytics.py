@@ -2777,3 +2777,73 @@ def analytics_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("c_censored"),
         "ln_surv_q",
     ).orderBy("t")
+
+
+@register(
+    "profile_column_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT col, val, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority' AS col, o_orderpriority AS val FROM orders)
+      GROUP BY col, val),
+    t AS (SELECT col, CAST(SUM(n) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct
+          FROM c GROUP BY col)
+    SELECT c.col, n_distinct,
+           CAST((-CAST(SUM(n * CAST(FLOOR(1e6 * LN(CAST(n AS DOUBLE) / tot)
+                                            - 0.5) AS BIGINT)) AS BIGINT))
+                // tot AS BIGINT) AS entropy_q
+    FROM c JOIN t ON c.col = t.col
+    GROUP BY c.col, t.n_distinct, t.tot
+    ORDER BY c.col
+    """,
+)
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-profiling gen: per-column Shannon entropy — the one-number
+    "how informative is this column" profile (key candidates score
+    high, near-constant columns near 0) that drives index/partition
+    choices and data-drift baselines. Σ p·ln p accumulated as exact
+    BIGINTs: each distinct value's ln(n/tot) is quantized ONCE to the
+    1e-6 grid (FLOOR(x−0.5): the arguments are < 1 so every ln is
+    negative — same symmetric convention as the Kaplan-Meier terms),
+    then the weighted sum and the final integer division by −tot stay
+    in BIGINT.
+
+    Scale shape: one stacked unpivot pass over the fact, one
+    (col, val) hash aggregate with map-side combine (cardinality =
+    Σ distinct per column), one per-col total broadcast. Entropy of
+    high-cardinality columns costs exactly the distinct count, never a
+    sort."""
+    o = tbl(spark, sf_dir, "orders")
+    c = (
+        o.select(
+            F.explode(
+                F.create_map(
+                    F.lit("o_orderstatus"),
+                    F.col("o_orderstatus"),
+                    F.lit("o_orderpriority"),
+                    F.col("o_orderpriority"),
+                )
+            ).alias("col", "val")
+        )
+        .groupBy("col", "val")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    t = c.groupBy("col").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+    )
+    lnq = F.floor(
+        F.lit(1e6) * F.log(F.col("n").cast("double") / F.col("tot"))
+        - F.lit(0.5)
+    ).cast("bigint")
+    return (
+        c.join(F.broadcast(t), "col")
+        .groupBy("col", "n_distinct", "tot")
+        .agg(F.sum(F.col("n") * lnq).cast("bigint").alias("_s"))
+        .withColumn("entropy_q", F.expr("CAST((-_s) div tot AS BIGINT)"))
+        .select("col", "n_distinct", "entropy_q")
+        .orderBy("col")
+    )

@@ -695,3 +695,76 @@ def etl_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price",
         "max_price",
     ).orderBy("month", "o_orderstatus")
+
+
+@register(
+    "etl_scd2_audit",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts AS valid_from,
+             LEAD(ts) OVER w AS valid_to
+      FROM events
+      WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(COUNT(*) FILTER (WHERE valid_to IS NULL) AS BIGINT)
+             AS n_current,
+           CAST(COUNT(*) FILTER (WHERE valid_to IS NOT NULL
+                                   AND valid_to < valid_from) AS BIGINT)
+             AS n_inverted,
+           CAST(COUNT(*) FILTER (WHERE valid_to IS NOT NULL
+                                   AND valid_to = valid_from) AS BIGINT)
+             AS n_zero_width
+    FROM v
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def etl_scd2_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16/J-gen: SCD2 conformance audit — the invariants a versioned
+    dimension must satisfy before anything joins against it: exactly
+    ONE current (open-ended) version per key, no inverted intervals
+    (valid_to < valid_from), and zero-width versions surfaced (two
+    changes at the same instant — legal but worth counting, they are
+    invisible to as-of joins). Runs against the engine's own SCD2
+    derivation (etl_scd2_history's window), so a regression in the
+    history builder trips this gate, not a downstream join.
+
+    One window + one hash aggregate sharing the user_id shuffle. The
+    n_current == 1 and n_inverted == 0 invariants are additionally
+    asserted as hard test expectations in tests/test_etl.py."""
+    ev = tbl(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    v = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    return (
+        v.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_versions"),
+            F.count_if(F.col("valid_to").isNull())
+            .cast("bigint")
+            .alias("n_current"),
+            F.count_if(
+                F.col("valid_to").isNotNull()
+                & (F.col("valid_to") < F.col("valid_from"))
+            )
+            .cast("bigint")
+            .alias("n_inverted"),
+            F.count_if(
+                F.col("valid_to").isNotNull()
+                & (F.col("valid_to") == F.col("valid_from"))
+            )
+            .cast("bigint")
+            .alias("n_zero_width"),
+        )
+        .orderBy("user_id")
+    )

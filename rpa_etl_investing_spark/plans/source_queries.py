@@ -755,3 +755,45 @@ def source_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_hits"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "source_generator_range",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS id,
+           CAST(i % 7 AS BIGINT) AS bucket,
+           CAST(('0x' || SUBSTRING(md5(CAST(i AS VARCHAR)), 1, 8))::BIGINT
+                AS BIGINT) AS h32,
+           CAST(SUM(i) OVER () AS BIGINT) AS checksum
+    FROM range(0, 10000) t(i)
+    QUALIFY i % 1000 = 0
+    ORDER BY i
+    """,
+)
+def source_generator_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family: the zero-input GENERATOR source — `spark.range` is the
+    table-function source every synthetic-data / backfill / spine job
+    starts from (Spark plans it as a parallel Range operator with
+    pushed-down start/step, no file I/O at all; the engine-portable
+    md5-prefix uniform is the same derivation used by the sampling
+    operators). The oracle is DuckDB's range() table function with the
+    identical hash derivation — proving the generated content, not just
+    the row count. The global checksum rides along to pin the UNSAMPLED
+    stream (every one of the 10k rows contributes), while the output is
+    thinned to every 1000th row so the compare stays tiny at any
+    generator size."""
+    r = spark.range(0, 10000).select(F.col("id"))
+    full = r.select(
+        "id",
+        (F.col("id") % 7).cast("bigint").alias("bucket"),
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h32"),
+    )
+    tot = full.agg(F.sum("id").cast("bigint").alias("checksum"))
+    return (
+        full.filter(F.col("id") % 1000 == 0)
+        .crossJoin(F.broadcast(tot))
+        .select("id", "bucket", "h32", "checksum")
+        .orderBy("id")
+    )

@@ -205,3 +205,16 @@ def test_merge_apply_seq_col_latest_wins(spark):
     got = {(r["k"], r["v"]) for r in out.collect()}
     assert got == {(1, "a2"), (3, "c2")}
     assert out.count() == out.select("k").distinct().count()
+
+
+def test_scd2_audit_invariants(spark, sf_dir):
+    """The conformance gate's hard invariants on the engine's own SCD2
+    derivation: exactly one open-ended current version per key, and no
+    inverted validity intervals (etl_scd2_audit docstring contract)."""
+    from rpa_etl_investing_spark.plans.registry import QUERIES
+
+    rows = QUERIES["etl_scd2_audit"].fn(spark, sf_dir).collect()
+    assert rows, "audit must cover at least one user"
+    for r in rows:
+        assert r.n_current == 1, f"user {r.user_id}: {r.n_current} current"
+        assert r.n_inverted == 0, f"user {r.user_id}: inverted intervals"

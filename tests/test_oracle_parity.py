@@ -123,6 +123,7 @@ MULTI_SF_NAMES = [
     "llm_count_min_freq",
     "curation_ccnet_buckets",
     "stream_stateful_ewma",
+    "profile_column_entropy",
 ]
 
 
