@@ -2822,3 +2822,100 @@ def llm_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_q"), "doc_id")
         .limit(20)
     )
+
+
+_PQ_ORACLE = """
+    WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+    d0 AS (SELECT v.vec_id, c.vec_id AS cid, CAST(LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, 17), i -> CAST(FLOOR((CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) * 1e10 + 0.5) AS BIGINT)), 'sum') AS BIGINT) AS dq FROM embeddings v CROSS JOIN cent c),
+    d1 AS (SELECT v.vec_id, c.vec_id AS cid, CAST(LIST_AGGREGATE(LIST_TRANSFORM(RANGE(17, 33), i -> CAST(FLOOR((CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) * 1e10 + 0.5) AS BIGINT)), 'sum') AS BIGINT) AS dq FROM embeddings v CROSS JOIN cent c),
+    d2 AS (SELECT v.vec_id, c.vec_id AS cid, CAST(LIST_AGGREGATE(LIST_TRANSFORM(RANGE(33, 49), i -> CAST(FLOOR((CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) * 1e10 + 0.5) AS BIGINT)), 'sum') AS BIGINT) AS dq FROM embeddings v CROSS JOIN cent c),
+    d3 AS (SELECT v.vec_id, c.vec_id AS cid, CAST(LIST_AGGREGATE(LIST_TRANSFORM(RANGE(49, 65), i -> CAST(FLOOR((CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) * 1e10 + 0.5) AS BIGINT)), 'sum') AS BIGINT) AS dq FROM embeddings v CROSS JOIN cent c),
+    alld AS (
+      SELECT vec_id, 0 AS j, cid, dq FROM d0
+      UNION ALL
+      SELECT vec_id, 1 AS j, cid, dq FROM d1
+      UNION ALL
+      SELECT vec_id, 2 AS j, cid, dq FROM d2
+      UNION ALL
+      SELECT vec_id, 3 AS j, cid, dq FROM d3),
+    best AS (
+      SELECT vec_id, j, cid, dq FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                     ORDER BY dq, cid) AS rn
+        FROM alld) WHERE rn = 1)
+    SELECT vec_id,
+           MAX(CASE WHEN j = 0 THEN cid END) AS c0,
+           MAX(CASE WHEN j = 1 THEN cid END) AS c1,
+           MAX(CASE WHEN j = 2 THEN cid END) AS c2,
+           MAX(CASE WHEN j = 3 THEN cid END) AS c3,
+           CAST(SUM(dq) AS BIGINT) AS err_q
+    FROM best
+    GROUP BY vec_id
+    ORDER BY vec_id
+"""
+
+
+@register("llm_embedding_pq", oracle=_PQ_ORACLE)
+def llm_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+: product quantization (Jégou et al., PAMI'11) — the memory
+    side of billion-scale ANN: each 64-dim vector compresses to m=4
+    sub-codes (one byte each here: 8 seed centroids per 16-dim
+    subspace, the same vec_id<8 seed convention as the IVF coarse
+    quantizer), with the per-vector reconstruction error reported.
+    Combined with IVF this is the IVFPQ layout; the asymmetric-distance
+    lookup tables at query time are |query|·m·k cells — bounded.
+
+    Exactness discipline: subspace L2 distances accumulate
+    per-component quantized squares (1e10 grid, the _DOT convention) as
+    BIGINTs, and the argmin tie-breaks on (dist_q, centroid_id) — so
+    code assignment is deterministic on both engines and err_q is an
+    integer sum.
+
+    Scale shape: one pass over the corpus against a BROADCAST codebook
+    (m·k = 32 subvectors — bounded by construction, the legitimate
+    broadcast class); the per-(vec, subspace) argmin is a struct-min
+    hash aggregate, and codes pivot back with one more keyed
+    aggregate. Training the codebook properly would run the Lloyd
+    refinement already implemented for IVF (operators/similarity.py)
+    per subspace; the seed-codebook form keeps the oracle exact."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    pairs = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cent))
+
+    def dq(j: int):
+        lo = j * 16
+        return F.expr(
+            f"CAST(aggregate(sequence({lo}, {lo + 15}), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc + CAST(FLOOR((CAST(embedding[i] AS DOUBLE) - "
+            f"CAST(cemb[i] AS DOUBLE)) * (CAST(embedding[i] AS DOUBLE) - "
+            f"CAST(cemb[i] AS DOUBLE)) * 1e10 + 0.5) AS BIGINT)) AS BIGINT)"
+        )
+
+    alld = pairs.select(
+        "vec_id",
+        "cid",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), dq(j).alias("dq"))
+                for j in range(4)
+            ])
+        ).alias("s"),
+    ).select("vec_id", F.col("s.j").alias("j"), "cid", F.col("s.dq").alias("dq"))
+    best = (
+        alld.groupBy("vec_id", "j")
+        .agg(F.min(F.struct("dq", "cid")).alias("b"))
+        .select("vec_id", "j", F.col("b.cid").alias("cid"), F.col("b.dq").alias("dq"))
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("j") == j, F.col("cid"))).alias(f"c{j}")
+                for j in range(4)
+            ],
+            F.sum("dq").cast("bigint").alias("err_q"),
+        )
+        .orderBy("vec_id")
+    )

@@ -124,6 +124,7 @@ MULTI_SF_NAMES = [
     "curation_ccnet_buckets",
     "stream_stateful_ewma",
     "profile_column_entropy",
+    "llm_embedding_pq",
 ]
 
 
