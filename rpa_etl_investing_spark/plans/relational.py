@@ -605,3 +605,66 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+    SELECT b.band, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN (SELECT r_regionkey AS band,
+                 r_regionkey * 100000.0 AS lo,
+                 (r_regionkey + 1) * 100000.0 AS hi
+          FROM region) b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    ORDER BY b.band
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 scale path: the SAME range join as `join_range`, executed by
+    INTERVAL BINNING — the standard rewrite when BOTH sides are too big
+    for a broadcast nested loop (which is O(|fact|·|bands|) compares and
+    needs one side in memory). Each interval explodes into the
+    fixed-width buckets it overlaps (`sequence(floor(lo/w),
+    floor((hi-ε)/w))`), each point maps to its single bucket, and the
+    join becomes a plain shuffled EQUI-join on the bucket key with the
+    exact range predicate as a residual filter — hash-partitionable,
+    skew-handled by AQE like any other equi-join. Fan-out is
+    ⌈interval_width / w⌉ rows per interval (here 10 per band), chosen
+    so buckets align with interval endpoints. tests/test_plans.py
+    asserts the physical plan contains NO BroadcastNestedLoopJoin and
+    DOES hash-shuffle on the bucket key; the oracle (identical to
+    join_range's) proves the rewrite changes nothing."""
+    w = 10000
+    o = tbl(spark, sf_dir, "orders")
+    bands = tbl(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("band"),
+        (F.col("r_regionkey") * 100000.0).alias("lo"),
+        ((F.col("r_regionkey") + 1) * 100000.0).alias("hi"),
+    )
+    binned = bands.select(
+        "band",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / w).cast("bigint"),
+                F.floor((F.col("hi") - F.lit(1e-9)) / w).cast("bigint"),
+            )
+        ).alias("bucket"),
+    )
+    pts = o.select(
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / w).cast("bigint").alias("bucket"),
+    )
+    return (
+        pts.join(binned, "bucket")
+        .filter(
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi"))
+        )
+        .groupBy("band")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy("band")
+    )

@@ -833,3 +833,21 @@ def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
     truth = li.join(keys, li.l_suppkey == keys.s_suppkey, "left_semi")
     missing = truth.exceptAll(pre.select(*truth.columns)).count()
     assert missing == 0
+
+
+def test_bucketed_range_join_is_equi_join(spark, sf_dir):
+    """join_range_bucketed's contract: the interval-binning rewrite must
+    plan as an equi-join on the bucket key — no BroadcastNestedLoopJoin
+    anywhere (the operator exists precisely to avoid it), with the
+    exact range predicate left as a residual condition/filter."""
+    from rpa_etl_investing_spark.plans.registry import QUERIES
+
+    plan = (
+        QUERIES["join_range_bucketed"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
