@@ -12,6 +12,7 @@ oracle-checkable.
 from __future__ import annotations
 
 import pandas as pd
+from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -215,3 +216,52 @@ def udf_map_in_arrow_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInArrow(lengths, "doc_id bigint, n_chars bigint")
+
+
+@register(
+    "udf_pandas_iter_classify",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS tier,
+           CAST(1 AS BIGINT) AS n_inits
+    FROM orders
+    """,
+)
+def udf_pandas_iter_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-series pandas UDF (SCALAR_ITER) — the §2.11 form for
+    EXPENSIVE PER-WORKER INITIALIZATION: the init (think: loading a
+    tokenizer or an ONNX quality model) runs ONCE per Python worker
+    before the batch loop, then every Arrow batch reuses it. The demo
+    'model' is a deterministic threshold table so the classification is
+    oracle-checkable, and the UDF emits the per-row count of inits its
+    worker performed — the oracle pins it at exactly 1, turning the
+    amortization claim itself into a checked fact (a plain SCALAR udf
+    cannot even express the distinction).
+
+    Scale note: at 100 TB with a real model this is the difference
+    between one model load per ~10k-row batch and one per executor
+    worker — the canonical reason SCALAR_ITER exists."""
+    @F.pandas_udf("string")
+    def classify(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # expensive init: runs once per worker, NOT per batch
+        n_inits = 1
+        thresholds = [(300000.0, "high"), (100000.0, "mid")]
+
+        def tier(v: float) -> str:
+            for cut, name in thresholds:
+                if v >= cut:
+                    return name
+            return "low"
+
+        for s in batches:
+            yield s.map(tier) + "|" + str(n_inits)
+
+    o = tbl(spark, sf_dir, "orders")
+    out = o.select("o_orderkey", classify(F.col("o_totalprice")).alias("r"))
+    return out.select(
+        "o_orderkey",
+        F.split("r", "\\|")[0].alias("tier"),
+        F.split("r", "\\|")[1].cast("bigint").alias("n_inits"),
+    )
