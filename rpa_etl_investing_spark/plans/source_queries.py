@@ -797,3 +797,81 @@ def source_generator_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "bucket", "h32", "checksum")
         .orderBy("id")
     )
+
+
+@register(
+    "source_manifest_time_travel",
+    oracle="""
+    SELECT 1 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderdate < DATE '1996-01-01'
+    UNION ALL
+    SELECT 2 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    ORDER BY version
+    """,
+)
+def source_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family: snapshot isolation + time travel on PLAIN parquet via
+    versioned file manifests — the minimal form of what Delta/Iceberg
+    transaction logs provide (SURVEY §7.4 names Delta as the production
+    answer; this shows the mechanism is just 'readers pick files
+    through an immutable manifest, never by listing the directory').
+    Version 1 lands the pre-1996 orders; version 2 appends the rest and
+    writes a NEW manifest referencing old+new files — the v1 manifest
+    is never touched, so a v1 reader is isolated from the append (the
+    two-phase-publish guarantee, extended to history). The query reads
+    BOTH versions through their manifests and aggregates each; the
+    oracle derives the same two snapshots from the cutoff predicate,
+    proving manifest-selected bytes == logical snapshots.
+
+    At 100 TB: manifests list files, not rows — a version read costs
+    O(files in snapshot) metadata + a parquet scan of exactly those
+    files, and concurrent appends never disturb pinned readers."""
+    import json
+    import os
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = scratch_dir(sf_tag, "time_travel")
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    v1_dir, v2_dir = os.path.join(base, "batch1"), os.path.join(base, "batch2")
+    o.filter(F.col("o_orderdate") < F.lit("1996-01-01")).write.mode(
+        "overwrite"
+    ).parquet(v1_dir)
+    o.filter(F.col("o_orderdate") >= F.lit("1996-01-01")).write.mode(
+        "overwrite"
+    ).parquet(v2_dir)
+
+    def _files(d: str) -> list[str]:
+        return sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    os.makedirs(os.path.join(base, "_manifests"), exist_ok=True)
+    manifests = {1: _files(v1_dir), 2: _files(v1_dir) + _files(v2_dir)}
+    for v, files in manifests.items():
+        with open(os.path.join(base, "_manifests", f"v{v}.json"), "w") as fh:
+            json.dump({"version": v, "files": files}, fh)
+
+    outs = []
+    for v in (1, 2):
+        with open(os.path.join(base, "_manifests", f"v{v}.json")) as fh:
+            snap = json.load(fh)
+        df = spark.read.parquet(*snap["files"])
+        outs.append(
+            df.agg(
+                F.lit(v).alias("version"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            ).select("version", "n_rows", "sum_price")
+        )
+    return outs[0].unionByName(outs[1]).orderBy("version")
