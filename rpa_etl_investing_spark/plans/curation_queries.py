@@ -1367,3 +1367,55 @@ def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "curation_split_leakage",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT md5(text) AS h,
+             CASE WHEN {_BUCKET_SQL} < '{frac_to_hex(0.8)}' THEN 'train'
+                  WHEN {_BUCKET_SQL} < '{frac_to_hex(0.9)}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    hs AS (SELECT DISTINCT h, split FROM assigned),
+    pairs AS (
+      SELECT a.h, a.split AS split_a, b.split AS split_b
+      FROM hs a JOIN hs b ON a.h = b.h AND a.split < b.split)
+    SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_leaked_contents
+    FROM pairs
+    GROUP BY split_a, split_b
+    ORDER BY split_a, split_b
+    """,
+)
+def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5+: train/val/test LEAKAGE audit — the check every eval pipeline
+    must run BEFORE trusting held-out metrics: identical document
+    content appearing on both sides of a split boundary (the id-keyed
+    deterministic split is stable, but duplicate CONTENT under
+    different ids walks across it freely — exactly why dedup must
+    precede splitting, and this query measures how much leakage remains
+    if it doesn't). One row per split pair with the count of leaked
+    distinct contents.
+
+    Scale shape: content hash + split label per doc (map-side), one
+    distinct on (hash, split) — shuffle carries 16-byte digests, never
+    text — then a self-join keyed on the hash whose fan-out is bounded
+    by 3 split labels per hash (≤ 3 rows/key by construction). The
+    reference's workload cannot leak (single-source append,
+    /root/reference/main.py:137-147); this is the generalization its
+    training-data consumers need."""
+    docs = tbl(spark, sf_dir, "documents")
+    assigned = deterministic_split(docs, "doc_id").select(
+        F.md5("text").alias("h"), "split"
+    )
+    hs = assigned.distinct()
+    a = hs.select("h", F.col("split").alias("split_a"))
+    b = hs.select("h", F.col("split").alias("split_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").cast("bigint").alias("n_leaked_contents"))
+        .orderBy("split_a", "split_b")
+    )

@@ -2919,3 +2919,87 @@ def llm_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "llm_semantic_contamination",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             {{bucket}} AS bucket
+      FROM embeddings),
+    bench AS (SELECT * FROM b WHERE label = 0),
+    corp AS (SELECT * FROM b WHERE label <> 0),
+    hits AS (
+      SELECT c.vec_id,
+             CAST(FLOOR(1e10 * ({{cos}}) + 0.5) AS BIGINT) AS cos_q
+      FROM corp c JOIN bench q ON c.bucket = q.bucket
+      WHERE {{cos}} >= 0.4)
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+           CAST(MAX(cos_q) AS BIGINT) AS max_cos_q
+    FROM hits
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """.format(
+        bucket=hyperplane_bucket_sql("embedding"),
+        cos=_cos_sql("c.embedding", "q.embedding"),
+    ),
+)
+def llm_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+ gen: SEMANTIC benchmark contamination — the embedding-space
+    sibling of the n-gram scan (`llm_benchmark_contamination`):
+    paraphrased eval items share no 8-grams but do share embedding
+    neighborhoods, so decontamination pipelines run both. The label-0
+    vectors stand in as the benchmark set; corpus vectors landing in
+    the same sign-LSH bucket as any benchmark vector are exact-cosine
+    verified at ≥ 0.4 and reported with hit count + max quantized
+    similarity.
+
+    Scale shape: cross-SET bucket join (never a corpus self-join) —
+    candidates scale with per-bucket benchmark occupancy, and the
+    benchmark side is the small one by construction (eval suites are
+    thousands of items; the corpus is the 100 TB side), so AQE
+    broadcasts it while the corpus streams map-side. Same seeded
+    hyperplanes as every sign-LSH query (one derivation, one oracle
+    CTE)."""
+    from rpa_etl_investing_spark.operators.similarity import (
+        _norm,
+        cosine_prenormed,
+        sign_lsh_buckets,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    b = sign_lsh_buckets(emb, 8, "vec_id", "embedding", 64).withColumn(
+        "_nrm", _norm(F.col("embedding"))
+    )
+    bench = b.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_vec"),
+        F.col("_nrm").alias("q_norm"),
+        "bucket",
+    )
+    corp = b.filter(F.col("label") != 0).select(
+        "vec_id",
+        F.col("embedding").alias("c_vec"),
+        F.col("_nrm").alias("c_norm"),
+        "bucket",
+    )
+    cos = cosine_prenormed(
+        F.col("c_vec"), F.col("q_vec"), F.col("c_norm"), F.col("q_norm")
+    )
+    return (
+        corp.join(bench, "bucket")
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.4)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bench_hits"),
+            F.max(
+                F.floor(F.lit(1e10) * F.col("cos_sim") + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("max_cos_q"),
+        )
+        .orderBy("vec_id")
+    )

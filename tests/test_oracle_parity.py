@@ -125,6 +125,7 @@ MULTI_SF_NAMES = [
     "stream_stateful_ewma",
     "profile_column_entropy",
     "llm_embedding_pq",
+    "llm_semantic_contamination",
 ]
 
 
