@@ -99,3 +99,33 @@ def test_read_before_any_commit_raises(spark, tmp_path):
     os.makedirs(table)
     with pytest.raises(FileNotFoundError):
         read_published(spark, table)
+
+
+def test_manifest_time_travel_pins_readers(spark, sf_dir):
+    """source_manifest_time_travel's isolation claim, executed: a v1
+    reader re-resolved AFTER new data files land must still see exactly
+    the v1 snapshot, because the v1 manifest is immutable and readers
+    never list the directory."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from rpa_etl_investing_spark.plans.registry import QUERIES
+    from rpa_etl_investing_spark.sources.formats import scratch_dir
+
+    before = {
+        (r.version, r.n_rows) for r in
+        QUERIES["source_manifest_time_travel"].fn(spark, sf_dir).collect()
+    }
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = scratch_dir(sf_tag, "time_travel")
+    # simulate a concurrent writer landing extra files next to batch1's
+    spark.range(5).select(
+        F.col("id").alias("o_orderkey"),
+        F.lit("1994-01-01").cast("date").alias("o_orderdate"),
+        F.lit(1.0).alias("o_totalprice"),
+    ).write.mode("append").parquet(os.path.join(base, "batch1"))
+    with open(os.path.join(base, "_manifests", "v1.json")) as fh:
+        v1 = json.load(fh)
+    n_v1 = spark.read.parquet(*v1["files"]).count()
+    assert {(1, n_v1)} <= before, "v1 manifest read changed after append"
