@@ -851,3 +851,40 @@ def test_bucketed_range_join_is_equi_join(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "bucket" in plan
+
+
+def test_length_batching_rank_is_sharded(spark, sf_dir):
+    """multimodal_length_batching's rank must come from the two-level
+    sharded running count — the row-level window partitions by
+    (media_type, _ps_shard), never by the 3-value modality key alone."""
+    import re
+
+    plan = _plan(QUERIES["multimodal_length_batching"].fn(spark, sf_dir))
+    n = spark.conf.get("spark.sql.shuffle.partitions")
+    assert re.search(
+        rf"hashpartitioning\(media_type#\d+, _ps_shard#\d+, {n}\)", plan
+    ), plan
+    for val, spec in re.findall(
+        r"Window \[sum\((\w+)#?\d*L?\) windowspecdefinition\(([^)]*)\)", plan
+    ):
+        if val != "_ps_tot":
+            assert "_ps_shard" in spec, (val, spec, plan)
+
+
+def test_bm25_plans_take_ordered(spark, sf_dir):
+    """llm_bm25_retrieval's top-20 must plan as TakeOrderedAndProject
+    (never a global sort), and the corpus-side aggregate must show the
+    partial/final split (map-side combine on the thinned term hits)."""
+    plan = _plan(QUERIES["llm_bm25_retrieval"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_heavy_hitters_recount_is_semi_join_thinned(spark, sf_dir):
+    """llm_heavy_hitters' exact recount must thin the re-scan with a
+    broadcast LEFT SEMI join against the bounded MG candidate set
+    before the token aggregate — the contract that keeps the shuffle
+    off the full vocabulary."""
+    plan = _plan(QUERIES["llm_heavy_hitters"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
