@@ -2535,7 +2535,7 @@ def analytics_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KCORE_ORACLE = """
-    WITH flow AS (
+    WITH flow AS MATERIALIZED (
       SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
              CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,2))) AS DECIMAL(27,2))
                AS flow
@@ -2544,29 +2544,29 @@ _KCORE_ORACLE = """
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY 1, 2),
-    tot AS (SELECT CAST(SUM(flow) AS DECIMAL(27,2)) AS t FROM flow),
-    edges AS (
+    tot AS MATERIALIZED (SELECT CAST(SUM(flow) AS DECIMAL(27,2)) AS t FROM flow),
+    edges AS MATERIALIZED (
       SELECT src, dst FROM flow CROSS JOIN tot
       WHERE src <> dst AND flow * 625 > t),
-    e0 AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-    d1 AS (SELECT src AS node, COUNT(*) AS deg FROM e0 GROUP BY src),
-    k1 AS (SELECT node FROM d1 WHERE deg >= 3),
-    e1 AS (SELECT s.src, s.dst FROM e0 s
+    e0 AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    d1 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e0 GROUP BY src),
+    k1 AS MATERIALIZED (SELECT node FROM d1 WHERE deg >= 3),
+    e1 AS MATERIALIZED (SELECT s.src, s.dst FROM e0 s
              JOIN k1 a ON s.src = a.node
              JOIN k1 b ON s.dst = b.node),
-    d2 AS (SELECT src AS node, COUNT(*) AS deg FROM e1 GROUP BY src),
-    k2 AS (SELECT node FROM d2 WHERE deg >= 3),
-    e2 AS (SELECT s.src, s.dst FROM e1 s
+    d2 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e1 GROUP BY src),
+    k2 AS MATERIALIZED (SELECT node FROM d2 WHERE deg >= 3),
+    e2 AS MATERIALIZED (SELECT s.src, s.dst FROM e1 s
              JOIN k2 a ON s.src = a.node
              JOIN k2 b ON s.dst = b.node),
-    d3 AS (SELECT src AS node, COUNT(*) AS deg FROM e2 GROUP BY src),
-    k3 AS (SELECT node FROM d3 WHERE deg >= 3),
-    e3 AS (SELECT s.src, s.dst FROM e2 s
+    d3 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e2 GROUP BY src),
+    k3 AS MATERIALIZED (SELECT node FROM d3 WHERE deg >= 3),
+    e3 AS MATERIALIZED (SELECT s.src, s.dst FROM e2 s
              JOIN k3 a ON s.src = a.node
              JOIN k3 b ON s.dst = b.node),
-    d4 AS (SELECT src AS node, COUNT(*) AS deg FROM e3 GROUP BY src),
-    k4 AS (SELECT node FROM d4 WHERE deg >= 3),
-    e4 AS (SELECT s.src, s.dst FROM e3 s
+    d4 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e3 GROUP BY src),
+    k4 AS MATERIALIZED (SELECT node FROM d4 WHERE deg >= 3),
+    e4 AS MATERIALIZED (SELECT s.src, s.dst FROM e3 s
              JOIN k4 a ON s.src = a.node
              JOIN k4 b ON s.dst = b.node)
     SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
