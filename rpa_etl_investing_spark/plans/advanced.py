@@ -348,3 +348,109 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["value"],
         tolerance_seconds=7200,
     )
+
+
+@register(
+    "asof_join_nearest_purchase",
+    oracle="""
+    WITH clicks AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+      WHERE rn = 1),
+    b AS (
+      SELECT c.event_id, c.user_id, c.ts,
+             p.ts AS ts_b, p.value AS value_b
+      FROM clicks c
+      ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND p.ts <= c.ts),
+    f AS (
+      SELECT c.event_id, p.ts AS ts_f, p.value AS value_f
+      FROM clicks c
+      ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND p.ts >= c.ts)
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE WHEN ts_b IS NULL THEN ts_f
+                WHEN ts_f IS NULL THEN ts_b
+                WHEN epoch_us(b.ts) - epoch_us(ts_b)
+                     <= epoch_us(ts_f) - epoch_us(b.ts) THEN ts_b
+                ELSE ts_f END AS ts_near,
+           CASE WHEN ts_b IS NULL THEN value_f
+                WHEN ts_f IS NULL THEN value_b
+                WHEN epoch_us(b.ts) - epoch_us(ts_b)
+                     <= epoch_us(ts_f) - epoch_us(b.ts) THEN value_b
+                ELSE value_f END AS value_near,
+           CASE WHEN ts_b IS NULL AND ts_f IS NULL THEN NULL
+                WHEN ts_b IS NULL THEN 'forward'
+                WHEN ts_f IS NULL THEN 'backward'
+                WHEN epoch_us(b.ts) - epoch_us(ts_b)
+                     <= epoch_us(ts_f) - epoch_us(b.ts) THEN 'backward'
+                ELSE 'forward' END AS direction
+    FROM b JOIN f ON b.event_id = f.event_id
+    """,
+)
+def asof_join_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 completion: NEAREST as-of — each click gets the purchase
+    closest in time in EITHER direction (pandas merge_asof
+    direction='nearest'), with ties broken toward the past (the
+    backward row), the merge_asof convention. Composition of the two
+    existing one-shuffle merge-scans joined back on the left key —
+    exactly two user-keyed shuffles + one event-keyed join, no
+    windows over unsharded time. The tie compare runs in integer
+    microseconds (epoch) so no float enters the direction choice."""
+    ev = tbl(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    dedup_w = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    b = asof_join(
+        clicks, purchases, key="user_id", ts="ts", value_cols=["value"]
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("ts_b"),
+        F.col("value_asof").alias("value_b"),
+    )
+    f = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        ts="ts",
+        value_cols=["value"],
+        direction="forward",
+    ).select(
+        "event_id",
+        F.col("ts_asof").alias("ts_f"),
+        F.col("value_asof").alias("value_f"),
+    )
+    j = b.join(f, "event_id")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    db = us("ts") - us("ts_b")
+    df_ = us("ts_f") - us("ts")
+    take_b = F.col("ts_f").isNull() | (
+        F.col("ts_b").isNotNull() & (db <= df_)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(take_b, F.col("ts_b")).otherwise(F.col("ts_f")).alias("ts_near"),
+        F.when(take_b, F.col("value_b"))
+        .otherwise(F.col("value_f"))
+        .alias("value_near"),
+        F.when(F.col("ts_b").isNull() & F.col("ts_f").isNull(), F.lit(None))
+        .when(take_b, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )

@@ -2847,3 +2847,134 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col", "n_distinct", "entropy_q")
         .orderBy("col")
     )
+
+
+@register(
+    "analytics_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM rev),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(i * x) AS BIGINT) AS six
+      FROM r)
+    SELECT n, sx,
+           CAST(FLOOR(1e9 * (2.0 * six - (n + 1.0) * sx) / (n * CAST(sx AS DOUBLE))
+                      + 0.5) AS BIGINT) AS gini_q
+    FROM s
+    """,
+)
+def analytics_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-gen: exact Gini coefficient of customer revenue — the
+    one-number concentration profile (0 = uniform, →1 = one whale)
+    behind "what share of revenue do the top customers carry".
+    Identity: G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx), i the ascending
+    rank — every term an exact BIGINT (revenue accumulates in integer
+    cents), one final IEEE division quantized to the 1e-9 grid.
+
+    Scale shape: the rank over the per-customer revenue table comes
+    from the SHARDED running count (value-range shards on x, ties keyed
+    by custkey never cross shards) — no global sort task even when the
+    customer dimension is billions of rows; the three sums fold to a
+    1-row frame."""
+    from rpa_etl_investing_spark.operators.prefix import (
+        sharded_row_number,
+        with_value_range_shard,
+    )
+
+    o = tbl(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    ranked = sharded_row_number(
+        with_value_range_shard(rev, "x"), [], ["x", "o_custkey"], "i"
+    )
+    s = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("six"),
+    )
+    return s.select(
+        "n",
+        "sx",
+        F.floor(
+            F.lit(1e9)
+            * (2.0 * F.col("six") - (F.col("n") + F.lit(1.0)) * F.col("sx"))
+            / (F.col("n") * F.col("sx").cast("double"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("gini_q"),
+    )
+
+
+@register(
+    "agg_grouped_ols",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS DECIMAL(20,2)) AS x,
+             CAST(l_extendedprice AS DECIMAL(20,2)) AS y
+      FROM lineitem),
+    s AS (
+      SELECT flag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DECIMAL(38,2)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,2)) AS sy,
+             CAST(SUM(x * x) AS DECIMAL(38,4)) AS sxx,
+             CAST(SUM(x * y) AS DECIMAL(38,4)) AS sxy
+      FROM d GROUP BY flag)
+    SELECT flag, n,
+           CAST(FLOOR(1e6 * ((n * CAST(sxy AS DOUBLE) -
+                              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                             (n * CAST(sxx AS DOUBLE) -
+                              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                      + 0.5) AS BIGINT) AS slope_q
+    FROM s
+    ORDER BY flag
+    """,
+)
+def agg_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 gen: PER-GROUP closed-form OLS (price-per-quantity slope per
+    return flag) — the grouped twin of agg_ols_regression: one hash
+    aggregate produces each group's exact DECIMAL power sums (count,
+    Σx, Σy, Σx², Σxy), and the slope is one deterministic IEEE
+    evaluation of the closed form per GROUP row, quantized to 1e-6.
+    No per-group iteration, no ML library, group count bounds the
+    post-aggregate work — the pattern that fits a million segment
+    regressions in one pass at 100 TB."""
+    li = tbl(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("decimal(20,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(20,2)").alias("y"),
+    )
+    s = d.groupBy("flag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,2)").alias("sx"),
+        F.sum("y").cast("decimal(38,2)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,4)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,4)").alias("sxy"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return s.select(
+        "flag",
+        "n",
+        F.floor(F.lit(1e6) * slope + F.lit(0.5)).cast("bigint").alias("slope_q"),
+    ).orderBy("flag")

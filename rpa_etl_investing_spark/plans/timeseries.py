@@ -1017,3 +1017,80 @@ def timeseries_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         tq.alias("trend_q"),
         fq.alias("forecast_q"),
     )
+
+
+@register(
+    "timeseries_seasonal_naive_eval",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS xq
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY 1, 2),
+    j AS (
+      SELECT a.event_type, a.day, a.xq, f.xq AS fq
+      FROM daily a JOIN daily f
+        ON a.event_type = f.event_type
+       AND f.day = a.day - INTERVAL 7 DAY)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(ABS(xq - fq)) AS BIGINT) AS sum_abs_err_q,
+           CAST(FLOOR(1e6 * (CAST(SUM(ABS(xq - fq)) AS DOUBLE)
+                             / SUM(ABS(xq))) + 0.5) AS BIGINT) AS wape_q
+    FROM j
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def timeseries_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-gen: forecast-baseline evaluation — the seasonal-naive forecast
+    (ŷ_t = y_{t−7}, the weekly-seasonality baseline every real forecast
+    must beat) scored per event_type with exact integer errors: day
+    totals in 1e-6 micro-units (BIGINT), absolute errors summed as
+    BIGINTs, and WAPE (Σ|err|/Σ|y|, the scale-free accuracy metric
+    robust to zero days) quantized once at the end.
+
+    Scale shape: the lag-7 lookup is a keyed SELF-JOIN on
+    (type, day−7) — no ordered window over an unbounded per-type
+    timeline, so the plan is two hash shuffles of the aggregated daily
+    table regardless of history length; the raw fact is touched once by
+    the daily aggregate."""
+    ev = tbl(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("xq")
+        )
+    )
+    f = daily.select(
+        "event_type",
+        (F.col("day") + F.expr("INTERVAL 7 DAY")).alias("day"),
+        F.col("xq").alias("fq"),
+    )
+    j = daily.join(f, ["event_type", "day"])
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum(F.abs(F.col("xq") - F.col("fq")))
+            .cast("bigint")
+            .alias("sum_abs_err_q"),
+            F.floor(
+                F.lit(1e6)
+                * (
+                    F.sum(F.abs(F.col("xq") - F.col("fq"))).cast("double")
+                    / F.sum(F.abs(F.col("xq")))
+                )
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("wape_q"),
+        )
+        .orderBy("event_type")
+    )

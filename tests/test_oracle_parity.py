@@ -126,6 +126,9 @@ MULTI_SF_NAMES = [
     "profile_column_entropy",
     "llm_embedding_pq",
     "llm_semantic_contamination",
+    "analytics_gini_concentration",
+    "agg_grouped_ols",
+    "timeseries_seasonal_naive_eval",
 ]
 
 
