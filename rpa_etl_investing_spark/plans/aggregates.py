@@ -1285,3 +1285,96 @@ def agg_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intersection_within_tol"),
         )
     )
+
+
+@register(
+    "agg_covariance_matrix",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(l_quantity AS DECIMAL(20,2)) AS a,
+             CAST(l_extendedprice AS DECIMAL(20,2)) AS b,
+             CAST(l_discount AS DECIMAL(20,2)) AS c
+      FROM lineitem),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a) AS DECIMAL(38,2)) AS sa,
+             CAST(SUM(b) AS DECIMAL(38,2)) AS sb,
+             CAST(SUM(c) AS DECIMAL(38,2)) AS sc,
+             CAST(SUM(a*a) AS DECIMAL(38,4)) AS saa,
+             CAST(SUM(a*b) AS DECIMAL(38,4)) AS sab,
+             CAST(SUM(a*c) AS DECIMAL(38,4)) AS sac,
+             CAST(SUM(b*b) AS DECIMAL(38,4)) AS sbb,
+             CAST(SUM(b*c) AS DECIMAL(38,4)) AS sbc,
+             CAST(SUM(c*c) AS DECIMAL(38,4)) AS scc
+      FROM d),
+    u AS (
+      SELECT 'quantity' AS x, 'quantity' AS y, saa AS sxy, sa AS sx, sa AS sy, n FROM s
+      UNION ALL SELECT 'quantity', 'price', sab, sa, sb, n FROM s
+      UNION ALL SELECT 'quantity', 'discount', sac, sa, sc, n FROM s
+      UNION ALL SELECT 'price', 'price', sbb, sb, sb, n FROM s
+      UNION ALL SELECT 'price', 'discount', sbc, sb, sc, n FROM s
+      UNION ALL SELECT 'discount', 'discount', scc, sc, sc, n FROM s)
+    SELECT x, y,
+           CAST(FLOOR(1e6 * ((CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                             / (n - 1)) + 0.5) AS BIGINT) AS cov_q
+    FROM u
+    ORDER BY x, y
+    """,
+)
+def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 gen: the full sample-covariance MATRIX of (quantity, price,
+    discount) from ONE aggregate pass — every pairwise Σxy accumulates
+    as an exact DECIMAL alongside the marginals, then the d(d+1)/2
+    upper-triangle cells are evaluated from the 1-row sums frame
+    (deterministic IEEE, quantized 1e-6). The single-pass shape is the
+    point at 100 TB: d columns need d(d+1)/2 + d running sums in one
+    map-side-combined aggregate, never d² passes, and the output is
+    d²-sized — driver-safe for any feature count a covariance consumer
+    can actually use."""
+    li = tbl(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_quantity").cast("decimal(20,2)").alias("a"),
+        F.col("l_extendedprice").cast("decimal(20,2)").alias("b"),
+        F.col("l_discount").cast("decimal(20,2)").alias("c"),
+    )
+    s = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("a").cast("decimal(38,2)").alias("sa"),
+        F.sum("b").cast("decimal(38,2)").alias("sb"),
+        F.sum("c").cast("decimal(38,2)").alias("sc"),
+        F.sum(F.col("a") * F.col("a")).cast("decimal(38,4)").alias("saa"),
+        F.sum(F.col("a") * F.col("b")).cast("decimal(38,4)").alias("sab"),
+        F.sum(F.col("a") * F.col("c")).cast("decimal(38,4)").alias("sac"),
+        F.sum(F.col("b") * F.col("b")).cast("decimal(38,4)").alias("sbb"),
+        F.sum(F.col("b") * F.col("c")).cast("decimal(38,4)").alias("sbc"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,4)").alias("scc"),
+    )
+    cells = [
+        ("quantity", "quantity", "saa", "sa", "sa"),
+        ("quantity", "price", "sab", "sa", "sb"),
+        ("quantity", "discount", "sac", "sa", "sc"),
+        ("price", "price", "sbb", "sb", "sb"),
+        ("price", "discount", "sbc", "sb", "sc"),
+        ("discount", "discount", "scc", "sc", "sc"),
+    ]
+    u = None
+    for x, y, sxy, sx, sy in cells:
+        row = s.select(
+            F.lit(x).alias("x"),
+            F.lit(y).alias("y"),
+            F.col(sxy).alias("sxy"),
+            F.col(sx).alias("sx"),
+            F.col(sy).alias("sy"),
+            "n",
+        )
+        u = row if u is None else u.unionByName(row)
+    cov = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    return u.select(
+        "x",
+        "y",
+        F.floor(F.lit(1e6) * cov + F.lit(0.5)).cast("bigint").alias("cov_q"),
+    ).orderBy("x", "y")

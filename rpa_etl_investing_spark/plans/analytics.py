@@ -2978,3 +2978,85 @@ def agg_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.floor(F.lit(1e6) * slope + F.lit(0.5)).cast("bigint").alias("slope_q"),
     ).orderBy("flag")
+
+
+@register(
+    "analytics_basket_affinity",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 50 AS item
+      FROM lineitem),
+    n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+                 FROM lineitem),
+    supp AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS s FROM items
+             GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS s_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= 20)
+    SELECT item_a, item_b, s_ab, sa.s AS s_a, sb.s AS s_b,
+           CAST(FLOOR(1e6 * (CAST(s_ab AS DOUBLE) * n)
+                      / (sa.s * CAST(sb.s AS DOUBLE)) + 0.5) AS BIGINT)
+             AS lift_q
+    FROM pairs
+    JOIN supp sa ON pairs.item_a = sa.item
+    JOIN supp sb ON pairs.item_b = sb.item
+    CROSS JOIN n_orders
+    ORDER BY item_a, item_b
+    """,
+)
+def analytics_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-gen: market-basket affinity — co-occurrence support and LIFT
+    (P(a,b)/(P(a)P(b))) for item pairs within orders, the first mile of
+    association-rule mining (Agrawal-Srikant a-priori: the min-support
+    HAVING is the a-priori prune). Items are partkeys folded to 50
+    classes so pair density is meaningful at fixture scale.
+
+    Scale shape: the pair generation is keyed by ORDER — the self-join
+    fan-out is Σ |basket|² over orders, bounded by basket size (tens),
+    NEVER corpus²; supports join back on the bounded item dimension and
+    the order count rides as a 1-row broadcast. Lift's one IEEE
+    division is quantized at the end; everything before it is BIGINT."""
+    li = tbl(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 50).alias("item")
+    ).distinct()
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    )
+    supp = items.groupBy("item").agg(F.count("*").cast("bigint").alias("s"))
+    a = items.select(F.col("l_orderkey"), F.col("item").alias("item_a"))
+    b = items.select(F.col("l_orderkey"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("bigint").alias("s_ab"))
+        .filter(F.col("s_ab") >= 20)
+    )
+    sa = supp.select(F.col("item").alias("item_a"), F.col("s").alias("s_a"))
+    sb = supp.select(F.col("item").alias("item_b"), F.col("s").alias("s_b"))
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            "s_ab",
+            "s_a",
+            "s_b",
+            F.floor(
+                F.lit(1e6)
+                * (F.col("s_ab").cast("double") * F.col("n"))
+                / (F.col("s_a") * F.col("s_b").cast("double"))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lift_q"),
+        )
+        .orderBy("item_a", "item_b")
+    )

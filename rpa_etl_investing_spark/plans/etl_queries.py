@@ -768,3 +768,68 @@ def etl_scd2_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "etl_late_arriving_dimension",
+    oracle="""
+    WITH known AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0),
+    phase1 AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE k.c_custkey IS NOT NULL) AS BIGINT)
+               AS n_resolved,
+             CAST(COUNT(*) FILTER (WHERE k.c_custkey IS NULL) AS BIGINT)
+               AS n_placeholder
+      FROM orders o LEFT JOIN known k ON o.o_custkey = k.c_custkey),
+    phase2 AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NOT NULL) AS BIGINT)
+               AS n_resolved,
+             CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+               AS n_placeholder
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+    SELECT 'initial' AS phase, n_resolved, n_placeholder FROM phase1
+    UNION ALL
+    SELECT 'after_backfill', n_resolved, n_placeholder FROM phase2
+    ORDER BY phase
+    """,
+)
+def etl_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J5 gen: the LATE-ARRIVING DIMENSION pattern — facts land
+    before their dimension row exists (the reference's scrape can emit
+    an index before its sector mapping is known,
+    /root/reference/main.py:122-135 would silently drop it). The
+    warehouse answer: resolve what resolves, attach a PLACEHOLDER
+    surrogate (-1, the inferred member) to the rest instead of dropping
+    or stalling the load, and BACKFILL when the dimension arrives —
+    re-resolving ONLY the quarantined keys. The query runs both phases
+    (dimension missing every 10th customer, then complete) and reports
+    resolved/placeholder counts per phase; the oracle derives the same
+    two phases from the modulus split, proving no fact is ever lost and
+    the backfill converges to fully-resolved.
+
+    Scale shape: each phase is one keyed left join (dim side
+    AQE-broadcast at fixture scale, shuffled at 100×) folded straight
+    into a 1-row aggregate; the backfill targets only the placeholder
+    subset — work proportional to the late keys, not the fact table."""
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    known = c.filter(F.col("c_custkey") % 10 != 0).select("c_custkey")
+
+    def _phase(dim: DataFrame, tag: str) -> DataFrame:
+        j = o.join(dim, o.o_custkey == dim.c_custkey, "left").select(
+            F.when(dim.c_custkey.isNotNull(), dim.c_custkey)
+            .otherwise(F.lit(-1))
+            .alias("sk")
+        )
+        return j.agg(
+            F.lit(tag).alias("phase"),
+            F.count_if(F.col("sk") != -1).cast("bigint").alias("n_resolved"),
+            F.count_if(F.col("sk") == -1)
+            .cast("bigint")
+            .alias("n_placeholder"),
+        ).select("phase", "n_resolved", "n_placeholder")
+
+    return (
+        _phase(known, "initial")
+        .unionByName(_phase(c.select("c_custkey"), "after_backfill"))
+        .orderBy("phase")
+    )

@@ -1094,3 +1094,114 @@ def timeseries_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "timeseries_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS xq
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY 1, 2),
+    shifted AS (
+      SELECT event_type, day + TO_DAYS(CAST(lag AS INT)) AS day,
+             lag, xq AS yq
+      FROM daily CROSS JOIN UNNEST(RANGE(1, 8)) AS t(lag)),
+    p AS (
+      SELECT d.event_type, s.lag, d.xq, s.yq
+      FROM daily d JOIN shifted s
+        ON d.event_type = s.event_type AND d.day = s.day),
+    m AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(yq) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(xq AS DECIMAL(19,0)) * yq) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(xq AS DECIMAL(19,0)) * xq) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(yq AS DECIMAL(19,0)) * yq) AS DECIMAL(38,0)) AS syy
+      FROM p GROUP BY event_type, lag)
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
+           CAST(FLOOR(1e6 * ((n * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / SQRT((n * CAST(sxx AS DOUBLE)
+                                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                    * (n * CAST(syy AS DOUBLE)
+                                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                      + 0.5) AS BIGINT) AS acf_q
+    FROM m
+    ORDER BY event_type, lag
+    """,
+)
+def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-gen: lag-1..7 autocorrelation (the ACF head — the seasonality
+    detector that justifies the seasonal-naive baseline's lag choice)
+    per event_type, computed with ZERO ordered windows: the lagged
+    pairing is ONE keyed join of the daily table against a 7×-exploded
+    day-shifted copy, so the plan is two hash shuffles of the
+    aggregated series whatever the history length. Day totals are
+    exact 1e-6 integer units; all power sums accumulate in DECIMAL(38)
+    (cross-products of 1e12-scale units overflow BIGINT); Pearson r
+    per (type, lag) is one deterministic IEEE expression — sqrt is
+    correctly rounded by IEEE 754, identical on both engines —
+    quantized to 1e-6 at the end."""
+    ev = tbl(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("xq")
+        )
+    )
+    shifted = daily.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+        "day",
+        F.col("xq").alias("yq"),
+    ).select(
+        "event_type",
+        F.expr("day + make_interval(0, 0, 0, lag)").alias("day"),
+        "lag",
+        "yq",
+    )
+    p = daily.join(shifted, ["event_type", "day"])
+    m = p.groupBy("event_type", "lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xq").cast("decimal(38,0)").alias("sx"),
+        F.sum("yq").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("xq").cast("decimal(19,0)") * F.col("yq"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("xq").cast("decimal(19,0)") * F.col("xq"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("yq").cast("decimal(19,0)") * F.col("yq"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        (
+            F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            F.col("n") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return m.select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        "n",
+        F.floor(F.lit(1e6) * (num / den) + F.lit(0.5))
+        .cast("bigint")
+        .alias("acf_q"),
+    ).orderBy("event_type", "lag")

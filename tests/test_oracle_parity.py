@@ -129,6 +129,9 @@ MULTI_SF_NAMES = [
     "analytics_gini_concentration",
     "agg_grouped_ols",
     "timeseries_seasonal_naive_eval",
+    "agg_covariance_matrix",
+    "analytics_basket_affinity",
+    "timeseries_autocorrelation",
 ]
 
 
