@@ -1291,21 +1291,21 @@ def agg_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_covariance_matrix",
     oracle="""
     WITH d AS (
-      SELECT CAST(l_quantity AS DECIMAL(20,2)) AS a,
-             CAST(l_extendedprice AS DECIMAL(20,2)) AS b,
-             CAST(l_discount AS DECIMAL(20,2)) AS c
+      SELECT CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS a,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS b,
+             CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS c
       FROM lineitem),
     s AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(a) AS DECIMAL(38,2)) AS sa,
-             CAST(SUM(b) AS DECIMAL(38,2)) AS sb,
-             CAST(SUM(c) AS DECIMAL(38,2)) AS sc,
-             CAST(SUM(a*a) AS DECIMAL(38,4)) AS saa,
-             CAST(SUM(a*b) AS DECIMAL(38,4)) AS sab,
-             CAST(SUM(a*c) AS DECIMAL(38,4)) AS sac,
-             CAST(SUM(b*b) AS DECIMAL(38,4)) AS sbb,
-             CAST(SUM(b*c) AS DECIMAL(38,4)) AS sbc,
-             CAST(SUM(c*c) AS DECIMAL(38,4)) AS scc
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(a) AS HUGEINT) AS sa,
+             CAST(SUM(b) AS HUGEINT) AS sb,
+             CAST(SUM(c) AS HUGEINT) AS sc,
+             CAST(SUM(CAST(a AS HUGEINT) * a) AS HUGEINT) AS saa,
+             CAST(SUM(CAST(a AS HUGEINT) * b) AS HUGEINT) AS sab,
+             CAST(SUM(CAST(a AS HUGEINT) * c) AS HUGEINT) AS sac,
+             CAST(SUM(CAST(b AS HUGEINT) * b) AS HUGEINT) AS sbb,
+             CAST(SUM(CAST(b AS HUGEINT) * c) AS HUGEINT) AS sbc,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS scc
       FROM d),
     u AS (
       SELECT 'quantity' AS x, 'quantity' AS y, saa AS sxy, sa AS sx, sa AS sy, n FROM s
@@ -1313,42 +1313,55 @@ def agg_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT 'quantity', 'discount', sac, sa, sc, n FROM s
       UNION ALL SELECT 'price', 'price', sbb, sb, sb, n FROM s
       UNION ALL SELECT 'price', 'discount', sbc, sb, sc, n FROM s
-      UNION ALL SELECT 'discount', 'discount', scc, sc, sc, n FROM s)
+      UNION ALL SELECT 'discount', 'discount', scc, sc, sc, n FROM s),
+    q AS (
+      SELECT x, y,
+             n * sxy - sx * sy AS num,
+             n * (n - 1) AS den
+      FROM u)
     SELECT x, y,
-           CAST(FLOOR(1e6 * ((CAST(sxy AS DOUBLE)
-                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-                             / (n - 1)) + 0.5) AS BIGINT) AS cov_q
-    FROM u
+           CAST(CASE WHEN num >= 0
+                     THEN (2 * num + den) // (2 * den)
+                     ELSE -((2 * (-num) + den) // (2 * den)) END
+                AS BIGINT) AS cov_c2_q
+    FROM q
     ORDER BY x, y
     """,
 )
 def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A16 gen: the full sample-covariance MATRIX of (quantity, price,
-    discount) from ONE aggregate pass — every pairwise Σxy accumulates
-    as an exact DECIMAL alongside the marginals, then the d(d+1)/2
-    upper-triangle cells are evaluated from the 1-row sums frame
-    (deterministic IEEE, quantized 1e-6). The single-pass shape is the
-    point at 100 TB: d columns need d(d+1)/2 + d running sums in one
-    map-side-combined aggregate, never d² passes, and the output is
-    d²-sized — driver-safe for any feature count a covariance consumer
-    can actually use."""
+    discount) from ONE aggregate pass — values on the integer cents
+    grid, every pairwise Σxy an exact DECIMAL(38,0) integer, and the
+    final cell round(num/den) computed by INTEGER division with
+    symmetric half-away rounding — NO double exists anywhere in the
+    query, so there is nothing to drift (the first cut cast the >2^53
+    DECIMAL sums to double and the two engines' decimal→double
+    roundings disagreed by one ulp at sf0.1 — this form is the fix).
+    Output unit: cents² (dollars²·10⁴).
+
+    The single-pass shape is the point at 100 TB: d columns need
+    d(d+1)/2 + d running sums in one map-side-combined aggregate,
+    never d² passes; the cells are evaluated from the 1-row sums
+    frame."""
     li = tbl(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
     d = li.select(
-        F.col("l_quantity").cast("decimal(20,2)").alias("a"),
-        F.col("l_extendedprice").cast("decimal(20,2)").alias("b"),
-        F.col("l_discount").cast("decimal(20,2)").alias("c"),
+        cents("l_quantity").alias("a"),
+        cents("l_extendedprice").alias("b"),
+        cents("l_discount").alias("c"),
     )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     s = d.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("a").cast("decimal(38,2)").alias("sa"),
-        F.sum("b").cast("decimal(38,2)").alias("sb"),
-        F.sum("c").cast("decimal(38,2)").alias("sc"),
-        F.sum(F.col("a") * F.col("a")).cast("decimal(38,4)").alias("saa"),
-        F.sum(F.col("a") * F.col("b")).cast("decimal(38,4)").alias("sab"),
-        F.sum(F.col("a") * F.col("c")).cast("decimal(38,4)").alias("sac"),
-        F.sum(F.col("b") * F.col("b")).cast("decimal(38,4)").alias("sbb"),
-        F.sum(F.col("b") * F.col("c")).cast("decimal(38,4)").alias("sbc"),
-        F.sum(F.col("c") * F.col("c")).cast("decimal(38,4)").alias("scc"),
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("a").cast("decimal(38,0)").alias("sa"),
+        F.sum("b").cast("decimal(38,0)").alias("sb"),
+        F.sum("c").cast("decimal(38,0)").alias("sc"),
+        F.sum(d19("a") * F.col("a")).cast("decimal(38,0)").alias("saa"),
+        F.sum(d19("a") * F.col("b")).cast("decimal(38,0)").alias("sab"),
+        F.sum(d19("a") * F.col("c")).cast("decimal(38,0)").alias("sac"),
+        F.sum(d19("b") * F.col("b")).cast("decimal(38,0)").alias("sbb"),
+        F.sum(d19("b") * F.col("c")).cast("decimal(38,0)").alias("sbc"),
+        F.sum(d19("c") * F.col("c")).cast("decimal(38,0)").alias("scc"),
     )
     cells = [
         ("quantity", "quantity", "saa", "sa", "sa"),
@@ -1369,12 +1382,16 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
         u = row if u is None else u.unionByName(row)
-    cov = (
-        F.col("sxy").cast("double")
-        - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n")
-    ) / (F.col("n") - 1)
-    return u.select(
+    q = u.select(
         "x",
         "y",
-        F.floor(F.lit(1e6) * cov + F.lit(0.5)).cast("bigint").alias("cov_q"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * (F.col("n") - 1)).alias("den"),
+    )
+    rounded = F.when(
+        F.col("num") >= 0,
+        F.expr("(2 * num + den) div (2 * den)"),
+    ).otherwise(-F.expr("(2 * (-num) + den) div (2 * den)"))
+    return q.select(
+        "x", "y", rounded.cast("bigint").alias("cov_c2_q")
     ).orderBy("x", "y")
