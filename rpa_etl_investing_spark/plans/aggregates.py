@@ -1395,3 +1395,67 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "x", "y", rounded.cast("bigint").alias("cov_c2_q")
     ).orderBy("x", "y")
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem),
+    g AS (SELECT v, CAST(SUM(w) AS BIGINT) AS w FROM d GROUP BY v),
+    t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM g),
+    c AS (
+      SELECT v, w,
+             CAST(SUM(w) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cw
+      FROM g)
+    SELECT MIN(v) AS median_cents,
+           (SELECT tw FROM t) AS total_weight
+    FROM c CROSS JOIN t
+    WHERE 2 * cw >= tw
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 gen: exact WEIGHTED median — the smallest value whose
+    cumulative weight reaches half the total (quantity-weighted price
+    here: the price at which half the shipped units are cheaper). The
+    unweighted exact-selection machinery (operators/prefix.py) does not
+    apply directly because rank position ≠ weight mass; instead the
+    cumulative weights run through the same two-level sharded scan over
+    the DISTINCT-value table: per-(value-range shard) partial sums +
+    broadcast shard offsets, then one aggregate picks the min
+    qualifying value. All arithmetic is BIGINT on the cents grid; the
+    threshold is the integer inequality 2·cw ≥ W (no halving division).
+
+    Scale shape: the fact collapses to (value, weight-sum) — shuffle
+    cardinality = distinct prices, not rows; the scan is sharded so no
+    single task ever windows the whole value domain; total weight
+    rides as a 1-row broadcast."""
+    from rpa_etl_investing_spark.operators.prefix import (
+        sharded_running_sum,
+        with_value_range_shard,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    g = d.groupBy("v").agg(F.sum("w").cast("bigint").alias("w"))
+    t = g.agg(F.sum("w").cast("bigint").alias("tw"))
+    c = sharded_running_sum(
+        with_value_range_shard(g, "v"), [], ["v"], F.col("w"), "cw"
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .agg(
+            F.min("v").cast("bigint").alias("median_cents"),
+            F.first("tw").cast("bigint").alias("total_weight"),
+        )
+    )

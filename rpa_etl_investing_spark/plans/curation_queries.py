@@ -1419,3 +1419,99 @@ def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_leaked_contents"))
         .orderBy("split_a", "split_b")
     )
+
+
+@register(
+    "curation_sft_format_gate",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN
+               [{'role': 'assistant', 'content': SUBSTRING(text, 1, 10)},
+                {'role': 'user',
+                 'content': CASE WHEN doc_id % 7 = 0 THEN ''
+                                 ELSE SUBSTRING(text, 11, 10) END}]
+             WHEN doc_id % 13 = 0 THEN
+               [{'role': 'user', 'content': SUBSTRING(text, 1, 10)},
+                {'role': 'user',
+                 'content': CASE WHEN doc_id % 7 = 0 THEN ''
+                                 ELSE SUBSTRING(text, 11, 10) END}]
+             ELSE
+               [{'role': 'user', 'content': SUBSTRING(text, 1, 10)},
+                {'role': 'assistant',
+                 'content': CASE WHEN doc_id % 7 = 0 THEN ''
+                                 ELSE SUBSTRING(text, 11, 10) END}]
+             END AS msgs
+      FROM documents),
+    checks AS (
+      SELECT doc_id,
+             msgs[1].role = 'user' AS first_ok,
+             LEN(LIST_FILTER(RANGE(1, LEN(msgs)),
+                             i -> msgs[i].role = msgs[i + 1].role)) = 0
+               AS alternate_ok,
+             LEN(LIST_FILTER(msgs, x -> LENGTH(x.content) = 0)) = 0
+               AS content_ok
+      FROM m)
+    SELECT doc_id, first_ok, alternate_ok, content_ok,
+           (first_ok AND alternate_ok AND content_ok) AS accepted
+    FROM checks
+    ORDER BY doc_id
+    """,
+)
+def curation_sft_format_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5+ gen: SFT conversation-format gate — the schema validation a
+    fine-tuning pipeline runs on chat-formatted samples before they
+    reach a tokenizer: first turn must be the user's, roles must
+    alternate, no empty contents. The fixture manufactures the three
+    defect classes deterministically (role-swap every 11th doc,
+    double-user every 13th, empty assistant every 7th) so the gate's
+    verdicts are oracle-checkable per document.
+
+    Scale shape: entirely map-side — the message array is built,
+    validated with Catalyst higher-order functions (`filter` over the
+    role sequence), and flagged in one projection; no shuffle, no
+    Python, no JSON string round-trip on the hot path. An engine
+    ingesting real OpenAI-style JSON would put `from_json` in front of
+    the same checks (the F13 surface demonstrates that parse)."""
+    docs = tbl(spark, sf_dir, "documents")
+    a = F.substring("text", 1, 10)
+    b = F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(
+        F.substring("text", 11, 10)
+    )
+
+    def msg(role, content):
+        return F.struct(F.lit(role).alias("role"), content.alias("content"))
+
+    msgs = (
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.array(msg("assistant", a), msg("user", b)),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.array(msg("user", a), msg("user", b)),
+        )
+        .otherwise(F.array(msg("user", a), msg("assistant", b)))
+    )
+    m = docs.select("doc_id", msgs.alias("msgs"))
+    first_ok = F.col("msgs")[0]["role"] == "user"
+    alternate_ok = (
+        F.size(
+            F.filter(
+                F.sequence(F.lit(0), F.size("msgs") - 2),
+                lambda i: F.col("msgs")[i]["role"]
+                == F.col("msgs")[i + 1]["role"],
+            )
+        )
+        == 0
+    )
+    content_ok = (
+        F.size(F.filter("msgs", lambda x: F.length(x["content"]) == 0)) == 0
+    )
+    return m.select(
+        "doc_id",
+        first_ok.alias("first_ok"),
+        alternate_ok.alias("alternate_ok"),
+        content_ok.alias("content_ok"),
+        (first_ok & alternate_ok & content_ok).alias("accepted"),
+    ).orderBy("doc_id")
