@@ -833,3 +833,74 @@ def etl_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_phase(c.select("c_custkey"), "after_backfill"))
         .orderBy("phase")
     )
+
+
+@register(
+    "etl_duplicate_payment_scan",
+    oracle="""
+    SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           a.o_custkey AS custkey,
+           CAST(ABS(CAST(FLOOR(a.o_totalprice * 100 + 0.5) AS BIGINT)
+                    - CAST(FLOOR(b.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents_diff,
+           CAST(ABS(DATE_DIFF('day', a.o_orderdate, b.o_orderdate))
+                AS BIGINT) AS days_apart
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+    WHERE ABS(CAST(FLOOR(a.o_totalprice * 100 + 0.5) AS BIGINT)
+              - CAST(FLOOR(b.o_totalprice * 100 + 0.5) AS BIGINT)) <= 100
+      AND ABS(DATE_DIFF('day', a.o_orderdate, b.o_orderdate)) <= 2
+    ORDER BY key_a, key_b
+    """,
+)
+def etl_duplicate_payment_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16/J-gen: duplicate-payment detection — the audit scan every
+    AP/fraud team runs: same customer, near-identical amount (≤ $1.00
+    apart on the exact cents grid), dates within 2 days. A same-key
+    self-join whose fan-out is bounded by per-customer order counts
+    (tens), with the amount/date bands as residual integer predicates —
+    the blocking-key discipline of the record-linkage family
+    (sorted-neighborhood, PPJoin) applied to transactional audit:
+    never an unkeyed cross product, and the residual compares are pure
+    BIGINT (cents, day counts).
+
+    At 100 TB the custkey join is one hash shuffle and AQE's skew
+    split handles whale customers; a production variant would add the
+    (custkey, amount-band) composite key to cut whale fan-out further
+    — the same bucketing escape hatch as join_range_bucketed."""
+    o = tbl(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    base = o.select(
+        "o_orderkey", "o_custkey", "o_orderdate", cents.alias("cents")
+    )
+    a = base.select(
+        F.col("o_orderkey").alias("key_a"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("date_a"),
+        F.col("cents").alias("cents_a"),
+    )
+    b = base.select(
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("date_b"),
+        F.col("cents").alias("cents_b"),
+    )
+    return (
+        a.join(b, "custkey")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.abs(F.col("cents_a") - F.col("cents_b")) <= 100)
+        .filter(F.abs(F.datediff("date_a", "date_b")) <= 2)
+        .select(
+            "key_a",
+            "key_b",
+            "custkey",
+            F.abs(F.col("cents_a") - F.col("cents_b"))
+            .cast("bigint")
+            .alias("cents_diff"),
+            F.abs(F.datediff("date_a", "date_b"))
+            .cast("bigint")
+            .alias("days_apart"),
+        )
+        .orderBy("key_a", "key_b")
+    )
