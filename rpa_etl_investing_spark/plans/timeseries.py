@@ -1205,3 +1205,134 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("acf_q"),
     ).orderBy("event_type", "lag")
+
+
+@register(
+    "timeseries_downsample_lttb",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS yq
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, day, yq,
+             CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(day AS DATE))
+                  AS BIGINT) AS xd,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily),
+    b AS (SELECT *, CAST((rn * 10) // n AS BIGINT) AS bucket FROM r),
+    nb AS (
+      SELECT event_type, bucket,
+             CAST(COUNT(*) AS BIGINT) AS bn,
+             CAST(SUM(xd) AS BIGINT) AS sx,
+             CAST(SUM(yq) AS BIGINT) AS sy
+      FROM b GROUP BY event_type, bucket),
+    a AS (
+      SELECT b.event_type, b.bucket, b.day, b.yq,
+             CASE WHEN p.bn IS NULL OR q.bn IS NULL THEN NULL
+                  ELSE ABS((CAST(p.sx AS HUGEINT) * q.bn
+                            - CAST(q.sx AS HUGEINT) * p.bn)
+                           * (CAST(b.yq AS HUGEINT) * p.bn - p.sy)
+                           - (CAST(p.sx AS HUGEINT) - CAST(b.xd AS HUGEINT) * p.bn)
+                           * (CAST(q.sy AS HUGEINT) * p.bn
+                              - CAST(p.sy AS HUGEINT) * q.bn)) END AS area2
+      FROM b
+      LEFT JOIN nb p ON b.event_type = p.event_type AND p.bucket = b.bucket - 1
+      LEFT JOIN nb q ON b.event_type = q.event_type AND q.bucket = b.bucket + 1)
+    SELECT event_type, bucket, day, yq
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                   ORDER BY area2 DESC NULLS LAST, day) AS rk
+      FROM a)
+    WHERE rk = 1
+    ORDER BY event_type, bucket
+    """,
+)
+def timeseries_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-gen: LTTB downsampling (Steinarsson's Largest-Triangle-Three-
+    Buckets — the standard chart-rendering reducer: keep the point per
+    bucket that subtends the largest triangle with its neighbors, so
+    peaks and shape survive where naive striding flattens them). This
+    is the PARALLEL mean-neighbor variant: neighbors are the adjacent
+    buckets' centroids rather than the previously-selected point —
+    strict LTTB's selection chain is sequential; the mean-neighbor form
+    is the one a distributed engine can run in two hash aggregates +
+    one per-bucket argmax, and is the variant charting libraries ship
+    for exactly that reason.
+
+    Exactness: the triangle area comparison is cleared of denominators
+    (multiply by pbn²·nbn > 0, constant within a bucket, so the argmax
+    is unchanged) — every candidate's score is an exact INTEGER in
+    DECIMAL(38,0)/HUGEINT, ties break on earliest day, and edge buckets
+    (no neighbor on one side) deterministically fall back to their
+    earliest point. No float exists anywhere in the query."""
+    ev = tbl(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("yq")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    r = daily.select(
+        "event_type",
+        "day",
+        "yq",
+        F.datediff(F.col("day"), F.lit("1970-01-01")).cast("bigint").alias("xd"),
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    b = r.withColumn("bucket", F.expr("CAST((rn * 10) div n AS BIGINT)"))
+    nb = b.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("bigint").alias("bn"),
+        F.sum("xd").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+    )
+    p = nb.select(
+        "event_type",
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("bn").alias("pbn"),
+        F.col("sx").alias("psx"),
+        F.col("sy").alias("psy"),
+    )
+    q = nb.select(
+        "event_type",
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("bn").alias("nbn"),
+        F.col("sx").alias("nsx"),
+        F.col("sy").alias("nsy"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    area2 = F.when(
+        F.col("pbn").isNull() | F.col("nbn").isNull(), F.lit(None)
+    ).otherwise(
+        F.abs(
+            (d38("psx") * F.col("nbn") - d38("nsx") * F.col("pbn"))
+            * (d38("yq") * F.col("pbn") - F.col("psy"))
+            - (d38("psx") - d38("xd") * F.col("pbn"))
+            * (d38("nsy") * F.col("pbn") - d38("psy") * F.col("nbn"))
+        )
+    )
+    a = (
+        b.join(p, ["event_type", "bucket"], "left")
+        .join(q, ["event_type", "bucket"], "left")
+        .withColumn("area2", area2)
+    )
+    wk = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc_nulls_last("area2"), F.asc("day")
+    )
+    return (
+        a.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select("event_type", "bucket", "day", "yq")
+        .orderBy("event_type", "bucket")
+    )
