@@ -3060,3 +3060,147 @@ def analytics_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item_a", "item_b")
     )
+
+
+@register(
+    "analytics_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS r
+      FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT CAST(SUM(r) AS BIGINT) AS tr FROM rev),
+    c AS (
+      SELECT l_partkey, r,
+             CAST(SUM(r) OVER (ORDER BY r DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cr
+      FROM rev),
+    k AS (
+      SELECT CASE WHEN cr * 100 <= tr * 80 THEN 'A'
+                  WHEN cr * 100 <= tr * 95 THEN 'B'
+                  ELSE 'C' END AS klass,
+             r
+      FROM c CROSS JOIN t)
+    SELECT klass,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(r) AS BIGINT) AS revenue_cents
+    FROM k GROUP BY klass ORDER BY klass
+    """,
+)
+def analytics_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-gen: ABC (Pareto) inventory classification — parts ranked by
+    revenue, classes cut at 80%/95% of CUMULATIVE revenue (A carries
+    the top 80% of value, C the long tail): the stock-control
+    segmentation every supply chain runs. Cumulative revenue comes from
+    the SHARDED running sum over the per-part revenue table (value-range
+    shards on the NEGATED key so the scan runs revenue-descending with
+    monotone shards; ties keyed by partkey stay in-shard) — no global
+    sort at any part-dimension size. Revenue in exact integer cents;
+    the class cuts are the integer inequalities cr·100 ≤ tr·80/95."""
+    from rpa_etl_investing_spark.operators.prefix import (
+        sharded_running_sum,
+        with_value_range_shard,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("r")
+    )
+    t = rev.agg(F.sum("r").cast("bigint").alias("tr"))
+    neg = rev.withColumn("neg_r", -F.col("r"))
+    c = sharded_running_sum(
+        with_value_range_shard(neg, "neg_r"),
+        [],
+        ["neg_r", "l_partkey"],
+        F.col("r"),
+        "cr",
+    )
+    k = c.crossJoin(F.broadcast(t)).select(
+        F.when(F.col("cr") * 100 <= F.col("tr") * 80, F.lit("A"))
+        .when(F.col("cr") * 100 <= F.col("tr") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("klass"),
+        "r",
+    )
+    return (
+        k.groupBy("klass")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("r").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("klass")
+    )
+
+
+@register(
+    "analytics_purchase_streaks",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day
+      FROM events WHERE event_type = 'purchase'),
+    g AS (
+      SELECT user_id, day,
+             CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(day AS DATE))
+                  AS BIGINT)
+             - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM d),
+    s AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(day) AS streak_start
+      FROM g GROUP BY user_id, grp)
+    SELECT user_id, len AS longest_streak, streak_start
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY len DESC, streak_start) AS rk
+      FROM s)
+    WHERE rk = 1
+    ORDER BY user_id
+    """,
+)
+def analytics_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-gen: longest consecutive-day purchase streak per user — the
+    gaps-and-islands identity (day_number − row_number is constant
+    exactly on consecutive runs) that powers habit/retention metrics.
+    One user-keyed shuffle shared by the island window, the island
+    aggregate, and the per-user argmax (earliest start breaks length
+    ties); day arithmetic is integer day counts throughout."""
+    ev = tbl(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.select(
+        "user_id",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01")).cast("bigint")
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.count("*").cast("bigint").alias("len"),
+        F.min("day").alias("streak_start"),
+    )
+    wk = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.asc("streak_start")
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak"),
+            "streak_start",
+        )
+        .orderBy("user_id")
+    )
