@@ -3204,3 +3204,96 @@ def analytics_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "analytics_cohort_ltv",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey,
+             MIN(DATE_TRUNC('year', o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey),
+    rev AS (
+      SELECT f.cohort,
+             CAST(DATE_DIFF('year', CAST(f.cohort AS DATE),
+                            CAST(DATE_TRUNC('year', o.o_orderdate) AS DATE))
+                  AS BIGINT) AS age,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey),
+    cs AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+           FROM first_order GROUP BY cohort),
+    g AS (
+      SELECT cohort, age, CAST(SUM(cents) AS BIGINT) AS rev_cents
+      FROM rev GROUP BY cohort, age),
+    c AS (
+      SELECT cohort, age, rev_cents,
+             CAST(SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_rev_cents
+      FROM g)
+    SELECT c.cohort, c.age, c.rev_cents, c.cum_rev_cents,
+           CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+           CAST(c.cum_rev_cents // cs.cohort_size AS BIGINT)
+             AS ltv_cents_per_cust
+    FROM c JOIN cs ON c.cohort = cs.cohort
+    ORDER BY c.cohort, c.age
+    """,
+)
+def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 gen: cohort LIFETIME-VALUE curve — cumulative revenue per
+    acquisition-year cohort by cohort age, normalized per customer (the
+    payback-period curve growth teams steer by; the retention-cohort
+    matrix counts heads, this one follows the money). Revenue in exact
+    integer cents; LTV-per-customer is integer floor division.
+
+    Scale shape: the first-order cohort assignment is one custkey
+    aggregate joined back keyed on custkey; the (cohort, age) rollup is
+    a tiny frame (years × years) so its running-sum window is
+    bounded-input by construction — the same bounded-frame argument as
+    Kaplan-Meier's horizon table."""
+    o = tbl(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("year", "o_orderdate")).alias("cohort")
+    )
+    rev = o.join(first, "o_custkey").select(
+        "cohort",
+        F.floor(
+            F.months_between(
+                F.date_trunc("year", "o_orderdate"), F.col("cohort")
+            )
+            / 12
+        )
+        .cast("bigint")
+        .alias("age"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cs = first.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    g = rev.groupBy("cohort", "age").agg(
+        F.sum("cents").cast("bigint").alias("rev_cents")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.withColumn(
+        "cum_rev_cents", F.sum("rev_cents").over(w).cast("bigint")
+    )
+    return (
+        c.join(F.broadcast(cs), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "rev_cents",
+            "cum_rev_cents",
+            "cohort_size",
+            F.expr("CAST(cum_rev_cents div cohort_size AS BIGINT)").alias(
+                "ltv_cents_per_cust"
+            ),
+        )
+        .orderBy("cohort", "age")
+    )

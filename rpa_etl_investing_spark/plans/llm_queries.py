@@ -3003,3 +3003,79 @@ def llm_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "llm_novelty_score",
+    oracle="""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             ARRAY_AGG(DISTINCT s) AS shs
+      FROM (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 3 + 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        FROM tok WHERE LEN(t) >= 3)
+      GROUP BY doc_id),
+    ex AS (SELECT doc_id, UNNEST(shs) AS s FROM sh),
+    df AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY s),
+    per AS (
+      SELECT ex.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(COUNT(*) FILTER (WHERE df.df = 1) AS BIGINT) AS n_unique
+      FROM ex JOIN df ON ex.s = df.s
+      GROUP BY ex.doc_id)
+    SELECT doc_id, n_shingles, n_unique,
+           CAST(FLOOR(1e10 * (CAST(n_unique AS DOUBLE) / n_shingles) + 0.5)
+                AS BIGINT) AS novelty_q
+    FROM per
+    ORDER BY doc_id
+    """,
+)
+def llm_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ gen: per-document n-gram NOVELTY — the memorization-risk
+    metric: the fraction of a doc's distinct 3-gram shingles that occur
+    in NO other document (df = 1 across the corpus after per-doc
+    dedup). Low-novelty docs are the ones repeated-span excision and
+    near-dup dedup act on; ranking by novelty is how curation teams
+    sample what to audit first.
+
+    Scale shape: one shingle explode (per-doc distinct, so each doc
+    counts a shingle once), one df hash aggregate, one join back keyed
+    on the shingle, one per-doc aggregate — the exact inverted-index
+    shape of the dedup family, and the xxhash64-key variant
+    (`operators/dedup.py` hashed twins) applies verbatim if the
+    shingle-string shuffle width matters. The ratio is quantized to
+    the 1e-10 grid after one int/int IEEE division."""
+    docs = tbl(spark, sf_dir, "documents")
+    from rpa_etl_investing_spark.operators.dedup import shingles, spread
+
+    ex = (
+        spread(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles("text", 3))).alias("s"),
+        )
+    )
+    df_ = ex.groupBy("s").agg(F.count("*").cast("bigint").alias("df"))
+    per = (
+        ex.join(df_, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.count_if(F.col("df") == 1).cast("bigint").alias("n_unique"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_unique",
+        F.floor(
+            F.lit(1e10)
+            * (F.col("n_unique").cast("double") / F.col("n_shingles"))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("novelty_q"),
+    ).orderBy("doc_id")
