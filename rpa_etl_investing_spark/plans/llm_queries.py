@@ -3079,3 +3079,122 @@ def llm_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("novelty_q"),
     ).orderBy("doc_id")
+
+
+@register(
+    "llm_bpe_apply_step",
+    oracle="""
+    WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    words AS (SELECT doc_id, UNNEST(t) AS word FROM tok),
+    pairs AS (
+      SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(word)),
+                                   i -> SUBSTRING(word, i, 2))) AS pair
+      FROM words),
+    top AS (
+      SELECT pair FROM (
+        SELECT pair, COUNT(*) AS freq FROM pairs GROUP BY pair)
+      ORDER BY freq DESC, pair LIMIT 1),
+    seps AS (
+      SELECT doc_id, word,
+             ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, LENGTH(word) + 1),
+                                            i -> SUBSTRING(word, i, 1)),
+                             CHR(1)) AS sym
+      FROM words),
+    applied AS (
+      SELECT doc_id, word, sym,
+             REPLACE(sym,
+                     SUBSTRING(top.pair, 1, 1) || CHR(1)
+                       || SUBSTRING(top.pair, 2, 1),
+                     top.pair) AS merged
+      FROM seps CROSS JOIN top),
+    counted AS (
+      SELECT doc_id,
+             LENGTH(word) AS n_before,
+             LENGTH(merged)
+               - LENGTH(REPLACE(merged, CHR(1), '')) + 1 AS n_after
+      FROM applied)
+    SELECT doc_id,
+           (SELECT pair FROM top) AS merged_pair,
+           CAST(SUM(n_before) AS BIGINT) AS n_sym_before,
+           CAST(SUM(n_after) AS BIGINT) AS n_sym_after,
+           CAST(SUM(n_before) - SUM(n_after) AS BIGINT) AS n_merges
+    FROM counted
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def llm_bpe_apply_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ gen: ONE full BPE training step EXECUTED, not just counted —
+    take the corpus-argmax adjacent pair (the `llm_bpe_first_merges`
+    statistic, deterministic tie-break) and APPLY the merge to every
+    word, reporting per-document symbol counts before/after and the
+    number of merges performed. Leftmost-non-overlapping application
+    falls out of REPLACE's left-to-right semantics identically on both
+    engines, so counts are exact — the '(aa)a vs a(aa)' ambiguity that
+    breaks naive pair-frequency deltas never enters. A full tokenizer
+    trainer is this query iterated with the merge table broadcast
+    between rounds (and the symbol strings carried forward instead of
+    rebuilt).
+
+    Scale shape: the argmax pair is a 1-row broadcast; the apply is
+    pure map-side string surgery (chars → SEP-joined symbols → one
+    REPLACE); the only shuffle is the per-doc recount aggregate."""
+    docs = tbl(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") >= 1)
+    pairs = words.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair")
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(1)
+        .select("pair")
+    )
+    sep = "\x01"
+    sym = F.expr(
+        "array_join(transform(sequence(1, length(word)),"
+        f" i -> substring(word, i, 1)), '{sep}')"
+    )
+    applied = (
+        words.withColumn("sym", sym)
+        .crossJoin(F.broadcast(top))
+        .withColumn(
+            "merged",
+            F.expr(
+                "replace(sym, substring(pair, 1, 1) || "
+                f"'{sep}' || substring(pair, 2, 1), pair)"
+            ),
+        )
+    )
+    counted = applied.select(
+        "doc_id",
+        "pair",
+        F.length("word").alias("n_before"),
+        (
+            F.length("merged")
+            - F.length(F.expr(f"replace(merged, '{sep}', '')"))
+            + 1
+        ).alias("n_after"),
+    )
+    return (
+        counted.groupBy("doc_id", F.col("pair").alias("merged_pair"))
+        .agg(
+            F.sum("n_before").cast("bigint").alias("n_sym_before"),
+            F.sum("n_after").cast("bigint").alias("n_sym_after"),
+            (F.sum("n_before") - F.sum("n_after"))
+            .cast("bigint")
+            .alias("n_merges"),
+        )
+        .select(
+            "doc_id", "merged_pair", "n_sym_before", "n_sym_after", "n_merges"
+        )
+        .orderBy("doc_id")
+    )
