@@ -73,3 +73,13 @@ def test_candidate_set_is_bounded_superset(spark):
     out = heavy_hitters(docs, threshold_ppm=100_000)  # θ = 10%
     got = {(r.token, r.cnt) for r in out.collect()}
     assert got == {("hot", 400)}
+
+
+def test_empty_and_degenerate_inputs(spark):
+    """Empty corpus → empty result (no division-by-zero on the total);
+    single-token corpus → that token at 100%."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert heavy_hitters(empty, 1000).count() == 0
+    one = spark.createDataFrame([(0, "solo")], "doc_id long, text string")
+    got = [(r.token, r.cnt, r.total_tokens) for r in heavy_hitters(one, 1000).collect()]
+    assert got == [("solo", 1, 1)]

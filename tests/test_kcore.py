@@ -84,3 +84,11 @@ def test_fixture_graph_converges_at_registered_rounds(spark, sf_dir):
     q5 = {(r.node, r.deg) for r in kcore_peel(edges, 3, 5).collect()}
     assert q4 == q5
     release_kcore_caches()
+
+
+def test_graph_that_fully_peels_is_empty(spark):
+    """A path graph has no 3-core: after enough rounds nothing remains,
+    and the operator returns an empty frame rather than erroring."""
+    edges = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    assert kcore_peel(edges, 3, 4).count() == 0
+    release_kcore_caches()
