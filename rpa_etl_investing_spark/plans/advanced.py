@@ -454,3 +454,110 @@ def asof_join_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("forward"))
         .alias("direction"),
     )
+
+
+_PIVOT_SQL = """
+    SELECT * FROM (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             o_totalprice
+      FROM orders)
+    PIVOT (
+      COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS total
+      FOR status IN ('O' AS o, 'F' AS f, 'P' AS p))
+    ORDER BY priority
+"""
+
+
+@register(
+    "sql_frontend_pivot",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS o_total,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_total,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+                FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS p_total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+)
+def sql_frontend_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14/SQL-surface: the SQL-text PIVOT clause through the engine's
+    SQL front-end (multi-measure: COUNT + DECIMAL SUM per status
+    column) — the same semantics as the DataFrame pivot queries, proved
+    by an oracle written as plain conditional aggregation. Catalyst
+    compiles PIVOT to the identical Expand+aggregate it gives
+    `groupBy().pivot()`, with the IN-list making the output schema
+    static (the precondition for pivot at scale — an unlisted pivot
+    needs a distinct-scan to infer columns). Sums accumulate in
+    DECIMAL before the double cast, per the repo-wide rule."""
+    from rpa_etl_investing_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    out = spark.sql(_PIVOT_SQL)
+    return out.select(
+        "priority",
+        F.col("o_n").cast("bigint").alias("o_n"),
+        F.col("o_total").cast("double").alias("o_total"),
+        F.col("f_n").cast("bigint").alias("f_n"),
+        F.col("f_total").cast("double").alias("f_total"),
+        F.col("p_n").cast("bigint").alias("p_n"),
+        F.col("p_total").cast("double").alias("p_total"),
+    )
+
+
+@register(
+    "agg_argmax_records",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 8589934592
+               + o_orderkey AS cmp_max,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 8589934592
+               + (8589934591 - o_orderkey) AS cmp_min
+      FROM orders)
+    SELECT o_custkey,
+           CAST(MAX_BY(o_orderkey, cmp_max) AS BIGINT) AS top_orderkey,
+           MAX_BY(o_orderdate, cmp_max) AS top_orderdate,
+           MAX(o_totalprice) AS top_price,
+           CAST(MIN_BY(o_orderkey, cmp_min) AS BIGINT) AS bottom_orderkey
+    FROM o
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def agg_argmax_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 gen: record ARGMAX/ARGMIN aggregates — `max_by`/`min_by`, the
+    one-pass answer to "which ORDER was the customer's most expensive"
+    that otherwise costs a window + filter (two passes, one sort). The
+    comparator is a single BIGINT packing (cents · 2³³ + orderkey) so
+    ties on price break deterministically by key on BOTH engines
+    (DuckDB 1.0's MAX_BY rejects struct comparators; the min side packs
+    the key inverted to keep the lowest-key-wins orientation). One hash
+    aggregate with map-side partials; at 100 TB this is strictly
+    cheaper than the rank-and-filter form because nothing ever sorts.
+    The 2³³ pack bounds orderkey < 8.6e9 — document and widen to
+    DECIMAL if the key space outgrows it."""
+    o = tbl(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    cmp_max = cents * F.lit(8589934592) + F.col("o_orderkey")
+    cmp_min = cents * F.lit(8589934592) + (
+        F.lit(8589934591) - F.col("o_orderkey")
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", cmp_max).cast("bigint").alias("top_orderkey"),
+            F.max_by("o_orderdate", cmp_max).alias("top_orderdate"),
+            F.max("o_totalprice").alias("top_price"),
+            F.min_by("o_orderkey", cmp_min)
+            .cast("bigint")
+            .alias("bottom_orderkey"),
+        )
+        .orderBy("o_custkey")
+    )
