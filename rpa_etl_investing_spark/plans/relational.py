@@ -668,3 +668,38 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_orders"))
         .orderBy("band")
     )
+
+
+@register(
+    "set_ops_all_bag",
+    oracle="""
+    SELECT k, 'both' AS side FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT ALL
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+    UNION ALL
+    SELECT k, 'f_surplus' AS side FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT ALL
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+    """,
+)
+def set_ops_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 gen: INTERSECT ALL / EXCEPT ALL — BAG semantics (multiplicity
+    min(m,n) and max(0, m−n) per key), the SQL-standard surface the
+    distinct forms silently lose: "how many F-orders does each customer
+    have BEYOND their O-orders" is an EXCEPT ALL question, not an
+    EXCEPT one. Spark's intersectAll/exceptAll compile to a count-and-
+    replicate aggregate (generate_replicate), one shuffle per side —
+    no join explosion — and the driver's order-insensitive value hash
+    makes duplicate-row results safely comparable."""
+    o = tbl(spark, sf_dir, "orders")
+    f_side = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    o_side = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    both = f_side.intersectAll(o_side).withColumn("side", F.lit("both"))
+    surplus = f_side.exceptAll(o_side).withColumn("side", F.lit("f_surplus"))
+    return both.unionByName(surplus)
