@@ -561,3 +561,43 @@ def agg_argmax_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+_UNPIVOT_SQL = """
+    SELECT o_orderkey, measure, val FROM (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS price,
+             CAST(o_custkey AS DOUBLE) AS custkey_d
+      FROM orders)
+    UNPIVOT (
+      val FOR measure IN (price, custkey_d))
+    ORDER BY o_orderkey, measure
+"""
+
+
+@register(
+    "sql_frontend_unpivot",
+    oracle="""
+    SELECT o_orderkey, 'price' AS measure,
+           CAST(o_totalprice AS DOUBLE) AS val
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'custkey_d',
+           CAST(o_custkey AS DOUBLE)
+    FROM orders
+    ORDER BY o_orderkey, measure
+    """,
+)
+def sql_frontend_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 twin: the SQL-text UNPIVOT clause (wide → long melt) through
+    the SQL front-end — Catalyst compiles it to the same Expand the
+    `stack()` form uses (`unpivot_fact_measures`), one map-side row
+    replication per measure, no shuffle at all; the oracle states it as
+    the UNION ALL the relational algebra says it is. The melt is the
+    standard prep step before measure-generic aggregation (the
+    expectations gate and column-entropy profiler both consume this
+    shape)."""
+    from rpa_etl_investing_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_UNPIVOT_SQL)
