@@ -280,3 +280,87 @@ def sharded_row_number(
     return sharded_running_sum(
         df, partition_cols, order_cols, F.lit(1), out_col, shard_col
     )
+
+
+def exact_quantiles_cont(
+    df: DataFrame,
+    value_col: str,
+    qs: dict[str, float],
+    n_shards: int | None = None,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """INTERPOLATED exact quantiles (type-7, the numpy/pandas default):
+    ``h = q·(n−1)``, result = ``v[⌊h⌋] + (h−⌊h⌋)·(v[⌊h⌋+1] − v[⌊h⌋])``
+    on the 0-based sorted values — versus :func:`exact_quantiles`'
+    discrete type-1 pick. Same two-pass sharded selection, but each
+    quantile selects BOTH bracketing order statistics (the hi rank
+    clamps to n at q=1), and the interpolation weight is the exact
+    integer-ratio ``q·(n−1) − ⌊q·(n−1)⌋`` evaluated identically on any
+    engine. Returns one row per group with a double column per label;
+    consumers that hash-compare across engines should quantize (the
+    bracketing VALUES are exact, the final lerp is one deterministic
+    IEEE expression)."""
+    grp = list(group_cols or [])
+    vals = df.select(*grp, F.col(value_col).alias("_v"))
+    sharded = with_value_range_shard(vals, "_v", n_shards)
+    counts = sharded.groupBy(*grp, SHARD).agg(F.count(F.lit(1)).alias("_cnt"))
+    cum_w = (
+        Window.partitionBy(*grp)
+        .orderBy(SHARD)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frame = counts.withColumn(
+        "_cum", F.coalesce(F.sum("_cnt").over(cum_w), F.lit(0))
+    ).withColumn("_total", F.sum("_cnt").over(Window.partitionBy(*grp)))
+    # two label rows per quantile: the bracketing ranks k and k+1
+    labels = df.sparkSession.createDataFrame(
+        [
+            (lbl, float(q), off)
+            for lbl, q in qs.items()
+            for off in (0, 1)
+        ],
+        ["_lbl", "_q", "_off"],
+    )
+    k = (
+        F.least(
+            F.floor(F.col("_q") * (F.col("_total") - 1))
+            + 1
+            + F.col("_off"),
+            F.col("_total"),
+        )
+    ).cast("long")
+    targets = (
+        frame.crossJoin(F.broadcast(labels))
+        .filter((F.col("_cum") < k) & (k <= F.col("_cum") + F.col("_cnt")))
+        .select(
+            *grp, SHARD, "_lbl", "_off", (k - F.col("_cum")).alias("_r")
+        )
+    )
+    hits = sharded.join(F.broadcast(targets), [*grp, SHARD])
+    rank_w = Window.partitionBy(*grp, "_lbl", "_off").orderBy("_v")
+    sel = hits.withColumn("_rn", F.row_number().over(rank_w)).filter(
+        F.col("_rn") == F.col("_r")
+    )
+    # fold the (lo, hi) pair per label and interpolate
+    tot = frame.groupBy(*grp).agg(F.max("_total").alias("_n"))
+    pairs = sel.groupBy(*grp, "_lbl").agg(
+        F.max(F.when(F.col("_off") == 0, F.col("_v"))).alias("_vlo"),
+        F.max(F.when(F.col("_off") == 1, F.col("_v"))).alias("_vhi"),
+    )
+    pairs = (
+        pairs.join(F.broadcast(tot), grp) if grp else pairs.crossJoin(
+            F.broadcast(tot)
+        )
+    )
+    qmap = F.create_map(
+        *[x for lbl, q in qs.items() for x in (F.lit(lbl), F.lit(float(q)))]
+    )
+    h = qmap[F.col("_lbl")] * (F.col("_n") - 1)
+    frac = h - F.floor(h)
+    lerp = F.col("_vlo") + frac * (F.col("_vhi") - F.col("_vlo"))
+    out_aggs = [
+        F.max(F.when(F.col("_lbl") == lbl, lerp)).alias(lbl) for lbl in qs
+    ]
+    if grp:
+        return pairs.groupBy(*grp).agg(*out_aggs)
+    return pairs.groupBy().agg(*out_aggs)

@@ -1459,3 +1459,66 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("tw").cast("bigint").alias("total_weight"),
         )
     )
+
+
+@register(
+    "agg_percentiles_interpolated",
+    oracle="""
+    WITH s AS (SELECT l_returnflag, l_extendedprice AS v FROM lineitem),
+    r AS (
+      SELECT l_returnflag, v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM s),
+    picks AS (
+      SELECT l_returnflag, q, lbl,
+             MAX(CASE WHEN rn = CAST(FLOOR(q * (n - 1)) AS BIGINT) + 1
+                      THEN v END) AS vlo,
+             MAX(CASE WHEN rn = LEAST(CAST(FLOOR(q * (n - 1)) AS BIGINT) + 2,
+                                      n)
+                      THEN v END) AS vhi,
+             MAX(n) AS n
+      FROM r CROSS JOIN (VALUES (0.5, 'p50'), (0.9, 'p90'), (0.99, 'p99'))
+                         t(q, lbl)
+      GROUP BY l_returnflag, q, lbl)
+    SELECT l_returnflag,
+      CAST(FLOOR(1e6 * MAX(CASE WHEN lbl = 'p50' THEN
+             vlo + (q * (n - 1) - FLOOR(q * (n - 1))) * (vhi - vlo) END)
+           + 0.5) AS BIGINT) AS p50_q,
+      CAST(FLOOR(1e6 * MAX(CASE WHEN lbl = 'p90' THEN
+             vlo + (q * (n - 1) - FLOOR(q * (n - 1))) * (vhi - vlo) END)
+           + 0.5) AS BIGINT) AS p90_q,
+      CAST(FLOOR(1e6 * MAX(CASE WHEN lbl = 'p99' THEN
+             vlo + (q * (n - 1) - FLOOR(q * (n - 1))) * (vhi - vlo) END)
+           + 0.5) AS BIGINT) AS p99_q
+    FROM picks
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 completion: INTERPOLATED (type-7, the numpy/pandas default)
+    exact percentiles per group through the sharded selection
+    (operators/prefix.py `exact_quantiles_cont`) — the quantile-type
+    matrix now covers type-1 discrete (`agg_percentiles_exact*`),
+    type-7 continuous (this), and the sketch forms (GK/KLL). Each
+    quantile selects BOTH bracketing order statistics distributed-ly
+    (no per-group sort); the lerp weight is the exact integer ratio
+    q·(n−1)−⌊·⌋ and the single IEEE lerp is quantized to 1e-6. The
+    oracle replays the identical bracketing + lerp formula (NOT
+    quantile_cont, whose association may differ)."""
+    from rpa_etl_investing_spark.operators.prefix import exact_quantiles_cont
+
+    out = exact_quantiles_cont(
+        tbl(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        group_cols=["l_returnflag"],
+    )
+    qz = lambda c: F.floor(F.lit(1e6) * F.col(c) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return out.select(
+        "l_returnflag",
+        qz("p50").alias("p50_q"),
+        qz("p90").alias("p90_q"),
+        qz("p99").alias("p99_q"),
+    ).orderBy("l_returnflag")

@@ -433,3 +433,22 @@ def test_gram_blocked_equals_flat(spark, sf_dir):
         for r in gram_matrix_blocked(emb, block=7).collect()
     }
     assert flat == blocked and len(flat) > 0
+
+
+def test_interpolated_quantiles_match_numpy(spark):
+    """exact_quantiles_cont's type-7 contract against numpy's default
+    (the definition the docstring names), on an adversarial tie-heavy
+    array and several shard counts."""
+    import numpy as np
+
+    from rpa_etl_investing_spark.operators.prefix import exact_quantiles_cont
+
+    vals = [float(v) for v in [1, 1, 1, 2, 5, 5, 7, 7, 7, 7, 9, 100, 100, 3]]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    for n_shards in (1, 4, 16):
+        row = exact_quantiles_cont(
+            df, "v", {"q25": 0.25, "q5": 0.5, "q99": 0.99}, n_shards=n_shards
+        ).collect()[0]
+        assert row["q25"] == np.percentile(vals, 25)
+        assert row["q5"] == np.percentile(vals, 50)
+        assert row["q99"] == np.percentile(vals, 99)

@@ -132,6 +132,7 @@ MULTI_SF_NAMES = [
     "agg_covariance_matrix",
     "analytics_basket_affinity",
     "timeseries_autocorrelation",
+    "agg_percentiles_interpolated",
 ]
 
 
