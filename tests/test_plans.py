@@ -888,3 +888,49 @@ def test_heavy_hitters_recount_is_semi_join_thinned(spark, sf_dir):
     plan = _plan(QUERIES["llm_heavy_hitters"].fn(spark, sf_dir))
     assert "LeftSemi" in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark, sf_dir):
+    """Engine capability pin: with the DSv2 parquet path and
+    aggregatePushdown on, MIN/MAX/COUNT compile to a PushedAggregation
+    scan — the query is answered from parquet footer statistics without
+    reading data pages (the 100 TB "how many rows / what's the range"
+    answer). Session confs are mutated under try/finally here in a TEST
+    (registry queries never mutate shared session state — the r4
+    ADVICE rule)."""
+    import pyspark.sql.functions as F
+
+    v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    ap = spark.conf.get("spark.sql.parquet.aggregatePushdown", None)
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderdate").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan, plan
+        # and the footer answer must equal the data answer
+        got = agg.collect()[0]
+    finally:
+        if v1 is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", v1)
+        if ap is None:
+            spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+        else:
+            spark.conf.set("spark.sql.parquet.aggregatePushdown", ap)
+    truth = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderdate").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert (got.n, got.lo, got.hi) == (truth.n, truth.lo, truth.hi)
