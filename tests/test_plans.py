@@ -934,3 +934,80 @@ def test_parquet_aggregate_pushdown_answers_from_footers(spark, sf_dir):
         .collect()[0]
     )
     assert (got.n, got.lo, got.hi) == (truth.n, truth.lo, truth.hi)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir):
+    """Engine capability pin: a selective dim filter on the join key
+    prunes a PARTITIONED fact at RUNTIME (DPP) — the plan carries a
+    dynamicpruning subquery on the partition column, so only the
+    surviving partitions' files are listed/read. This is the mechanism
+    that makes star joins over date/status-partitioned 100 TB facts
+    scan only the qualifying slices."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from rpa_etl_investing_spark.sources.formats import scratch_dir
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = scratch_dir(sf_tag, "orders_by_status_dpp")
+    o = tbl(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    fact = spark.read.parquet(path)
+    # the filter must be on a NON-join column, else Catalyst constant-
+    # folds it straight into the fact scan (static pruning) and no DPP
+    # subquery is needed
+    dim = spark.createDataFrame(
+        [("F", 1), ("O", 0), ("P", 0)], "status string, wanted int"
+    ).filter(F.col("wanted") == 1)
+    joined = fact.join(dim, fact.o_orderstatus == dim.status).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    n = joined.collect()[0].n
+    truth = o.filter(F.col("o_orderstatus") == "F").count()
+    assert n == truth
+
+
+def test_runtime_bloom_filter_join_injection(spark, sf_dir):
+    """Engine capability pin: with a selective build side, Spark's
+    runtime bloom-filter optimization injects might_contain on the
+    probe side of a shuffle join — the automatic form of the explicit
+    operators/bloom.py prefilter. Forcing the threshold low makes the
+    injection observable at fixture scale."""
+    import pyspark.sql.functions as F
+
+    keys = [
+        ("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
+        ("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"),
+        (
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        ),
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+    ]
+    saved = {}
+    try:
+        for k, v in keys:
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+            spark.conf.set(k, v)
+        li = tbl(spark, sf_dir, "lineitem")
+        o = tbl(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan or "bloom" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
