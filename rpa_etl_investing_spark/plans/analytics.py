@@ -3297,3 +3297,85 @@ def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age")
     )
+
+
+@register(
+    "analytics_peak_concurrency",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS st,
+             CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS en,
+             event_id
+      FROM events WHERE event_type = 'click'),
+    b AS (
+      SELECT st AS t, 1 AS delta, event_id, 0 AS is_end FROM s
+      UNION ALL
+      SELECT en AS t, -1 AS delta, event_id, 1 AS is_end FROM s),
+    c AS (
+      SELECT t, delta,
+             CAST(SUM(delta) OVER (ORDER BY t, is_end, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS conc
+      FROM b)
+    SELECT DATE_TRUNC('day', t) AS day,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+    FROM c
+    GROUP BY 1
+    ORDER BY day
+    """,
+)
+def analytics_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-gen: PEAK CONCURRENCY — the classic interval sweep ("most
+    sessions open at once", capacity planning's first question): each
+    30-minute click session emits a +1 at open and a −1 at close, the
+    running sum over the time-ordered boundary stream IS the live
+    concurrency, and the per-day max is the answer. End-before-start
+    ordering at equal timestamps (is_end ascending puts +1 first —
+    half-open [st, en) intervals at the same instant overlap) and the
+    event_id tiebreak make the sweep deterministic.
+
+    Scale shape: the boundary stream's running sum is the SHARDED
+    two-level scan (operators/prefix.py — epoch-microsecond id-range
+    shards), so no single task ever orders the full timeline; the
+    per-day max is one hash aggregate. The running sum is a
+    prefix-additive quantity, which is exactly why the shard
+    composition applies."""
+    from rpa_etl_investing_spark.operators.prefix import (
+        sharded_running_sum,
+        with_id_range_shard,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").cast("timestamp").alias("st"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 30 MINUTE")).alias(
+            "en"
+        ),
+        "event_id",
+    )
+    b = s.select(
+        F.col("st").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+        F.lit(0).alias("is_end"),
+    ).unionByName(
+        s.select(
+            F.col("en").alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+            F.lit(1).alias("is_end"),
+        )
+    )
+    b = b.withColumn("ord", F.unix_micros(F.col("t")))
+    c = sharded_running_sum(
+        with_id_range_shard(b, "ord"),
+        [],
+        ["ord", "is_end", "event_id"],
+        F.col("delta"),
+        "conc",
+    )
+    return (
+        c.groupBy(F.date_trunc("day", "t").alias("day"))
+        .agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
+        .orderBy("day")
+    )
