@@ -272,3 +272,92 @@ def multimodal_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type", "batch_id")
     )
+
+
+@register(
+    "multimodal_webdataset_plan",
+    oracle=f"""
+    WITH meta AS ({{_META_SQL}}),
+    c AS (
+      SELECT doc_id, media_type, n_bytes,
+             SUM(n_bytes) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_bytes
+      FROM meta),
+    sh AS (
+      SELECT doc_id, media_type, n_bytes,
+             CAST((cum_bytes - n_bytes) // 262144 AS BIGINT) AS shard_id
+      FROM c)
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+           CAST(COUNT(*) FILTER (WHERE media_type = 'png') AS BIGINT) AS n_png,
+           CAST(COUNT(*) FILTER (WHERE media_type = 'jpeg') AS BIGINT) AS n_jpeg,
+           CAST(COUNT(*) FILTER (WHERE media_type = 'avi') AS BIGINT) AS n_avi,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM sh
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """.format(_META_SQL=_META_SQL),
+)
+def multimodal_webdataset_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM+ gen: WebDataset-style shard planning — assign samples to
+    contiguous ~256 KiB tar shards by CUMULATIVE BYTE OFFSET (the
+    layout multimodal training loaders stream sequentially; contiguity
+    in doc order is the property that makes a shard one sequential
+    read). The byte sizes come from the REAL container decode
+    (multimodal/binary_ops.py), the offsets from the SHARDED running
+    sum (operators/prefix.py — no single-task global window), shard_id
+    = start-offset div budget (concatenation-split semantics: a sample
+    starting inside a shard belongs to it, the pack-offsets
+    convention), and the report gives per-shard sample counts, byte
+    totals, modality mix, and the doc-id span proving contiguity."""
+    from pyspark.sql import functions as F
+
+    from rpa_etl_investing_spark.operators.prefix import (
+        sharded_running_sum,
+        with_id_range_shard,
+    )
+
+    from rpa_etl_investing_spark.operators.caching import keep
+
+    # the sharded scan references this relation through several branches
+    # (bounds aggregate, local window, shard totals) — left lazy, each
+    # branch re-runs the Arrow-batched binary decode (measured 30 s →
+    # 3 s at sf0.001)
+    meta = keep(
+        decode_media_metadata(
+            attach_binary_media(tbl(spark, sf_dir, "documents"))
+        ).select("doc_id", "media_type", "n_bytes")
+    )
+    c = sharded_running_sum(
+        with_id_range_shard(meta, "doc_id"),
+        [],
+        ["doc_id"],
+        F.col("n_bytes"),
+        "cum_bytes",
+    )
+    sh = c.withColumn(
+        "shard_id",
+        F.expr("CAST((cum_bytes - n_bytes) div 262144 AS BIGINT)"),
+    )
+    return (
+        sh.groupBy("shard_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_samples"),
+            F.sum("n_bytes").cast("bigint").alias("shard_bytes"),
+            F.count_if(F.col("media_type") == "png")
+            .cast("bigint")
+            .alias("n_png"),
+            F.count_if(F.col("media_type") == "jpeg")
+            .cast("bigint")
+            .alias("n_jpeg"),
+            F.count_if(F.col("media_type") == "avi")
+            .cast("bigint")
+            .alias("n_avi"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
