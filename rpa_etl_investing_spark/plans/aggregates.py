@@ -1522,3 +1522,41 @@ def agg_percentiles_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         qz("p90").alias("p90_q"),
         qz("p99").alias("p99_q"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_boolean_aggregates",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           BOOL_AND(o_totalprice > 0) AS all_positive,
+           BOOL_OR(o_orderstatus = 'P') AS any_pending,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_finished,
+           BOOL_AND(o_orderdate >= DATE '1992-01-01') AS all_after_epoch
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+)
+def agg_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 surface: the BOOLEAN aggregate family — `bool_and`/`every`,
+    `bool_or`/`any_value-of-truth`, `count_if` — the data-contract
+    primitives ("EVERY row in the group satisfies the invariant") that
+    the expectations gate composes; registered standalone so the
+    surface is pinned by name. Short-circuit-friendly, map-side
+    combined, one hash aggregate."""
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+            F.count_if(F.col("o_orderstatus") == "F")
+            .cast("bigint")
+            .alias("n_finished"),
+            F.bool_and(F.col("o_orderdate") >= F.lit("1992-01-01")).alias(
+                "all_after_epoch"
+            ),
+        )
+        .orderBy("priority")
+    )
