@@ -296,15 +296,29 @@ def simhash64_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .distinct()
     )
     hx = F.md5(F.col("tok").cast("binary"))
-    digits = [
-        F.conv(F.substring(hx, d + 1, 1), 16, 10).cast("int") for d in range(16)
-    ]
+    # Materialize the two 32-bit halves of the 64-bit token hash as
+    # CONCRETE projected columns before the aggregate: the 64 vote
+    # expressions then reference plain attributes, so md5+conv runs
+    # exactly twice per row instead of being inlined into each of the
+    # 64 aggregate expressions (Aggregate-over-Project is not collapsed
+    # by Catalyst, so the projection is a hard once-per-row guarantee
+    # rather than a bet on codegen subexpression elimination).
+    halves = ex.select(
+        "doc_id",
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint").alias("lo"),
+    )
+    # bit i of the 64 (0 = MSB): hex digit i//4 holds it at MSB-first
+    # offset i%4, which in the packed halves is position 31-i of `hi`
+    # (i < 32) or 63-i of `lo` — identical bits to the oracle's
+    # per-digit recurrence, extracted with one shift instead of a
+    # substring+conv per digit.
     votes = []
     for i in range(64):
-        d, j = divmod(i, 4)  # hex digit d, bit j within it (MSB-first)
-        bit = F.shiftright(digits[d], 3 - j).bitwiseAND(F.lit(1))
+        src, sh = (F.col("hi"), 31 - i) if i < 32 else (F.col("lo"), 63 - i)
+        bit = F.shiftright(src, sh).bitwiseAND(F.lit(1))
         votes.append(F.sum(bit * 2 - 1).alias(f"v{i}"))
-    agg = ex.groupBy("doc_id").agg(*votes)
+    agg = halves.groupBy("doc_id").agg(*votes)
     # two's-complement weights: MSB term is −2^63 (written as the
     # in-range long constant), the rest 2^(63−i); partial sums stay in
     # BIGINT range in any order because the positive weights total
@@ -336,6 +350,23 @@ def simhash64_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", sig.cast("bigint").alias("sig"), *band_cols)
 
 
+# Persisted signature relations from prior simhash64_hamming_pairs
+# calls — same bounded-leak contract as operators/graph.py
+# _LIVE_EDGE_CACHES: the returned pairs DataFrame is lazy and reads the
+# cached signatures from BOTH sides of the band self-join, so the
+# operator cannot unpersist before returning. Each new call retires the
+# previous call's cache; callers fully done can force-release.
+_LIVE_SIG_CACHES: list[DataFrame] = []
+
+
+def release_sig_caches() -> None:
+    """Unpersist signature relations cached by prior
+    :func:`simhash64_hamming_pairs` calls. Only call once previously
+    returned pair DataFrames have been consumed."""
+    while _LIVE_SIG_CACHES:
+        _LIVE_SIG_CACHES.pop().unpersist()
+
+
 def simhash64_hamming_pairs(
     docs: DataFrame, text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
@@ -350,7 +381,19 @@ def simhash64_hamming_pairs(
     replaying the identical integer recurrence."""
     if max_hamming > 3:
         raise ValueError(f"4 bands guarantee recall only for max_hamming <= 3")
-    sig = simhash64_signatures(docs, text_col)
+    # Persist the signatures: the band self-join references the
+    # signature pipeline (explode → distinct → 64-vote aggregate) from
+    # both sides, and because AQE typically broadcasts one side, the
+    # two subtrees plan DIFFERENT exchanges — Spark's exchange reuse
+    # never fires and the whole aggregation runs twice (measured:
+    # 2 parquet scans, 0 ReusedExchange). The cache makes it run once;
+    # at corpus scale the cached relation is one row of
+    # (id, long, 4×int) per doc — tiny next to the token explode it
+    # prevents re-running.
+    while _LIVE_SIG_CACHES:
+        _LIVE_SIG_CACHES.pop().unpersist()
+    sig = simhash64_signatures(docs, text_col).persist()
+    _LIVE_SIG_CACHES.append(sig)
     bands = sig.select(
         "doc_id",
         "sig",
