@@ -290,64 +290,96 @@ def simhash64_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     carries a single LONG per doc instead of a 16-char string, and the
     distance check is a two-instruction codegen'd expression instead
     of 16 substring compares."""
-    ex = (
-        spread(docs, "doc_id")
-        .select("doc_id", F.explode(tokens_col(text_col)).alias("tok"))
-        .distinct()
+    # Votes run over the doc's DISTINCT tokens; because a doc is one
+    # row, array_distinct dedups entirely map-side BEFORE the explode —
+    # no (doc_id, tok) distinct shuffle exists at all. spread()'s
+    # compact-row repartition then pre-satisfies the vote aggregate's
+    # required distribution, so the only exchange in the whole signature
+    # pipeline moves pre-explode doc rows; the exploded fan-out and the
+    # 33-column partial aggregation both stay inside one stage.
+    ex = spread(docs, "doc_id").select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"),
     )
-    hx = F.md5(F.col("tok").cast("binary"))
     # Materialize the two 32-bit halves of the 64-bit token hash as
-    # CONCRETE projected columns before the aggregate: the 64 vote
-    # expressions then reference plain attributes, so md5+conv runs
-    # exactly twice per row instead of being inlined into each of the
-    # 64 aggregate expressions (Aggregate-over-Project is not collapsed
-    # by Catalyst, so the projection is a hard once-per-row guarantee
-    # rather than a bet on codegen subexpression elimination).
+    # CONCRETE projected columns before the aggregate: the 32 packed
+    # vote expressions then reference plain attributes, so md5+conv runs
+    # exactly twice per row instead of being inlined into each aggregate
+    # expression (Aggregate-over-Project is not collapsed by Catalyst,
+    # so the projection is a hard once-per-row guarantee rather than a
+    # bet on codegen subexpression elimination).
+    #
+    # Every wide expression below is generated as ONE SQL string handed
+    # to a single F.expr call: building the same trees Column-op by
+    # Column-op costs one py4j round-trip per operator — measured
+    # 2.4-2.7 s of pure DRIVER time per invocation for the ~600
+    # operators here, 5× the job's actual execution time. String
+    # generation is pure Python; the JVM parses each expression once.
     halves = ex.select(
         "doc_id",
-        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint").alias("hi"),
-        F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint").alias("lo"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(tok AS BINARY)), 1, 8), 16, 10)"
+            " AS BIGINT)"
+        ).alias("hi"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(tok AS BINARY)), 9, 8), 16, 10)"
+            " AS BIGINT)"
+        ).alias("lo"),
     )
     # bit i of the 64 (0 = MSB): hex digit i//4 holds it at MSB-first
     # offset i%4, which in the packed halves is position 31-i of `hi`
     # (i < 32) or 63-i of `lo` — identical bits to the oracle's
     # per-digit recurrence, extracted with one shift instead of a
     # substring+conv per digit.
-    votes = []
-    for i in range(64):
-        src, sh = (F.col("hi"), 31 - i) if i < 32 else (F.col("lo"), 63 - i)
-        bit = F.shiftright(src, sh).bitwiseAND(F.lit(1))
-        votes.append(F.sum(bit * 2 - 1).alias(f"v{i}"))
-    agg = halves.groupBy("doc_id").agg(*votes)
+    #
+    # SWAR-packed majority count: bits i and i+32 sit at the SAME shift
+    # s = 31-i of `hi` and `lo` respectively, so one aggregate column
+    # carries both ones-counters — ones_i in the high 32 bits, ones_{i+32}
+    # in the low 32 — halving the aggregation buffer (32 longs + 1 count
+    # instead of 64) and the per-row update count. The low counter can't
+    # carry into the high one while the doc's distinct-token count stays
+    # below 2^32 (a >4-billion-distinct-token "document" is a multi-GB
+    # blob — reject upstream, not here). The vote v_i = 2*ones_i - n is
+    # then sign-tested exactly as before: bit set iff 2*ones_i >= n.
+    packs = [
+        F.expr(
+            f"SUM(shiftleft(shiftright(hi, {31 - s}) & 1, 32)"
+            f" + (shiftright(lo, {31 - s}) & 1))"
+        ).alias(f"p{s}")
+        for s in range(32)
+    ]
+    agg = halves.groupBy("doc_id").agg(F.expr("COUNT(1)").alias("ntok"), *packs)
+
+    def bit(i: int) -> str:
+        """SQL predicate: majority bit i is set (2·ones_i ≥ ntok)."""
+        s = i % 32
+        ones = f"shiftright(p{s}, 32)" if i < 32 else f"(p{s} & 4294967295)"
+        return f"(2 * {ones} >= ntok)"
+
     # two's-complement weights: MSB term is −2^63 (written as the
     # in-range long constant), the rest 2^(63−i); partial sums stay in
     # BIGINT range in any order because the positive weights total
     # 2^63 − 1
     terms = [
-        F.when(F.col("v0") >= 0, F.lit(-9223372036854775807 - 1)).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        f"IF({bit(0)}, CAST(-9223372036854775807 AS BIGINT) - 1,"
+        " CAST(0 AS BIGINT))"
     ]
-    for i in range(1, 64):
-        terms.append(
-            F.when(F.col(f"v{i}") >= 0, F.lit(1 << (63 - i))).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        )
-    sig = sum(terms[1:], terms[0])
-    band_cols = []
-    for b in range(4):  # 4 × 16-bit bands, key from the same votes
-        key = sum(
-            (
-                F.when(F.col(f"v{16 * b + j}") >= 0, F.lit(1 << (15 - j))).otherwise(
-                    F.lit(0)
-                )
-                for j in range(1, 16)
-            ),
-            F.when(F.col(f"v{16 * b}") >= 0, F.lit(1 << 15)).otherwise(F.lit(0)),
-        )
-        band_cols.append(key.cast("int").alias(f"band{b}"))
-    return agg.select("doc_id", sig.cast("bigint").alias("sig"), *band_cols)
+    terms += [
+        f"IF({bit(i)}, CAST({1 << (63 - i)} AS BIGINT), CAST(0 AS BIGINT))"
+        for i in range(1, 64)
+    ]
+    sig_sql = "CAST(" + " + ".join(terms) + " AS BIGINT)"
+    band_sqls = [  # 4 × 16-bit bands, keyed from the same majority bits
+        "CAST("
+        + " + ".join(f"IF({bit(16 * b + j)}, {1 << (15 - j)}, 0)" for j in range(16))
+        + " AS INT)"
+        for b in range(4)
+    ]
+    return agg.select(
+        "doc_id",
+        F.expr(sig_sql).alias("sig"),
+        *[F.expr(band_sqls[b]).alias(f"band{b}") for b in range(4)],
+    )
 
 
 # Persisted signature relations from prior simhash64_hamming_pairs
