@@ -3379,3 +3379,46 @@ def analytics_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
         .orderBy("day")
     )
+
+
+@register(
+    "analytics_grid_proximity_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           (CAST(a.embedding[1] AS DOUBLE) - CAST(b.embedding[1] AS DOUBLE))
+             * (CAST(a.embedding[1] AS DOUBLE) - CAST(b.embedding[1] AS DOUBLE))
+           + (CAST(a.embedding[2] AS DOUBLE) - CAST(b.embedding[2] AS DOUBLE))
+             * (CAST(a.embedding[2] AS DOUBLE) - CAST(b.embedding[2] AS DOUBLE))
+             AS dist2
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE (CAST(a.embedding[1] AS DOUBLE) - CAST(b.embedding[1] AS DOUBLE))
+            * (CAST(a.embedding[1] AS DOUBLE) - CAST(b.embedding[1] AS DOUBLE))
+          + (CAST(a.embedding[2] AS DOUBLE) - CAST(b.embedding[2] AS DOUBLE))
+            * (CAST(a.embedding[2] AS DOUBLE) - CAST(b.embedding[2] AS DOUBLE))
+          < CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE)
+    """,
+)
+def analytics_grid_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6+: ε-proximity self-join via the fixed-grid cell equi-join
+    (operators/spatial.py) — all point pairs within ε = 0.02 on the
+    first two embedding dimensions, without the O(n²) cross join the
+    brute-force DuckDB oracle runs.
+
+    Exact recall: a pair closer than ε differs by at most one ε-cell
+    per axis, so the 3×3 neighborhood fan of ONE join side covers every
+    qualifying pair exactly once (the other side contributes only its
+    home cell). The squared distance is evaluated with the lower id on
+    the left in both engines, so the doubles are bit-identical.
+
+    Scale shape: one (cell_x, cell_y) equi-join shuffle; candidates are
+    bounded by local density × 9, never n² — the grid is the 2-D
+    analogue of the LSH band buckets used for text near-dup."""
+    from rpa_etl_investing_spark.operators.spatial import grid_proximity_pairs
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    return grid_proximity_pairs(pts, 0.02, id_col="vec_id", x_col="x", y_col="y")

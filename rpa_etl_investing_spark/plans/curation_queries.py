@@ -1515,3 +1515,93 @@ def curation_sft_format_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         content_ok.alias("content_ok"),
         (first_ok & alternate_ok & content_ok).alias("accepted"),
     ).orderBy("doc_id")
+
+
+# Rendezvous (highest-random-weight) hashing: weight(doc, shard) is the
+# first 14 hex digits of md5("doc_id:shard") as a 56-bit integer,
+# argmax packed as weight*16 + shard so MAX() resolves both the winner
+# and deterministic ties in one aggregate (DuckDB has no hex->int conv;
+# the oracle parses the digits positionally, same device as the
+# minhash mirror in llm_queries.py).
+_HRW_W_SQL = (
+    "("
+    + " + ".join(
+        f"(STRPOS('0123456789abcdef', SUBSTR(h, {i}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(1, 15)
+    )
+    + ")"
+)
+
+
+@register(
+    "curation_rendezvous_shards",
+    oracle=f"""
+    WITH fan AS (
+      SELECT doc_id, UNNEST(RANGE(0, 9)) AS s FROM documents),
+    wt AS (
+      SELECT doc_id, s,
+             {_HRW_W_SQL} AS w
+      FROM (SELECT doc_id, s,
+                   md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)) AS h
+            FROM fan)),
+    a AS (
+      SELECT doc_id,
+             MAX(CASE WHEN s < 8 THEN w * 16 + s END) AS p8,
+             MAX(w * 16 + s) AS p9
+      FROM wt GROUP BY doc_id)
+    SELECT CAST(p8 % 16 AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN p8 % 16 <> p9 % 16 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM a GROUP BY 1 ORDER BY 1
+    """,
+)
+def curation_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5+: rendezvous (highest-random-weight) shard assignment — each
+    doc goes to the shard whose md5("doc_id:shard") weight is highest.
+    Unlike mod-N hashing, growing the pool relocates only the docs the
+    NEW shard wins (~1/(N+1) of them): the query assigns every doc under
+    8 and under 9 shards in ONE aggregate and reports per-shard counts
+    plus how many docs the 9th shard stole (n_moved), demonstrating the
+    minimal-disruption property the technique exists for.
+
+    Determinism: weight is a 56-bit integer from the md5 hex prefix;
+    argmax is MAX(weight*16 + shard), so ties (impossible in practice,
+    defined anyway) resolve to the higher shard id identically in both
+    engines.
+
+    Scale shape: one explode×N_shards fan-out (map-side), one hash
+    aggregate keyed on doc_id, one tiny re-aggregate by shard. For very
+    large shard pools the fan-out factor is the pool size — cap it with
+    a two-level tournament (weights per shard-group, then within the
+    winning group); at N=9 the flat form is the right plan."""
+    d = tbl(spark, sf_dir, "documents").select("doc_id")
+    fan = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(8))).alias("s")
+    )
+    hx = F.md5(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.col("s").cast("string"))
+    )
+    packed = F.conv(F.substring(hx, 1, 14), 16, 10).cast("bigint") * 16 + F.col("s")
+    a = fan.groupBy("doc_id").agg(
+        F.max(F.when(F.col("s") < 8, packed)).alias("p8"),
+        F.max(packed).alias("p9"),
+    )
+    return (
+        a.select(
+            "doc_id",
+            (F.col("p8") % 16).alias("shard"),
+            (F.col("p9") % 16).alias("shard9"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard") != F.col("shard9"), 1).otherwise(0)
+            ).alias("n_moved"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )

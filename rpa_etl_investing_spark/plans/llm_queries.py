@@ -3198,3 +3198,154 @@ def llm_bpe_apply_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "llm_classifier_average_precision",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SCORE_CTE},
+    g AS (SELECT score_q, COUNT(*) AS n, SUM(y) AS npos FROM sc GROUP BY score_q),
+    w AS (SELECT n, npos,
+                 SUM(n) OVER dsc - n AS nprev,
+                 SUM(npos) OVER dsc - npos AS pprev
+          FROM g
+          WINDOW dsc AS (ORDER BY score_q DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    t AS (SELECT (pprev + j) * 1000000000000 // (nprev + n - npos + j) AS term_q
+          FROM (SELECT n, npos, nprev, pprev,
+                       UNNEST(RANGE(1, CAST(npos + 1 AS BIGINT))) AS j
+                FROM w WHERE npos > 0)),
+    s AS (SELECT CAST(SUM(term_q) AS BIGINT) AS sum_q FROM t),
+    tot AS (SELECT CAST(SUM(npos) AS BIGINT) AS n_pos FROM g)
+    SELECT n_pos, sum_q,
+           CAST(sum_q AS DOUBLE)
+             / (CAST(n_pos AS DOUBLE) * CAST(1000000000000 AS DOUBLE)) AS ap
+    FROM s, tot
+    """,
+)
+def llm_classifier_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ eval: average precision (area under the precision-recall
+    curve at positive ranks) for the same stopword-ratio score and
+    lang='en' labels as ``llm_classifier_auc``. Ties are resolved
+    PESSIMISTICALLY — within a tied score group all negatives rank
+    above the positives — a deterministic convention both engines
+    replay exactly (the alternative expected-over-permutations form is
+    equally computable but needs rational arithmetic).
+
+    Each positive at rank r with p positives at or above it contributes
+    precision p/r; the fraction is quantized to the 1e-12 grid as
+    integer floor division so the cross-group sum is order-independent.
+
+    Scale shape: identical to the AUC query — one map-side pass over
+    the corpus into distinct-score groups (~1e6 max), one bounded
+    ordered pass, then an explode of ONE row per positive document."""
+    from pyspark.sql.window import Window as W
+
+    scored = _scored(spark, sf_dir)
+    g = scored.groupBy("score_q").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("npos")
+    )
+    dsc = W.orderBy(F.col("score_q").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w = g.select(
+        "n",
+        "npos",
+        (F.sum("n").over(dsc) - F.col("n")).alias("nprev"),
+        (F.sum("npos").over(dsc) - F.col("npos")).alias("pprev"),
+    )
+    t = (
+        w.where(F.col("npos") > 0)
+        .select(
+            "n",
+            "npos",
+            "nprev",
+            "pprev",
+            F.explode(F.sequence(F.lit(1), F.col("npos"))).alias("j"),
+        )
+        .select(
+            F.expr(
+                "(pprev + j) * 1000000000000 div (nprev + n - npos + j)"
+            ).alias("term_q")
+        )
+    )
+    s = t.agg(F.sum("term_q").alias("sum_q"))
+    tot = g.agg(F.sum("npos").alias("n_pos"))
+    return s.crossJoin(tot).select(
+        "n_pos",
+        "sum_q",
+        (
+            F.col("sum_q").cast("double")
+            / (F.col("n_pos").cast("double") * F.lit(1000000000000).cast("double"))
+        ).alias("ap"),
+    )
+
+
+@register(
+    "llm_cross_source_dup_matrix",
+    oracle="""
+    WITH c AS (
+      SELECT md5(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:3], ' ')) AS h,
+             source, COUNT(*) AS n
+      FROM documents GROUP BY 1, 2)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(SUM(CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+                         ELSE a.n * b.n END) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN (CASE WHEN a.source = b.source
+                                    THEN a.n * (a.n - 1) // 2
+                                    ELSE a.n * b.n END) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_groups
+    FROM c a JOIN c b ON a.h = b.h AND a.source <= b.source
+    GROUP BY 1, 2
+    HAVING SUM(CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+                    ELSE a.n * b.n END) > 0
+    ORDER BY 1, 2
+    """,
+)
+def llm_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+: cross-source duplicate matrix — for every source pair, how
+    many duplicate doc pairs share a fingerprint (here the md5 of the
+    3-token prefix; swap in any content fingerprint — normalized-text
+    md5, a minhash band — without changing the shape). The curation
+    question it answers: which source pairs feed each other's content,
+    and how much of each source is internal duplication.
+
+    NEVER materializes doc-level pairs: counts docs per (fingerprint,
+    source) first, then joins the per-source COUNT table with itself on
+    the fingerprint — n_a·n_b pairs cross-source, n·(n−1)/2 within —
+    so a 10-million-doc duplicate group costs one row per source, not
+    10¹⁴ join rows. n_groups counts the fingerprint groups contributing
+    at least one pair to the cell.
+
+    Scale shape: one hash aggregate over the corpus (shuffles hash+src,
+    never text), then a self-join of the already-aggregated relation
+    keyed on the fingerprint — both sides collapse before any pairing."""
+    d = tbl(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " "))
+    c = d.select(fp.alias("h"), "source").groupBy("h", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    np_ = F.when(
+        F.col("a.source") == F.col("b.source"),
+        F.expr("a.n * (a.n - 1) div 2"),
+    ).otherwise(F.col("a.n") * F.col("b.n"))
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") <= F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            np_.alias("np"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum("np").alias("n_pairs"),
+            F.sum(F.when(F.col("np") > 0, 1).otherwise(0)).alias("n_groups"),
+        )
+        .where(F.col("n_pairs") > 0)
+        .orderBy("src_a", "src_b")
+    )

@@ -1336,3 +1336,73 @@ def timeseries_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "bucket", "day", "yq")
         .orderBy("event_type", "bucket")
     )
+
+
+@register(
+    "timeseries_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT) AS v_q
+      FROM events),
+    w AS (
+      SELECT user_id, v_q, epoch_us(ts) AS t_us,
+             LEAD(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+      FROM e)
+    SELECT user_id,
+           CAST(SUM(v_q * (t_next - t_us)) AS BIGINT) AS vt_q,
+           CAST(SUM(t_next - t_us) AS BIGINT) AS dt_us,
+           CAST(SUM(v_q * (t_next - t_us)) AS DOUBLE)
+             / CAST(SUM(t_next - t_us) * 100 AS DOUBLE) AS twap
+    FROM w WHERE t_next IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3+/T-series: time-weighted average value per user (TWAP) — each
+    observation holds until the next one, so its weight is the exact
+    microsecond interval to the successor (the last observation of a
+    user carries no weight; an interval-to-window-end variant just adds
+    a COALESCE bound). The money-grain value is quantized once to the
+    1e-2 grid, so both the numerator Σ(v·Δt) and denominator Σ(Δt) are
+    exact BIGINTs in any accumulation order; the single double division
+    at the end cannot differ between engines.
+
+    Scale shape: one lead() window per user partition (high-cardinality
+    key — scales out), then one hash aggregate on the same key, which
+    the window's shuffle already satisfies: one exchange total."""
+    e = tbl(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(9,2)") * 100).cast("bigint").alias("v_q"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts arrives NTZ; the session TZ is pinned UTC, so the cast
+    # to instant is lossless and matches the oracle's epoch_us
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    d = e.select(
+        "user_id",
+        "v_q",
+        t_us.alias("t_us"),
+        F.lead(t_us).over(w).alias("t_next"),
+    ).where(F.col("t_next").isNotNull())
+    dt = F.col("t_next") - F.col("t_us")
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.sum(F.col("v_q") * dt).alias("vt_q"),
+            F.sum(dt).alias("dt_us"),
+        )
+        .select(
+            "user_id",
+            "vt_q",
+            "dt_us",
+            (
+                F.col("vt_q").cast("double")
+                / (F.col("dt_us") * 100).cast("double")
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
