@@ -3422,3 +3422,222 @@ def analytics_grid_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("embedding").getItem(1).cast("double").alias("y"),
     )
     return grid_proximity_pairs(pts, 0.02, id_col="vec_id", x_col="x", y_col="y")
+
+
+@register(
+    "analytics_fuzzy_name_pairs",
+    oracle="""
+    WITH c AS (SELECT p_name AS nm, COUNT(*) AS n FROM part GROUP BY 1)
+    SELECT a.nm AS nm_a, b.nm AS nm_b,
+           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist,
+           a.n AS n_a, b.n AS n_b
+    FROM c a JOIN c b ON a.nm < b.nm
+    WHERE ABS(LEN(a.nm) - LEN(b.nm)) <= 2
+      AND levenshtein(a.nm, b.nm) <= 2
+    ORDER BY 1, 2
+    """,
+)
+def analytics_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6+: blocked fuzzy-match self-join — catalog name pairs within
+    Levenshtein distance 2 (the entity-resolution primitive for typo'd
+    product/customer names), both engines computing the identical
+    unit-cost edit distance.
+
+    Blocking with exact recall: lev(a,b) ≤ 2 forces ||a|−|b|| ≤ 2, so
+    fanning ONE side to the 5 lengths {|b|−2..|b|+2} and equi-joining
+    on length covers every qualifying pair exactly once (the other
+    side's single length key picks one of the 5 fanned rows) — the 1-D
+    sibling of the ε-grid join in operators/spatial.py. The edit
+    distance runs only on same-block candidates, never all pairs.
+
+    Scale shape: names are first collapsed to DISTINCT with their
+    multiplicities (the matrix trick from llm_cross_source_dup_matrix),
+    so the quadratic-ish work is over the name vocabulary, not the row
+    count; production entity resolution would add a positional q-gram
+    block (see PPJoin, operators/dedup.py) to split heavy length
+    blocks further."""
+    c = (
+        tbl(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("nm"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = c.select(
+        F.col("nm").alias("nm_a"),
+        F.col("n").alias("n_a"),
+        F.length("nm").alias("len_key"),
+    )
+    b = c.select(
+        F.col("nm").alias("nm_b"),
+        F.col("n").alias("n_b"),
+        F.explode(
+            F.sequence(F.length("nm") - 2, F.length("nm") + 2)
+        ).alias("len_key"),
+    )
+    dist = F.levenshtein(F.col("nm_a"), F.col("nm_b"))
+    return (
+        a.join(b, "len_key")
+        .where(F.col("nm_a") < F.col("nm_b"))
+        .where(dist <= 2)
+        .select(
+            "nm_a", "nm_b", dist.cast("bigint").alias("dist"), "n_a", "n_b"
+        )
+        .orderBy("nm_a", "nm_b")
+    )
+
+
+@register(
+    "analytics_kaplan_meier_table",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(DATE_TRUNC('day', MIN(CAST(ts AS TIMESTAMP))) AS DATE) AS b,
+             CAST(DATE_TRUNC('day', MAX(CAST(ts AS TIMESTAMP))) AS DATE) AS e
+      FROM events GROUP BY 1),
+    g AS (SELECT MAX(e) AS gmax FROM u),
+    lab AS (
+      SELECT DATE_DIFF('day', b, e) AS t,
+             CASE WHEN DATE_DIFF('day', e, gmax) < 3 THEN 1 ELSE 0 END AS cens
+      FROM u, g),
+    risk AS (
+      SELECT t, COUNT(*) AS n_t,
+             CAST(SUM(1 - cens) AS BIGINT) AS n_deaths,
+             CAST(SUM(cens) AS BIGINT) AS n_censored
+      FROM lab GROUP BY t)
+    SELECT t, n_deaths, n_censored,
+           CAST(SUM(n_t) OVER (ORDER BY t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_at_risk,
+           n_deaths * 1000000000000
+             // CAST(SUM(n_t) OVER (ORDER BY t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS hazard_q
+    FROM risk ORDER BY t
+    """,
+)
+def analytics_kaplan_meier_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family survival analysis: the Kaplan-Meier risk table over
+    user lifetimes — per lifetime day t: users still at risk (lifetime
+    ≥ t), deaths at t (last event at t, not censored), right-censored
+    at t (last event within 3 days of the study cutoff = global max
+    day), and the discrete hazard d/n quantized to the 1e-12 integer
+    grid. The table IS the estimator's input; the survival curve is the
+    running product of (1 − hazard), left to the consumer because an
+    exact cross-engine float product is not order-stable.
+
+    Companion to ``analytics_kaplan_meier`` (fixed-90-day-horizon
+    censoring over per-lineitem ship durations, with a quantized
+    ln-survival column): this one works at the USER grain — lifetimes
+    first require a per-entity aggregate — and the censoring is induced
+    by the observation window's end rather than a fixed horizon, the
+    two censoring regimes a survival analysis toolkit must cover.
+
+    Scale shape: one per-user hash aggregate over the fact (shuffles on
+    user_id once), one 1-row cutoff scalar broadcast, then all window
+    work runs over the aggregated lifetime distribution — at most one
+    row per distinct lifetime day, bounded by the observation span, not
+    the user count."""
+    ev = tbl(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min(F.col("ts").cast("timestamp")))).alias("b"),
+        F.to_date(F.date_trunc("day", F.max(F.col("ts").cast("timestamp")))).alias("e"),
+    )
+    g = u.agg(F.max("e").alias("gmax"))
+    lab = u.crossJoin(g).select(
+        F.datediff(F.col("e"), F.col("b")).alias("t"),
+        F.when(F.datediff(F.col("gmax"), F.col("e")) < 3, 1).otherwise(0).alias(
+            "cens"
+        ),
+    )
+    risk = lab.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_t"),
+        F.sum(1 - F.col("cens")).alias("n_deaths"),
+        F.sum("cens").alias("n_censored"),
+    )
+    wdesc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_at_risk = F.sum("n_t").over(wdesc)
+    return risk.select(
+        "t",
+        "n_deaths",
+        "n_censored",
+        n_at_risk.alias("n_at_risk"),
+        F.expr(
+            "n_deaths * 1000000000000 div "
+            "SUM(n_t) OVER (ORDER BY t DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ).alias("hazard_q"),
+    ).orderBy("t")
+
+
+@register(
+    "graph_bfs_hops",
+    oracle="""
+    WITH ew AS MATERIALIZED (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2),
+    rk AS (SELECT src, dst,
+                  ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS r
+           FROM ew),
+    e AS MATERIALIZED (SELECT src, dst FROM rk WHERE r <= 3),
+    h0 AS (SELECT CAST(7 AS BIGINT) AS node, 0 AS hops),
+    h1 AS (SELECT DISTINCT dst AS node, 1 AS hops FROM e WHERE src = 7),
+    h2 AS (SELECT DISTINCT e.dst AS node, 2 AS hops FROM e JOIN h1 ON e.src = h1.node),
+    h3 AS (SELECT DISTINCT e.dst AS node, 3 AS hops FROM e JOIN h2 ON e.src = h2.node),
+    lv AS (SELECT node, hops FROM h0 UNION ALL SELECT node, hops FROM h1
+           UNION ALL SELECT node, hops FROM h2 UNION ALL SELECT node, hops FROM h3),
+    d AS (SELECT node, CAST(MIN(hops) AS INTEGER) AS hops FROM lv GROUP BY node)
+    SELECT d.node, n.n_name AS nation, d.hops
+    FROM d JOIN nation n ON d.node = n.n_nationkey
+    ORDER BY d.hops, d.node
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8+: single-source shortest hop counts (bounded BFS, 3 hops)
+    over the sparsified nation trade graph — each nation keeps only its
+    3 heaviest outgoing trade lanes (ROW_NUMBER by weight desc, dst as
+    the deterministic tie-break), making reachability non-trivial at
+    every scale factor because the sparsification is RELATIVE, not an
+    absolute weight cut that 10×-ing the data would saturate.
+
+    Scale shape: the fact-sized work is the one edge aggregation (same
+    pipeline as graph_nation_pagerank); operators/graph.py bfs_hops
+    persists the aggregated graph and unrolls the frontier expansion
+    into the plan — each hop is a keyed join + min-aggregate on the
+    entity graph, no driver-side frontier state."""
+    from rpa_etl_investing_spark.operators.graph import bfs_hops
+    from pyspark.sql.window import Window as W
+
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    ew = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(s, "supplier"), li.l_suppkey == s.s_suppkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    rk = W.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst"))
+    e = (
+        ew.withColumn("r", F.row_number().over(rk))
+        .where(F.col("r") <= 3)
+        .select("src", "dst")
+    )
+    d = bfs_hops(e, 7, max_hops=3)
+    return (
+        d.join(F.broadcast(n), d.node == n.n_nationkey)
+        .select("node", F.col("n_name").alias("nation"), "hops")
+        .orderBy("hops", "node")
+    )
