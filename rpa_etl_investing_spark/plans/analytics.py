@@ -3449,6 +3449,9 @@ def analytics_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     side's single length key picks one of the 5 fanned rows) — the 1-D
     sibling of the ε-grid join in operators/spatial.py. The edit
     distance runs only on same-block candidates, never all pairs.
+    Complementary to ``llm_sorted_neighborhood_pairs`` (the other
+    classic blocking family: sort-merge rank bands, recall bounded by
+    the window rather than exact).
 
     Scale shape: names are first collapsed to DISTINCT with their
     multiplicities (the matrix trick from llm_cross_source_dup_matrix),
@@ -3569,75 +3572,3 @@ def analytics_kaplan_meier_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hazard_q"),
     ).orderBy("t")
 
-
-@register(
-    "graph_bfs_hops",
-    oracle="""
-    WITH ew AS MATERIALIZED (
-      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
-             CAST(COUNT(*) AS BIGINT) AS w
-      FROM lineitem l
-      JOIN orders o ON l.l_orderkey = o.o_orderkey
-      JOIN customer c ON o.o_custkey = c.c_custkey
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      WHERE s.s_nationkey <> c.c_nationkey
-      GROUP BY 1, 2),
-    rk AS (SELECT src, dst,
-                  ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS r
-           FROM ew),
-    e AS MATERIALIZED (SELECT src, dst FROM rk WHERE r <= 3),
-    h0 AS (SELECT CAST(7 AS BIGINT) AS node, 0 AS hops),
-    h1 AS (SELECT DISTINCT dst AS node, 1 AS hops FROM e WHERE src = 7),
-    h2 AS (SELECT DISTINCT e.dst AS node, 2 AS hops FROM e JOIN h1 ON e.src = h1.node),
-    h3 AS (SELECT DISTINCT e.dst AS node, 3 AS hops FROM e JOIN h2 ON e.src = h2.node),
-    lv AS (SELECT node, hops FROM h0 UNION ALL SELECT node, hops FROM h1
-           UNION ALL SELECT node, hops FROM h2 UNION ALL SELECT node, hops FROM h3),
-    d AS (SELECT node, CAST(MIN(hops) AS INTEGER) AS hops FROM lv GROUP BY node)
-    SELECT d.node, n.n_name AS nation, d.hops
-    FROM d JOIN nation n ON d.node = n.n_nationkey
-    ORDER BY d.hops, d.node
-    """,
-)
-def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8+: single-source shortest hop counts (bounded BFS, 3 hops)
-    over the sparsified nation trade graph — each nation keeps only its
-    3 heaviest outgoing trade lanes (ROW_NUMBER by weight desc, dst as
-    the deterministic tie-break), making reachability non-trivial at
-    every scale factor because the sparsification is RELATIVE, not an
-    absolute weight cut that 10×-ing the data would saturate.
-
-    Scale shape: the fact-sized work is the one edge aggregation (same
-    pipeline as graph_nation_pagerank); operators/graph.py bfs_hops
-    persists the aggregated graph and unrolls the frontier expansion
-    into the plan — each hop is a keyed join + min-aggregate on the
-    entity graph, no driver-side frontier state."""
-    from rpa_etl_investing_spark.operators.graph import bfs_hops
-    from pyspark.sql.window import Window as W
-
-    li = tbl(spark, sf_dir, "lineitem")
-    o = tbl(spark, sf_dir, "orders")
-    c = tbl(spark, sf_dir, "customer")
-    s = tbl(spark, sf_dir, "supplier")
-    n = tbl(spark, sf_dir, "nation")
-    ew = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(maybe_broadcast(s, "supplier"), li.l_suppkey == s.s_suppkey)
-        .where(F.col("s_nationkey") != F.col("c_nationkey"))
-        .groupBy(
-            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
-        )
-        .agg(F.count("*").cast("bigint").alias("w"))
-    )
-    rk = W.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst"))
-    e = (
-        ew.withColumn("r", F.row_number().over(rk))
-        .where(F.col("r") <= 3)
-        .select("src", "dst")
-    )
-    d = bfs_hops(e, 7, max_hops=3)
-    return (
-        d.join(F.broadcast(n), d.node == n.n_nationkey)
-        .select("node", F.col("n_name").alias("nation"), "hops")
-        .orderBy("hops", "node")
-    )
