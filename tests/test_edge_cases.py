@@ -310,3 +310,36 @@ def test_rendezvous_moves_only_to_new_shard(spark, sf_dir):
     n, n_moved = a.count(), moved.count()
     assert moved.where(F.col("s9") != 8).count() == 0
     assert 0 < n_moved < n / 4  # expected ~ n/9
+
+
+def test_grid_proximity_property_random_clouds(spark):
+    """Property sweep: for hypothesis-style generated point clouds
+    (three deterministic seeds × adversarial geometries: dense cluster,
+    boundary lattice, mixed-scale spread), the grid join equals brute
+    force. One Spark round-trip per cloud, generation is pure Python."""
+    import itertools
+    import random
+
+    from rpa_etl_investing_spark.operators.spatial import grid_proximity_pairs
+
+    for seed, eps in [(1, 0.05), (2, 0.013), (3, 0.3)]:
+        rng = random.Random(seed)
+        pts = []
+        for i in range(60):
+            kind = i % 3
+            if kind == 0:  # tight cluster around origin
+                pts.append((i, rng.gauss(0, eps), rng.gauss(0, eps)))
+            elif kind == 1:  # exact cell-boundary lattice
+                pts.append((i, (i // 3 % 7) * eps, (i // 3 % 5) * eps))
+            else:  # spread out
+                pts.append((i, rng.uniform(-3, 3), rng.uniform(-3, 3)))
+        df = spark.createDataFrame(pts, "id bigint, x double, y double")
+        got = {
+            (r.id_a, r.id_b) for r in grid_proximity_pairs(df, eps).collect()
+        }
+        want = {
+            (a[0], b[0])
+            for a, b in itertools.combinations(pts, 2)
+            if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 < eps * eps
+        }
+        assert got == want, f"seed={seed} eps={eps}"
