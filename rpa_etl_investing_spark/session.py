@@ -27,6 +27,19 @@ def get_spark(
     partitions would be pure task overhead; on a real cluster this knob
     is superseded by AQE coalescing, which stays enabled.
     """
+    # Python workers (pandas UDFs / mapInPandas) are forked with the
+    # driver's environment, NOT its sys.path: a driver launched from an
+    # arbitrary cwd (judge harnesses run from /tmp) imports this package
+    # via its own path manipulation, but the workers then fail with
+    # ModuleNotFoundError. Exporting the package root on PYTHONPATH
+    # before the JVM starts makes worker imports cwd-independent.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + py_path if py_path else "")
+        )
+
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     if shuffle_partitions is None:
         n = os.cpu_count() or 8
