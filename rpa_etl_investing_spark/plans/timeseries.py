@@ -1406,3 +1406,49 @@ def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "timeseries_cumulative_distinct_users",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, MIN(DATE_TRUNC('day', CAST(ts AS TIMESTAMP))) AS first_day
+      FROM events GROUP BY 1),
+    d AS (SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+          FROM u GROUP BY 1)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM d ORDER BY day
+    """,
+)
+def timeseries_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3+/A3+: cumulative distinct users per day — the growth curve
+    every analytics consumer asks for, computed WITHOUT a running
+    COUNT(DISTINCT) window (which would carry a per-day distinct state
+    proportional to the user base): a user contributes exactly on their
+    FIRST-seen day, so one per-user MIN aggregate reduces the fact to
+    one row per user, daily news are a second tiny aggregate, and the
+    running total is a window over the day spine (≤ observation span
+    rows regardless of user count).
+
+    Scale shape: one user_id hash aggregate over the fact (the only
+    fact-sized shuffle), then day-level work; the unpartitioned window
+    is bounded by calendar days, the same argument as
+    timeseries_vwap_anomaly."""
+    ev = tbl(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts").cast("timestamp"))).alias(
+            "first_day"
+        )
+    )
+    d = u.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return d.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    ).orderBy("day")
