@@ -262,7 +262,12 @@ def minhash_candidate_pairs(
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """L2: 16-bit SimHash over distinct tokens — bit i is the majority
     vote of hex digit i of each token's md5 (≥'8' → +1 else −1)."""
-    ex = spread(docs, "doc_id").select("doc_id", F.explode(tokens_col(text_col)).alias("tok")).distinct()
+    # distinct tokens dedup MAP-SIDE (one row per doc ⇒ array_distinct
+    # before the explode is the global distinct) — same shuffle removal
+    # as simhash64_signatures below
+    ex = spread(docs, "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(text_col))).alias("tok")
+    )
     hx = F.md5(F.col("tok").cast("binary"))
     votes = [
         F.sum(
@@ -492,11 +497,14 @@ def ngram_jaccard_pairs(
     ≈ n²/2⁶⁵ across distinct shingles — negligible even at 10¹² keys,
     and a collision can only merge two shingles' posting lists, never
     drop a true pair)."""
-    sh = F.explode(shingles(text_col, k)).alias("sh")
+    # distinct shingles dedup MAP-SIDE (array_distinct before the
+    # explode ≡ the global (doc_id, sh) distinct because a doc is one
+    # row) — removes a corpus-sized shuffle; the xxhash64 option then
+    # hashes each distinct shingle once
+    sh = F.explode(F.array_distinct(shingles(text_col, k))).alias("sh")
     ex = spread(docs, "doc_id").select("doc_id", sh)
     if hash_shingles:
         ex = ex.select("doc_id", F.xxhash64("sh").alias("sh"))
-    ex = ex.distinct()
     df_counts = ex.groupBy("sh").agg(F.count("*").alias("df"))
     ex = ex.join(df_counts.filter(F.col("df") <= max_df), "sh")
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
