@@ -99,12 +99,12 @@ def tf_idf_topk(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
         "doc_id", F.explode(tokens_col(text_col)).alias("term")
     )
     tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = (
-        ex.select("doc_id", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    # df = rows per term in the ALREADY-AGGREGATED tf relation (one row
+    # per (doc, term) by construction) — reusing it replaces a second
+    # corpus-sized explode + (doc, term) distinct shuffle with a tiny
+    # re-aggregate, and the identical tf subtree lets Spark's exchange
+    # reuse fire instead of recomputing the explode
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df_, "term")
@@ -275,9 +275,11 @@ def rolling_hash_fingerprint(
 def document_fingerprint(docs: DataFrame, text_col: str = "text", n: int = 4) -> DataFrame:
     """Winnowing-style fingerprint: the ``n`` lexicographically smallest
     distinct shingle md5s, concatenated — a compact near-dup key."""
+    # distinct shingles dedup map-side (one row per doc), as in the
+    # dedup.py signature pipelines
     ex = spread(docs, "doc_id").select(
-        "doc_id", F.explode(shingles(text_col)).alias("sh")
-    ).distinct()
+        "doc_id", F.explode(F.array_distinct(shingles(text_col))).alias("sh")
+    )
     hashed = ex.select("doc_id", F.md5(F.col("sh").cast("binary")).alias("h"))
     agg = hashed.groupBy("doc_id").agg(
         F.concat_ws("", F.slice(F.array_sort(F.collect_set("h")), 1, n)).alias(
@@ -308,10 +310,10 @@ def benchmark_contamination(
     partitioning. Output: per-doc shingle count, contaminated-shingle
     count, ratio, and the drop flag at ``flag_ratio``.
     """
-    ex = (
-        spread(docs, "doc_id")
-        .select("doc_id", F.explode(shingles(text_col, k)).alias("sh"))
-        .distinct()
+    # per-doc distinct shingles dedup map-side (one row per doc); the
+    # benchmark side still needs its global distinct below
+    ex = spread(docs, "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(shingles(text_col, k))).alias("sh")
     )
     bench_sh = (
         ex.filter(F.col("doc_id") < bench_max_id).select("sh").distinct()
