@@ -871,10 +871,10 @@ def llm_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tbl(spark, sf_dir, "documents")
     cand = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
-    ex = (
-        spread(docs, "doc_id")
-        .select("doc_id", F.explode(shingles("text")).alias("sh"))
-        .distinct()
+    # per-doc distinct shingles dedup map-side (array_distinct on the
+    # one-row-per-doc array ≡ the global distinct) — no distinct shuffle
+    ex = spread(docs, "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("sh")
     )
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = ex.select(F.col("doc_id").alias("doc_a"), "sh")
