@@ -1011,3 +1011,40 @@ def test_runtime_bloom_filter_join_injection(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_twap_window_and_aggregate_share_one_exchange(spark, sf_dir):
+    """timeseries_time_weighted_avg: the lead() window and the per-user
+    aggregate key on the same column — exactly ONE hashpartitioning
+    exchange on user_id may appear (plus none on any other fact key)."""
+    plan = _plan(QUERIES["timeseries_time_weighted_avg"].fn(spark, sf_dir))
+    import re
+
+    fact_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(fact_exchanges) == 1, plan
+
+
+def test_simhash64_signature_pipeline_has_single_exchange(spark, sf_dir):
+    """The 64-bit signature pipeline dedups tokens map-side
+    (array_distinct) and pre-partitions compact doc rows, so the ONLY
+    exchange is spread()'s repartition — no (doc_id, tok) distinct
+    shuffle, no second aggregate exchange."""
+    from rpa_etl_investing_spark.operators.dedup import simhash64_signatures
+
+    docs = tbl(spark, sf_dir, "documents")
+    plan = _plan(simhash64_signatures(docs))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_grid_proximity_join_is_keyed_and_unhinted(spark, sf_dir):
+    """The ε-grid join must be a cell-key equi-join with NO explicit
+    broadcast hint (points scale with SF — AQE may still choose
+    broadcast at fixture scale, but the logical plan carries no forced
+    build side) and never a cartesian fallback."""
+    q = QUERIES["analytics_grid_proximity_pairs"].fn(spark, sf_dir)
+    assert "UnresolvedHint" not in q._jdf.queryExecution().logical().toString()
+    opt = _optimized(q)
+    assert "ResolvedHint" not in opt, opt
+    plan = _plan(q)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
