@@ -343,3 +343,29 @@ def test_grid_proximity_property_random_clouds(spark):
             if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 < eps * eps
         }
         assert got == want, f"seed={seed} eps={eps}"
+
+
+def test_grid_proximity_empty_and_singleton(spark):
+    """Zero points and a single point must both yield an empty pair set
+    with the contract schema, not an error."""
+    from rpa_etl_investing_spark.operators.spatial import grid_proximity_pairs
+
+    empty = spark.createDataFrame([], "id bigint, x double, y double")
+    out = grid_proximity_pairs(empty, 0.1)
+    assert out.columns == ["id_a", "id_b", "dist2"]
+    assert out.count() == 0
+    one = spark.createDataFrame([(1, 0.0, 0.0)], "id bigint, x double, y double")
+    assert grid_proximity_pairs(one, 0.1).count() == 0
+
+
+def test_grid_proximity_coincident_points(spark):
+    """Exactly coincident points (dist2 = 0 < eps²) must pair up — the
+    degenerate case a dedup-shaped consumer cares about most."""
+    from rpa_etl_investing_spark.operators.spatial import grid_proximity_pairs
+
+    pts = spark.createDataFrame(
+        [(1, 2.5, -1.0), (2, 2.5, -1.0), (3, 9.9, 9.9)],
+        "id bigint, x double, y double",
+    )
+    rows = grid_proximity_pairs(pts, 0.05).collect()
+    assert [(r.id_a, r.id_b, r.dist2) for r in rows] == [(1, 2, 0.0)]
