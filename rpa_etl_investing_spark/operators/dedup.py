@@ -28,6 +28,12 @@ def spread(docs: DataFrame, *keys: str) -> DataFrame:
     """Hash-repartition on the aggregation key before a heavy per-row
     fan-out (shingle explode × md5).
 
+    Contract shared by every consumer in this module and text.py: the
+    input is ONE ROW PER doc_id. The map-side ``array_distinct``
+    dedup the pipelines rely on is the global (doc, token) distinct
+    only under that invariant; a caller holding a fanned-out relation
+    (e.g. a join product) must re-collapse to one row per doc first.
+
     A corpus-sized input arrives in many splits, but a small scan (few
     parquet files) plans few partitions — and then the explode, the most
     expensive stage of the dedup pipeline, runs on those few cores
@@ -341,11 +347,13 @@ def simhash64_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # s = 31-i of `hi` and `lo` respectively, so one aggregate column
     # carries both ones-counters — ones_i in the high 32 bits, ones_{i+32}
     # in the low 32 — halving the aggregation buffer (32 longs + 1 count
-    # instead of 64) and the per-row update count. The low counter can't
-    # carry into the high one while the doc's distinct-token count stays
-    # below 2^32 (a >4-billion-distinct-token "document" is a multi-GB
-    # blob — reject upstream, not here). The vote v_i = 2*ones_i - n is
-    # then sign-tested exactly as before: bit set iff 2*ones_i >= n.
+    # instead of 64) and the per-row update count. Safety bound: the
+    # packed column is a SIGNED BIGINT, so the high counter must stay
+    # below 2^31 ⇒ documents must have < 2^31 (~2.1e9) distinct tokens
+    # (a multi-GB blob — reject upstream, not here); the low counter
+    # can't carry into the high one under the same bound. The vote
+    # v_i = 2*ones_i - n is then sign-tested exactly as before: bit set
+    # iff 2*ones_i >= n.
     packs = [
         F.expr(
             f"SUM(shiftleft(shiftright(hi, {31 - s}) & 1, 32)"
@@ -392,7 +400,11 @@ def simhash64_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # _LIVE_EDGE_CACHES: the returned pairs DataFrame is lazy and reads the
 # cached signatures from BOTH sides of the band self-join, so the
 # operator cannot unpersist before returning. Each new call retires the
-# previous call's cache; callers fully done can force-release.
+# previous call's cache; callers fully done can force-release. Like the
+# graph.py registry, this is single-driver-thread by design (Spark query
+# construction here is not thread-safe anyway): a second call retires
+# the first call's cache, so consume (or accept recomputation of) a
+# returned pairs frame before invoking the operator on another corpus.
 _LIVE_SIG_CACHES: list[DataFrame] = []
 
 
@@ -499,12 +511,15 @@ def ngram_jaccard_pairs(
     drop a true pair)."""
     # distinct shingles dedup MAP-SIDE (array_distinct before the
     # explode ≡ the global (doc_id, sh) distinct because a doc is one
-    # row) — removes a corpus-sized shuffle; the xxhash64 option then
-    # hashes each distinct shingle once
-    sh = F.explode(F.array_distinct(shingles(text_col, k))).alias("sh")
-    ex = spread(docs, "doc_id").select("doc_id", sh)
+    # row) — removes a corpus-sized shuffle. With hashing on, the hash
+    # runs INSIDE the array and a second array_distinct collapses any
+    # intra-doc 64-bit collision before the explode, preserving the
+    # "a collision can only merge posting lists, never duplicate a
+    # (doc, key) row" invariant the df/intersection counts rely on.
+    arr = F.array_distinct(shingles(text_col, k))
     if hash_shingles:
-        ex = ex.select("doc_id", F.xxhash64("sh").alias("sh"))
+        arr = F.array_distinct(F.transform(arr, lambda s: F.xxhash64(s)))
+    ex = spread(docs, "doc_id").select("doc_id", F.explode(arr).alias("sh"))
     df_counts = ex.groupBy("sh").agg(F.count("*").alias("df"))
     ex = ex.join(df_counts.filter(F.col("df") <= max_df), "sh")
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))

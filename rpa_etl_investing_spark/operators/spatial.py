@@ -37,7 +37,19 @@ def grid_proximity_pairs(
     double squared distance computed as ``dx*dx + dy*dy`` with the
     lower-id point on the left — bit-identical to a brute-force oracle
     evaluating the same expression on the same role assignment.
+
+    Recall caveat (floating point, measure-zero): cell assignment is
+    ``floor(x/eps)`` in doubles, so a qualifying pair whose BOTH
+    endpoints sit within ~1 ulp of cell boundaries with opposite
+    division roundings AND whose distance is within ~1 ulp of ε can
+    land 2 cells apart and miss the 3×3 ring. No such alignment exists
+    in any fixture (proven by the brute-force oracle at three scale
+    factors); for adversarial coordinate magnitudes quantize
+    coordinates to an integer grid upstream, which makes the cell
+    arithmetic exact.
     """
+    if not eps > 0:
+        raise ValueError(f"eps must be positive, got {eps}")
     cell_x = F.floor(F.col(x_col) / F.lit(eps)).cast("long")
     cell_y = F.floor(F.col(y_col) / F.lit(eps)).cast("long")
     home = pts.select(

@@ -1517,6 +1517,24 @@ def curation_sft_format_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def hrw_packed_assignments(d: DataFrame) -> DataFrame:
+    """Per-doc rendezvous argmax under 8 and 9 shards: returns
+    ``doc_id, p8, p9`` where p% 16 is the winning shard (see
+    ``curation_rendezvous_shards``). Shared with the HRW property test
+    so the test always validates the shipped recipe."""
+    fan = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(8))).alias("s")
+    )
+    hx = F.md5(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.col("s").cast("string"))
+    )
+    packed = F.conv(F.substring(hx, 1, 14), 16, 10).cast("bigint") * 16 + F.col("s")
+    return fan.groupBy("doc_id").agg(
+        F.max(F.when(F.col("s") < 8, packed)).alias("p8"),
+        F.max(packed).alias("p9"),
+    )
+
+
 # Rendezvous (highest-random-weight) hashing: weight(doc, shard) is the
 # first 14 hex digits of md5("doc_id:shard") as a 56-bit integer,
 # argmax packed as weight*16 + shard so MAX() resolves both the winner
@@ -1577,17 +1595,7 @@ def curation_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     a two-level tournament (weights per shard-group, then within the
     winning group); at N=9 the flat form is the right plan."""
     d = tbl(spark, sf_dir, "documents").select("doc_id")
-    fan = d.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(8))).alias("s")
-    )
-    hx = F.md5(
-        F.concat_ws(":", F.col("doc_id").cast("string"), F.col("s").cast("string"))
-    )
-    packed = F.conv(F.substring(hx, 1, 14), 16, 10).cast("bigint") * 16 + F.col("s")
-    a = fan.groupBy("doc_id").agg(
-        F.max(F.when(F.col("s") < 8, packed)).alias("p8"),
-        F.max(packed).alias("p9"),
-    )
+    a = hrw_packed_assignments(d)
     return (
         a.select(
             "doc_id",

@@ -1351,10 +1351,10 @@ def timeseries_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
                (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
       FROM e)
     SELECT user_id,
-           CAST(SUM(v_q * (t_next - t_us)) AS BIGINT) AS vt_q,
            CAST(SUM(t_next - t_us) AS BIGINT) AS dt_us,
-           CAST(SUM(v_q * (t_next - t_us)) AS DOUBLE)
-             / CAST(SUM(t_next - t_us) * 100 AS DOUBLE) AS twap
+           CAST(CAST(SUM(CAST(v_q AS DECIMAL(18,0))
+                         * CAST(t_next - t_us AS DECIMAL(18,0))) AS DOUBLE)
+                / CAST(SUM(t_next - t_us) * 100 AS DOUBLE) AS DOUBLE) AS twap
     FROM w WHERE t_next IS NOT NULL
     GROUP BY user_id ORDER BY user_id
     """,
@@ -1365,9 +1365,13 @@ def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond interval to the successor (the last observation of a
     user carries no weight; an interval-to-window-end variant just adds
     a COALESCE bound). The money-grain value is quantized once to the
-    1e-2 grid, so both the numerator Σ(v·Δt) and denominator Σ(Δt) are
-    exact BIGINTs in any accumulation order; the single double division
-    at the end cannot differ between engines.
+    1e-2 grid; the numerator Σ(v·Δt) accumulates in DECIMAL(38,0) —
+    per-row products up to 1e36 stay exact, so no value/interval
+    combination can silently wrap a BIGINT — and the denominator Σ(Δt)
+    is a BIGINT bounded by the observation SPAN (a user's intervals are
+    disjoint, so the sum telescopes) regardless of row count. Both are
+    exact in any accumulation order; the single double division at the
+    end cannot differ between engines.
 
     Scale shape: one lead() window per user partition (high-cardinality
     key — scales out), then one hash aggregate on the same key, which
@@ -1392,17 +1396,18 @@ def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy("user_id")
         .agg(
-            F.sum(F.col("v_q") * dt).alias("vt_q"),
+            F.sum(
+                F.col("v_q").cast("decimal(18,0)") * dt.cast("decimal(18,0)")
+            ).alias("vt_dec"),
             F.sum(dt).alias("dt_us"),
         )
         .select(
             "user_id",
-            "vt_q",
             "dt_us",
             (
-                F.col("vt_q").cast("double")
+                F.col("vt_dec").cast("double")
                 / (F.col("dt_us") * 100).cast("double")
-            ).alias("twap"),
+            ).cast("double").alias("twap"),
         )
         .orderBy("user_id")
     )

@@ -293,17 +293,12 @@ def test_rendezvous_moves_only_to_new_shard(spark, sf_dir):
     the new shard wins it — every moved doc's 9-shard assignment must
     be shard 8, and the moved fraction stays near 1/9."""
     from rpa_etl_investing_spark.catalog import tbl
+    from rpa_etl_investing_spark.plans.curation_queries import (
+        hrw_packed_assignments,
+    )
 
     d = tbl(spark, sf_dir, "documents").select("doc_id")
-    fan = d.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(8))).alias("s"))
-    hx = F.md5(
-        F.concat_ws(":", F.col("doc_id").cast("string"), F.col("s").cast("string"))
-    )
-    packed = F.conv(F.substring(hx, 1, 14), 16, 10).cast("bigint") * 16 + F.col("s")
-    a = fan.groupBy("doc_id").agg(
-        F.max(F.when(F.col("s") < 8, packed)).alias("p8"),
-        F.max(packed).alias("p9"),
-    ).select(
+    a = hrw_packed_assignments(d).select(
         "doc_id", (F.col("p8") % 16).alias("s8"), (F.col("p9") % 16).alias("s9")
     )
     moved = a.where(F.col("s8") != F.col("s9"))
