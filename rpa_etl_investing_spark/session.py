@@ -29,7 +29,7 @@ def get_spark(
     """
     # Python workers (pandas UDFs / mapInPandas) are forked with the
     # driver's environment, NOT its sys.path: a driver launched from an
-    # arbitrary cwd (judge harnesses run from /tmp) imports this package
+    # arbitrary cwd (external harnesses run from /tmp) imports this package
     # via its own path manipulation, but the workers then fail with
     # ModuleNotFoundError. Exporting the package root on PYTHONPATH
     # before the JVM starts makes worker imports cwd-independent.
