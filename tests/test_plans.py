@@ -779,11 +779,22 @@ def test_hashed_shingle_shuffles_carry_longs(spark, sf_dir, name):
     import re
 
     plan = _plan(QUERIES[name].fn(spark, sf_dir))
-    assert "xxhash64(sh" in plan, plan
-    # every exchange keyed on a shingle column partitions on a long
-    sh_exchanges = re.findall(r"hashpartitioning\(sh#(\d+)(L?)[,)]", plan)
-    assert sh_exchanges, plan
-    assert all(suffix == "L" for _, suffix in sh_exchanges), plan
+    # hashing happens in-plan before any shingle-keyed data movement
+    # (since the map-side array_distinct rework it runs INSIDE the
+    # pre-explode transform, which is earlier still)
+    assert "xxhash64(" in plan, plan
+    # every shingle column used as an exchange-partitioning or join key
+    # is a LongType ('#nL') — no raw k-word string crosses the wire
+    keyed_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning(sh#" in ln or "Join [sh#" in ln
+    ]
+    assert keyed_lines, plan
+    for ln in keyed_lines:
+        assert all(
+            suffix == "L" for _, suffix in re.findall(r"sh#(\d+)(L?)", ln)
+        ), ln
 
 
 def test_bloom_prefilter_runs_below_join_exchange(spark, sf_dir):
