@@ -4,10 +4,15 @@ Deduplication, similarity search, text analysis and multimodal-column
 plumbing — the operations a large-scale training-data pipeline needs,
 built on the same declarative core as the relational surface.
 
-Cross-engine determinism rule: every hash these operators use is
-md5-hex (identical text in Spark and DuckDB), compared/min-ed as
-fixed-width hex strings, so the DuckDB oracle can reproduce signatures
-bit-for-bit.
+Cross-engine determinism rule: every quantity an oracle checks is
+derived from hashes both engines can replay — md5/sha2 hex parsed to
+integers digit-by-digit on the DuckDB side (minhash universal-hash
+mixes, simhash majority votes, content digests), or 64-bit xxhash64
+where only Spark-side key compaction is needed and the oracle checks
+the VALUES that flow over those keys (hashed shingle/span variants,
+bloom, count-min, salting). Floating point never feeds a comparison:
+reductions accumulate in DECIMAL/BIGINT grids and cast once at the
+end. Each operator's docstring states its exact hash contract.
 """
 
 from rpa_etl_investing_spark.operators.dedup import (

@@ -185,6 +185,7 @@ def cap_band_buckets(bands: DataFrame, max_bucket: int | None) -> DataFrame:
         .select("band_no", "band_key")
         .persist()
     )
+    _LIVE_SIG_CACHES.append(hot)  # retired by the next operator entry
     return bands.join(F.broadcast(hot), ["band_no", "band_key"], "left_anti")
 
 
@@ -229,8 +230,14 @@ def minhash_candidate_pairs(
     (measured ~2×). Ordering matters: persist pays off only AFTER
     ``spread`` parallelizes the fan-out; on the raw single-split scan
     the single-threaded cache build was slower than recomputing. The
-    cached signatures are tiny (17 longs per doc) and evicted LRU."""
+    cached signatures are tiny (17 longs per doc) and evicted LRU;
+    like every persisting operator here, entry retires the previous
+    call's caches (see ``_LIVE_SIG_CACHES``) so repeated invocations
+    leak at most one call's worth of cached relations."""
+    while _LIVE_SIG_CACHES:
+        _LIVE_SIG_CACHES.pop().unpersist()
     sig = minhash_signatures_long(docs, text_col).persist()
+    _LIVE_SIG_CACHES.append(sig)
     bands = cap_band_buckets(band_keys(sig), max_bucket)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
@@ -395,8 +402,9 @@ def simhash64_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-# Persisted signature relations from prior simhash64_hamming_pairs
-# calls — same bounded-leak contract as operators/graph.py
+# Persisted relations from prior dedup-operator calls (simhash64
+# signatures, minhash signatures, hot-bucket lists) — same bounded-leak
+# contract as operators/graph.py
 # _LIVE_EDGE_CACHES: the returned pairs DataFrame is lazy and reads the
 # cached signatures from BOTH sides of the band self-join, so the
 # operator cannot unpersist before returning. Each new call retires the
@@ -409,9 +417,9 @@ _LIVE_SIG_CACHES: list[DataFrame] = []
 
 
 def release_sig_caches() -> None:
-    """Unpersist signature relations cached by prior
-    :func:`simhash64_hamming_pairs` calls. Only call once previously
-    returned pair DataFrames have been consumed."""
+    """Unpersist relations cached by prior dedup-operator calls
+    (:func:`simhash64_hamming_pairs`, :func:`minhash_candidate_pairs`).
+    Only call once previously returned DataFrames have been consumed."""
     while _LIVE_SIG_CACHES:
         _LIVE_SIG_CACHES.pop().unpersist()
 

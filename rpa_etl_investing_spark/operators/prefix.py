@@ -100,6 +100,18 @@ def sharded_running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = df.withColumn("_ps_local", F.sum(value).over(local_w))
+    # Integral-only contract, enforced: the two-level composition
+    # changes the ADDITION ORDER, which is only value-preserving for
+    # exact (integer/decimal) arithmetic — a float running sum here
+    # would neither match the single-window form bit-for-bit nor
+    # survive the final long cast. Fail loudly instead of truncating.
+    local_t = local.schema["_ps_local"].dataType.simpleString()
+    if not (local_t in ("bigint", "int", "smallint", "tinyint") or local_t.startswith("decimal")):
+        raise TypeError(
+            f"sharded_running_sum requires an exact integral/decimal value "
+            f"column (sum type {local_t}): float sums are not order-stable "
+            "across the shard composition"
+        )
     totals = df.groupBy(*partition_cols, shard_col).agg(
         F.sum(value).alias("_ps_tot")
     )
@@ -114,9 +126,12 @@ def sharded_running_sum(
     offsets = totals.withColumn(
         "_ps_off", F.coalesce(F.sum("_ps_tot").over(off_w), F.lit(0))
     ).select(*partition_cols, shard_col, "_ps_off")
+    total = F.col("_ps_local") + F.col("_ps_off")
+    if not local_t.startswith("decimal"):
+        total = total.cast("long")  # normalize int widths; exact by the guard
     return (
         local.join(F.broadcast(offsets), [*partition_cols, shard_col])
-        .withColumn(out_col, (F.col("_ps_local") + F.col("_ps_off")).cast("long"))
+        .withColumn(out_col, total)
         .drop("_ps_local", "_ps_off")
     )
 
@@ -233,7 +248,12 @@ def exact_quantiles(
     shards — per-group bounds would fix that at the cost of a
     group-count broadcast; not needed at fixture scale."""
     grp = list(group_cols or [])
-    vals = df.select(*grp, F.col(value_col).alias("_v"))
+    # NULL values are ignored, matching percentile()/percentile_approx:
+    # without this filter a NULL lands in a NULL shard that sorts first,
+    # inflating _total and shifting every selected rank
+    vals = df.select(*grp, F.col(value_col).alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
     sharded = with_value_range_shard(vals, "_v", n_shards)
     counts = sharded.groupBy(*grp, SHARD).agg(F.count(F.lit(1)).alias("_cnt"))
     cum_w = (
@@ -301,7 +321,12 @@ def exact_quantiles_cont(
     bracketing VALUES are exact, the final lerp is one deterministic
     IEEE expression)."""
     grp = list(group_cols or [])
-    vals = df.select(*grp, F.col(value_col).alias("_v"))
+    # NULL values are ignored, matching percentile()/percentile_approx:
+    # without this filter a NULL lands in a NULL shard that sorts first,
+    # inflating _total and shifting every selected rank
+    vals = df.select(*grp, F.col(value_col).alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
     sharded = with_value_range_shard(vals, "_v", n_shards)
     counts = sharded.groupBy(*grp, SHARD).agg(F.count(F.lit(1)).alias("_cnt"))
     cum_w = (

@@ -511,8 +511,16 @@ def semantic_dedup(
     per-cell work, exactly like IVF. The loser set is id-only
     (vectors never ride through the distinct), and the final drop is
     an anti join on the id."""
+    from rpa_etl_investing_spark.operators.caching import keep
+
     cent = corpus.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
-    cells = ivf_assign_cells(corpus, cent, id_col, vec_col, nprobe=1)
+    # cells feeds THREE consumers (both pair sides + the final anti
+    # join); fresh expression ids per branch defeat exchange reuse, so
+    # without the persist the corpus scan + norm pass + argmax
+    # assignment run three times per action (same measurement as
+    # ivf_topk's two-consumer case). keep() retires the previous call's
+    # cache, bounding the leak at one relation.
+    cells = keep(ivf_assign_cells(corpus, cent, id_col, vec_col, nprobe=1))
     a = cells.select(
         F.col(id_col).alias("_keep_id"),
         F.col(vec_col).alias("a_vec"),

@@ -50,8 +50,22 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join with the join key salted ``n_salts`` ways. Result is
-    identical to ``large.join(small, on, how)``; the shuffle for any
-    single key is spread over ``n_salts`` tasks."""
+    identical to ``large.join(small, on, how)`` for join types that
+    preserve unmatched rows only on the LARGE side; the shuffle for any
+    single key is spread over ``n_salts`` tasks.
+
+    Right/full outer joins are rejected: the small side is replicated
+    ``n_salts`` times, so a small-side row with no large-side match
+    would surface once PER SALT instead of once — equivalence breaks.
+    To salt those, swap the roles (salt the preserved side) or
+    de-replicate with a post-join dedup keyed on the small side's key.
+    """
+    preserved_small = {"right", "rightouter", "right_outer", "full", "outer", "fullouter", "full_outer"}
+    if how.lower().replace(" ", "") in preserved_small:
+        raise ValueError(
+            f"salted_join cannot express {how!r}: the replicated small "
+            "side would emit unmatched rows once per salt"
+        )
     left = salt_large_side(large, n_salts)
     right = replicate_small_side(small, n_salts)
     return left.join(right, [*on, SALT_COL], how).drop(SALT_COL)

@@ -265,10 +265,15 @@ def rolling_hash_fingerprint(
         f"    (acc, j) -> (acc * {ROLLING_BASE} + ascii(substring({text_col}, CAST(i + j AS INT), 1))) % {ROLLING_MOD})) "
         f"END"
     )
-    return docs.selectExpr(
+    # materialize the window array ONCE as a concrete column: the two
+    # output expressions would otherwise each embed the whole O(len·k)
+    # higher-order sweep, and HOFs sit outside whole-stage codegen so
+    # subexpression elimination cannot be relied on to merge them (the
+    # same once-per-row projection discipline as simhash64's halves)
+    return docs.selectExpr("doc_id", f"{windows} AS _w").selectExpr(
         "doc_id",
-        f"CAST(size({windows}) AS BIGINT) AS n_windows",
-        f"array_join(slice(array_sort(array_distinct({windows})), 1, {n_keep}), '-') AS fingerprint",
+        "CAST(size(_w) AS BIGINT) AS n_windows",
+        f"array_join(slice(array_sort(array_distinct(_w)), 1, {n_keep}), '-') AS fingerprint",
     )
 
 
