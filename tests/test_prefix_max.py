@@ -107,3 +107,35 @@ def test_bfs_reach_iterates_on_cached_graph(spark, sf_dir):
 
     df.count()  # consume before retiring the cache
     release_edge_caches()
+
+
+def test_running_sum_rejects_float_values(spark):
+    """Float running sums are not order-stable across the shard
+    composition — the operator must raise, not silently truncate."""
+    import pytest
+
+    from rpa_etl_investing_spark.operators.prefix import (
+        sharded_running_sum,
+        with_id_range_shard,
+    )
+
+    df = with_id_range_shard(
+        spark.createDataFrame(
+            [(1, 0.5), (2, 0.5), (3, 0.5)], "id bigint, v double"
+        ),
+        "id",
+    )
+    with pytest.raises(TypeError):
+        sharded_running_sum(df, [], ["id"], "v", "rs")
+
+
+def test_exact_quantiles_ignore_nulls_like_percentile(spark):
+    from rpa_etl_investing_spark.operators.prefix import exact_quantiles
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (None,)], "v double"
+    )
+    got = exact_quantiles(df, "v", {"p50": 0.5}).collect()[0]
+    want = df.selectExpr("percentile(v, 0.5) AS p").collect()[0].p
+    assert got.p50 == 2.0
+    assert abs(want - 2.0) < 1e-12  # percentile() also ignores the null

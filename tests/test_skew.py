@@ -41,3 +41,20 @@ def test_salt_is_deterministic(spark, sf_dir):
     a = {tuple(r) for r in salt_large_side(li, 8).collect()}
     b = {tuple(r) for r in salt_large_side(li, 8).collect()}
     assert a == b
+
+
+def test_salted_join_rejects_small_side_preserving_types(spark):
+    """Right/full outer would emit an unmatched small-side row once per
+    salt — the operator must refuse rather than silently multiply."""
+    import pytest
+
+    from rpa_etl_investing_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    small = spark.createDataFrame([(2, "y")], "k bigint, w string")
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, ["k"], how=how)
+    # the preserved-large forms remain accepted and exact
+    assert salted_join(big, small, ["k"], how="left").count() == 1
+    assert salted_join(big, small, ["k"], how="inner").count() == 0
