@@ -409,29 +409,30 @@ def simhash64_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # per doc / a hot-key list), so the cap bounds memory at a few corpora's
 # worth of signatures.
 _SIG_CACHE_CAP = 8
-_SIG_KEYED: list[tuple[DataFrame, str]] = []
+_SIG_KEYED: list[tuple[DataFrame, object]] = []  # (df, analyzed JVM plan)
 
 
 def _keep_or_reuse(df: DataFrame) -> DataFrame:
-    """Persist ``df``, or return the already-persisted relation whose
-    canonicalized plan is identical (same corpus, same pipeline) — the
+    """Persist ``df``, or return the already-persisted relation that
+    computes the same result (same corpus, same pipeline) — the
     explicit, bounded form of the plan-matched reuse Spark's
-    CacheManager gives duplicated persists."""
-    # canonicalized() normalizes exprIds but ERASES data-source paths
-    # ("Relation [...] parquet" with no location — measured: two
-    # different fixture directories canonicalize identically), so the
-    # key must also carry the scanned file set or reuse would serve one
-    # corpus's signatures for another.
-    canon = df._jdf.queryExecution().analyzed().canonicalized().toString()
-    canon += "|" + ",".join(sorted(df.inputFiles()))
-    for cached, key in _SIG_KEYED:
-        if key == canon:
+    CacheManager gives duplicated persists.
+
+    Identity is checked with the analyzed plan's ``sameResult`` — the
+    SAME structural comparison the CacheManager itself uses. String
+    forms are NOT usable here: ``canonicalized().toString()`` omits
+    data-source locations, so two different corpora with one pipeline
+    shape print identically (measured — and keying on the printed plan
+    once served one fixture's signatures for another)."""
+    plan = df._jdf.queryExecution().analyzed()
+    for cached, cplan in _SIG_KEYED:
+        if cplan.sameResult(plan):
             return cached
     while len(_SIG_KEYED) >= _SIG_CACHE_CAP:
         old, _ = _SIG_KEYED.pop(0)
         old.unpersist()
     df.persist()
-    _SIG_KEYED.append((df, canon))
+    _SIG_KEYED.append((df, plan))
     return df
 
 
