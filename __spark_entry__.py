@@ -18,6 +18,41 @@ from pyspark.sql import DataFrame, SparkSession
 
 SF_SMOKE_DIR = "/root/testdata/sf0.001"
 
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable inside Python WORKERS regardless of
+    how the session was built. Workers fork with the JVM's environment,
+    not the driver's sys.path: a bare session created by an external
+    harness (its own ``SparkSession.builder``, launched from any cwd)
+    runs every JVM-only query fine and fails exactly the pandas-UDF
+    ones with ModuleNotFoundError. ``addPyFile`` is the one mechanism
+    that still works after the JVM is up — it ships a zip of the
+    package and prepends it to every worker's sys.path."""
+    app = spark.sparkContext.applicationId
+    if app in _SHIPPED:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    import rpa_etl_investing_spark as pkg
+
+    root = os.path.dirname(os.path.abspath(pkg.__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"rpa_etl_investing_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _dirs, files in os.walk(root):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, os.path.dirname(root)))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(app)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
@@ -25,16 +60,28 @@ def entry(spark: SparkSession) -> DataFrame:
     Mirrors the reference's one analytic query
     (/root/reference/main.py:149-157) on the fixture star schema.
     """
+    _ship_package(spark)
     from rpa_etl_investing_spark.plans import QUERIES
 
     return QUERIES["flagship_topk"].fn(spark, SF_SMOKE_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2; each
+    callable first ensures the package is importable in the session's
+    Python workers (see :func:`_ship_package`)."""
     from rpa_etl_investing_spark.plans import all_queries
 
-    return all_queries()
+    def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        run.__doc__ = fn.__doc__
+        run.__name__ = getattr(fn, "__name__", "query")
+        return run
+
+    return {name: _wrap(fn) for name, fn in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
