@@ -40,11 +40,18 @@ def _ship_package(spark: SparkSession) -> None:
     import rpa_etl_investing_spark as pkg
 
     root = os.path.dirname(os.path.abspath(pkg.__file__))
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"rpa_etl_investing_spark_{os.getpid()}.zip"
+    # ALWAYS rebuild into a fresh mkstemp path (0600, unpredictable
+    # name). The previous guessable /tmp/<pkg>_<pid>.zip reused any
+    # existing file at that name — a stale zip from a pid collision, or
+    # a file pre-created by another local user, would get shipped via
+    # addPyFile and imported by every worker (ADVICE r5). The _SHIPPED
+    # guard above already bounds this to one build per applicationId,
+    # so rebuilding costs nothing.
+    fd, zpath = tempfile.mkstemp(
+        prefix="rpa_etl_investing_spark_", suffix=".zip"
     )
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
+    with os.fdopen(fd, "wb") as fh:
+        with zipfile.ZipFile(fh, "w") as z:
             for dirpath, _dirs, files in os.walk(root):
                 for f in files:
                     if f.endswith(".py"):

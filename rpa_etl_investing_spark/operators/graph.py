@@ -37,25 +37,26 @@ from pyspark.sql import functions as F
 
 GRID = 1_000_000_000
 
-# Persisted edge lists from prior pagerank() calls. The returned ranks
-# DataFrame is LAZY and references the persisted relation once per
-# unrolled iteration, so pagerank() itself cannot unpersist before
-# returning (consumers would silently re-expand the fact-aggregation
-# subtree into every iteration — the exact rescan the cache prevents).
-# Instead each new call retires the previous call's cache, bounding the
-# leak at one live relation no matter how many times tests/bench invoke
-# the operator; callers that are completely done can force-release via
-# release_edge_caches().
-_LIVE_EDGE_CACHES: list[DataFrame] = []
+# Persisted edge lists from prior pagerank()/bfs_hops() calls live in
+# the unified registry (operators/caching.py) under the "graph_edges"
+# scope. The returned ranks DataFrame is LAZY and references the
+# persisted relation once per unrolled iteration, so the producer
+# cannot unpersist before returning (consumers would silently
+# re-expand the fact-aggregation subtree into every iteration — the
+# exact rescan the cache prevents). keep() retires the previous call's
+# cache, bounding the leak at one live relation no matter how many
+# times tests/bench invoke the operator.
+from rpa_etl_investing_spark.operators.caching import keep, release_scope
+
+_EDGE_SCOPE = "graph_edges"
+_KCORE_SCOPE = "graph_kcore"
 
 
 def release_edge_caches() -> None:
-    """Unpersist every edge list cached by prior :func:`pagerank` calls.
-
-    Only call once all previously returned rank DataFrames have been
-    consumed — their plans read these caches."""
-    while _LIVE_EDGE_CACHES:
-        _LIVE_EDGE_CACHES.pop().unpersist()
+    """Unpersist every edge list cached by prior :func:`pagerank` /
+    :func:`bfs_hops` calls. Only call once all previously returned rank
+    DataFrames have been consumed — their plans read these caches."""
+    release_scope(_EDGE_SCOPE)
 
 
 def bfs_hops(edges: DataFrame, source, max_hops: int = 4) -> DataFrame:
@@ -73,12 +74,13 @@ def bfs_hops(edges: DataFrame, source, max_hops: int = 4) -> DataFrame:
     ``max_hops`` unrolled steps is a keyed hash join + min-aggregate on
     the small graph. No driver-side state; the frontier never leaves
     the cluster."""
-    release_edge_caches()
-    e = edges.select(
-        F.col("src").cast("bigint").alias("src"),
-        F.col("dst").cast("bigint").alias("dst"),
-    ).persist()
-    _LIVE_EDGE_CACHES.append(e)
+    e = keep(
+        edges.select(
+            F.col("src").cast("bigint").alias("src"),
+            F.col("dst").cast("bigint").alias("dst"),
+        ),
+        _EDGE_SCOPE,
+    )
     spark = edges.sparkSession
     dist = spark.range(1).select(
         F.lit(source).cast("bigint").alias("node"), F.lit(0).alias("hops")
@@ -116,13 +118,12 @@ def pagerank(
     # aggregation!) into every iteration — k rescans of the fact table.
     # With it, the fact is scanned once and iterations join the cached
     # aggregated graph (asserted in tests/test_plans.py).
-    release_edge_caches()  # retire the previous invocation's cache
-    ew = (
-        edges.join(outw, "src")
-        .select("src", "dst", F.col("w").cast("bigint").alias("w"), "wout")
-        .persist()
+    ew = keep(
+        edges.join(outw, "src").select(
+            "src", "dst", F.col("w").cast("bigint").alias("w"), "wout"
+        ),
+        _EDGE_SCOPE,
     )
-    _LIVE_EDGE_CACHES.append(ew)
 
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", F.expr(f"CAST({GRID} AS BIGINT) div _n").alias("rank_q")
@@ -151,15 +152,11 @@ def pagerank(
     return ranks
 
 
-_KCORE_CACHES: list[DataFrame] = []
-
-
 def release_kcore_caches() -> None:
     """Unpersist the per-round relations cached by prior
     :func:`kcore_peel` calls. The RESULT DataFrame reads the last
     round's cache, so only call once it has been consumed."""
-    while _KCORE_CACHES:
-        _KCORE_CACHES.pop().unpersist()
+    release_scope(_KCORE_SCOPE)
 
 
 def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
@@ -187,26 +184,25 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     # 19 s at sf0.001, on par with the other unrolled graph queries).
     # Previous calls' caches retire first; the result reads the last
     # round's cache, so this call cannot unpersist its own.
-    release_kcore_caches()
-    sym = (
+    sym = keep(
         edges.select("src", "dst")
         .union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
-        .persist()
+        .distinct(),
+        _KCORE_SCOPE,
     )
-    _KCORE_CACHES.append(sym)
     e = sym
     for _ in range(rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
         alive = deg.filter(F.col("_deg") >= k).select("src")
-        e = (
-            e.join(alive, "src", "left_semi")
-            .join(alive.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .persist()
+        e = keep(
+            e.join(alive, "src", "left_semi").join(
+                alive.select(F.col("src").alias("dst")), "dst", "left_semi"
+            ),
+            _KCORE_SCOPE,
+            retire=False,
         )
-        _KCORE_CACHES.append(e)
     return e.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     ).select(F.col("src").alias("node"), "deg")

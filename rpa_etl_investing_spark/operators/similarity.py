@@ -514,20 +514,32 @@ def semantic_dedup(
     from rpa_etl_investing_spark.operators.caching import keep
 
     cent = corpus.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
-    # cells feeds THREE consumers (both pair sides + the final anti
-    # join); fresh expression ids per branch defeat exchange reuse, so
-    # without the persist the corpus scan + norm pass + argmax
+    # The assignment feeds THREE consumers (both pair sides + the final
+    # anti join); fresh expression ids per branch defeat exchange reuse,
+    # so without the persist the corpus scan + norm pass + argmax
     # assignment run three times per action (same measurement as
-    # ivf_topk's two-consumer case). keep() retires the previous call's
-    # cache, bounding the leak at one relation.
-    cells = keep(ivf_assign_cells(corpus, cent, id_col, vec_col, nprobe=1))
-    a = cells.select(
+    # ivf_topk's two-consumer case). Persist ONLY the compact
+    # (id, cell_id, vec_norm) projection — caching.py's rule is that
+    # fact-sized VECTOR-carrying relations stay unpersisted (at corpus
+    # scale the full-embedding cache would hold the entire corpus'
+    # vectors in MEMORY_AND_DISK; ADVICE r5). The pair sides re-attach
+    # embeddings by joining the pruned (id, vec) corpus scan back to
+    # the cached assignment — rescanning a two-column parquet
+    # projection is the cheap path at 100 TB. keep() retires the
+    # previous call's cache, bounding the leak at one relation.
+    cells = keep(
+        ivf_assign_cells(corpus, cent, id_col, vec_col, nprobe=1).select(
+            id_col, "cell_id", "vec_norm"
+        )
+    )
+    withvec = corpus.select(id_col, vec_col).join(cells, id_col)
+    a = withvec.select(
         F.col(id_col).alias("_keep_id"),
         F.col(vec_col).alias("a_vec"),
         F.col("vec_norm").alias("a_norm"),
         "cell_id",
     )
-    b = cells.select(
+    b = withvec.select(
         F.col(id_col).alias("_drop_id"),
         F.col(vec_col).alias("b_vec"),
         F.col("vec_norm").alias("b_norm"),

@@ -21,8 +21,11 @@ Hive metastore) — the same code path as PostgreSQL with a different
 ``url``/``driver``.
 
 **Postgres dialect delta** (the reference's actual sink is Postgres via
-SQLAlchemy, ``main.py:15-18``; the sandbox has no Postgres server, so the
-Derby tests pin the *shared* JDBC behavior and this note pins the rest):
+SQLAlchemy, ``main.py:15-18``; the sandbox ships Postgres *server*
+binaries but no JDBC driver jar, so the Derby tests pin the *shared*
+JDBC behavior, tests/test_postgres_live.py pins the live-Postgres
+behavior through the wire-protocol sink in sources/pgwire.py, and this
+note pins the dialect rest):
 
 - Type mapping (Spark ``JdbcDialect``): StringType → Derby ``CLOB`` vs
   Postgres ``TEXT``; DoubleType → ``DOUBLE`` vs ``DOUBLE PRECISION``;

@@ -111,3 +111,25 @@ class IndexPageDataSource(DataSource):
 
     def reader(self, schema) -> IndexPageReader:
         return IndexPageReader(self.options)
+
+
+def scrape_frame(spark, rows_per_page: int = DEFAULT_ROWS_PER_PAGE):
+    """Register the DataSource and return the scraped pages in the raw
+    ETL schema (``RAW_SCRAPE_SCHEMA`` column names — the in-flight shape
+    of ``main.py:108-115``), ready for ``etl.pipeline.transform_raw``."""
+    from pyspark.sql import functions as F
+
+    spark.dataSource.register(IndexPageDataSource)
+    return (
+        spark.read.format("investing_pages")
+        .option("rows_per_page", str(rows_per_page))
+        .load()
+        .select(
+            "nome",
+            F.col("valor_atual").alias("valor_atual_raw"),
+            F.col("maxima").alias("maxima_raw"),
+            F.col("minima").alias("minima_raw"),
+            F.col("variacao").alias("variacao_raw"),
+            "pais",
+        )
+    )

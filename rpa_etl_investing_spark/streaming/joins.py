@@ -46,16 +46,27 @@ def static_enrich(
     dim: DataFrame,
     key_left: str = "user_id",
     key_right: str = "c_custkey",
+    dim_bounded: bool = False,
 ) -> DataFrame:
     """Stream-static enrichment: left-join each (possibly streaming)
-    event to a *static* dimension, broadcast. Unmatched events survive
-    with NULL dim columns — enrichment must never drop facts.
+    event to a *static* dimension. Unmatched events survive with NULL
+    dim columns — enrichment must never drop facts.
 
     This is the stateless complement of :func:`interval_join`: because
     the dim side is a bounded batch DataFrame, Structured Streaming
     needs NO watermark and NO join state — each micro-batch hash-probes
-    the broadcast table map-side and emits immediately (append mode).
-    At 100 TB of stream that property is what makes the enrich free:
-    zero shuffle on the fact, dim re-broadcast only on restart. The
-    same plan in batch is the classic star broadcast join (J1)."""
-    return stream.join(F.broadcast(dim), stream[key_left] == dim[key_right], "left")
+    the dim table map-side and emits immediately (append mode). At
+    100 TB of stream that property is what makes the enrich free: zero
+    shuffle on the fact, dim re-broadcast only on restart.
+
+    ``dim_bounded`` is the same contract as catalog.maybe_broadcast:
+    pass True only for dims whose cardinality is FIXED regardless of
+    scale (nation/region-like domains) — those get the explicit
+    broadcast hint. SF-scaling dims (customer!) stay hint-free: the
+    planner broadcasts them from measured size while they fit and
+    degrades to a shuffled hash join when they don't, instead of a
+    pinned hint forcing an un-broadcastable build side at 100×
+    (VERDICT r4 #1, caught again by the r6 full-registry hint sweep).
+    The same plan in batch is the classic star broadcast join (J1)."""
+    d = F.broadcast(dim) if dim_bounded else dim
+    return stream.join(d, stream[key_left] == dim[key_right], "left")

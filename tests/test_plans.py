@@ -724,39 +724,128 @@ def test_flagship_broadcast_is_size_gated_not_pinned(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "analytics_local_supplier_volume",
-        "analytics_promo_revenue",
-        "analytics_product_profit",
-        "analytics_parts_supplier_counts",
-        "analytics_min_cost_supplier",
-        "analytics_excess_supply_candidates",
-        "graph_nation_pagerank",
-        "graph_triangle_count",
-    ],
+# Fixture relations whose cardinality grows with SF, identified by a
+# column only they carry in a `Relation [...] parquet` treeString line.
+_SCALING_MARKERS = (
+    "c_custkey",
+    "s_suppkey",
+    "p_partkey",
+    "o_orderkey",
+    "l_orderkey",
+    "event_id",
+    "doc_id",
+    "vec_id",
 )
-def test_no_broadcast_hint_on_sf_scaling_tables(spark, sf_dir, name):
-    """No registered analytics query may pin a broadcast on an
-    SF-scaling table (part/supplier/customer or relations derived from
-    them): every ResolvedHint subtree in the analyzed plan must bottom
-    out in the bounded nation/region relations. maybe_broadcast
-    (catalog.py) is the enforcing helper."""
-    analyzed = _analyzed(QUERIES[name].fn(spark, sf_dir))
+# Logical nodes that can NEVER reduce cardinality between a broadcast
+# hint and its leaves. If a hinted subtree reaches a scaling parquet
+# relation through ONLY these, the hint pins an SF-unbounded build side
+# — the r4 scale-killer shape. Any reducing node (Aggregate, Filter,
+# Limit, Distinct, Deduplicate, Intersect, Except...) legitimizes the
+# hint: the repo's justified pins are global aggregates (1 row),
+# literal-bounded filters (centroids/codebooks: id < k), and threshold
+# relations, all of which contain one.
+_NON_REDUCING = {
+    "Project",
+    "SubqueryAlias",
+    "Relation",
+    "LogicalRelation",
+    "View",
+    "Sort",
+    "Repartition",
+    "RepartitionByExpression",
+    "RepartitionOperation",
+    "Union",
+    "Generate",
+    "Window",
+    "Join",
+    "WithColumns",
+    "UnresolvedHint",
+    "ResolvedHint",
+    "Expand",
+}
+
+
+def _tree_indent(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def _hint_violations(analyzed: str) -> list[str]:
+    """Return the offending subtree snippets: broadcast-hinted subtrees
+    that reach an SF-scaling parquet relation through exclusively
+    non-reducing nodes."""
     lines = analyzed.splitlines()
+    bad: list[str] = []
     for i, ln in enumerate(lines):
-        if "ResolvedHint" not in ln:
+        if "ResolvedHint" not in ln or "broadcast" not in ln.lower():
             continue
-        # walk the hinted subtree: the first leaf Relation under the
-        # hint must be nation or region (bounded), never an SF-scaling
-        # fixture table
-        for sub in lines[i + 1:]:
-            if "Relation" in sub and "parquet" in sub:
-                assert (
-                    "n_nationkey" in sub or "r_regionkey" in sub
-                ), f"{name}: broadcast hint pinned on scaling table: {sub}"
+        depth = _tree_indent(ln)
+        subtree = []
+        for sub in lines[i + 1 :]:
+            if sub.strip() and _tree_indent(sub) <= depth:
                 break
+            subtree.append(sub)
+        has_scaling_leaf = any(
+            "Relation" in s and "parquet" in s and any(m in s for m in _SCALING_MARKERS)
+            for s in subtree
+        )
+        if not has_scaling_leaf:
+            continue
+        nodes = {s.lstrip(" :+-").split(" ")[0].split("(")[0] for s in subtree if s.strip()}
+        if nodes <= _NON_REDUCING:
+            bad.append("\n".join([ln, *subtree[:6]]))
+    return bad
+
+
+def test_no_broadcast_hint_on_sf_scaling_tables_full_registry(spark, sf_dir):
+    """FULL-REGISTRY sweep (VERDICT r5 next-round #2): no registered
+    query may pin a broadcast whose hinted subtree reaches an
+    SF-scaling parquet relation without a cardinality-reducing node in
+    between (a pin overrides autoBroadcastJoinThreshold; at 100× it
+    forces an un-broadcastable build side). maybe_broadcast
+    (catalog.py) is the enforcing helper; this is the tripwire that a
+    future hard pin cannot slip past. One sweep, analyzed plans only —
+    nothing executes."""
+    failures: dict[str, list[str]] = {}
+    errors: dict[str, str] = {}
+    for name, entry in QUERIES.items():
+        try:
+            analyzed = _analyzed(entry.fn(spark, sf_dir))
+        except Exception as e:  # plan construction must not break either
+            errors[name] = repr(e)[:200]
+            continue
+        bad = _hint_violations(analyzed)
+        if bad:
+            failures[name] = bad
+    assert not errors, f"plan construction failed for: {errors}"
+    assert not failures, (
+        "broadcast hint pinned on an unreduced SF-scaling subtree in: "
+        + ", ".join(failures)
+        + "\n\nfirst offender:\n"
+        + next(iter(failures.values()))[0]
+    )
+
+
+def test_hint_violation_detector_catches_bare_pin(spark, sf_dir):
+    """Self-test of the sweep's detector: a deliberate F.broadcast on a
+    raw customer projection must be flagged, and the repo's legitimate
+    shapes (bounded-dim pin, global-aggregate pin, literal-bounded
+    centroid pin) must not."""
+    import pyspark.sql.functions as F
+
+    from rpa_etl_investing_spark.catalog import tbl
+
+    cust = tbl(spark, sf_dir, "customer")
+    nation = tbl(spark, sf_dir, "nation")
+    bare = cust.join(F.broadcast(cust.select("c_custkey", "c_name")), "c_custkey")
+    assert _hint_violations(_analyzed(bare)), "bare scaling pin not flagged"
+    bounded = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    assert not _hint_violations(_analyzed(bounded))
+    one_row = cust.crossJoin(F.broadcast(cust.agg(F.count("*").alias("n"))))
+    assert not _hint_violations(_analyzed(one_row))
+    centroids = cust.crossJoin(
+        F.broadcast(cust.filter(F.col("c_custkey") < 8).select("c_custkey"))
+    )
+    assert not _hint_violations(_analyzed(centroids))
 
 
 def test_prefix_filter_sizes_join_not_hint_broadcast(spark, sf_dir):

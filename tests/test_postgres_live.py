@@ -1,0 +1,224 @@
+"""LIVE PostgreSQL parity — the reference's actual sink and flagship
+query executed against a real Postgres server (VERDICT r5 "what's
+missing" #2: previously verified only through the Derby JDBC proxy).
+
+The sandbox ships PostgreSQL 15 server binaries but no JDBC jar and no
+Python driver, so these tests launch an embedded server (initdb +
+pg_ctl on a private unix socket, `trust` auth — dropping to the
+`nobody` user when running as root, since postgres refuses root) and
+speak the public v3 wire protocol directly via sources/pgwire.py.
+
+What gets pinned end-to-end:
+- the distributed `foreachPartition` batched-INSERT sink (the set-based
+  correction of ``/root/reference/main.py:147``'s per-row commit);
+- the reference star schema (pais/setor dims + indice_financeiro fact,
+  ``main.py:24-44``) materialized INTO live Postgres from our ETL's
+  output;
+- the flagship top-10 query (``main.py:149-157``) answered by Postgres
+  itself and compared row-for-row against our Spark implementation.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import shutil
+import subprocess
+import tempfile
+
+import pytest
+
+from rpa_etl_investing_spark.sources.pgwire import (
+    PgWireClient,
+    sql_literal,
+    write_via_pgwire,
+)
+
+INITDB = "/usr/local/bin/initdb"
+PG_CTL = "/usr/local/bin/pg_ctl"
+PG_PORT = 54000 + os.getpid() % 1000
+
+
+def _as_pg_user(args: list[str]) -> list[str]:
+    """postgres refuses to run as root; drop to `nobody` when needed."""
+    if os.geteuid() == 0:
+        return ["runuser", "-u", "nobody", "--", *args]
+    return args
+
+
+@pytest.fixture(scope="module")
+def pg(tmp_path_factory):
+    if not (os.path.exists(INITDB) and os.path.exists(PG_CTL)):
+        pytest.skip("no PostgreSQL server binaries in this environment")
+    base = tempfile.mkdtemp(prefix="pglive_")  # short path: unix socket limit
+    try:
+        if os.geteuid() == 0:
+            shutil.chown(base, "nobody", "nogroup")
+        os.chmod(base, 0o700)
+        data = f"{base}/data"
+        r = subprocess.run(
+            _as_pg_user([INITDB, "-D", data, "-A", "trust", "-U", "postgres"]),
+            capture_output=True,
+            text=True,
+        )
+        if r.returncode != 0:
+            pytest.skip(f"initdb failed here: {r.stderr[-300:]}")
+        r = subprocess.run(
+            _as_pg_user(
+                [
+                    PG_CTL,
+                    "-D",
+                    data,
+                    "-o",
+                    f"-k {base} -p {PG_PORT} -c listen_addresses=''",
+                    "-l",
+                    f"{base}/pg.log",
+                    "-w",
+                    "start",
+                ]
+            ),
+            capture_output=True,
+            text=True,
+        )
+        if r.returncode != 0:
+            pytest.skip(f"pg_ctl start failed here: {r.stderr[-300:]}")
+        try:
+            yield {"address": base, "port": PG_PORT}
+        finally:
+            subprocess.run(
+                _as_pg_user([PG_CTL, "-D", data, "-m", "immediate", "stop"]),
+                capture_output=True,
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _client(pg) -> PgWireClient:
+    return PgWireClient(pg["address"], port=pg["port"])
+
+
+def test_wire_client_roundtrip_types_and_errors(pg):
+    with _client(pg) as c:
+        c.query("DROP TABLE IF EXISTS wire_probe")
+        c.query(
+            "CREATE TABLE wire_probe "
+            "(id bigint, name text, v double precision, ts timestamp)"
+        )
+        lit = ", ".join(
+            sql_literal(v)
+            for v in (7, "o'brien \\ x", 2.5, _dt.datetime(2026, 8, 15, 11, 30))
+        )
+        c.query(f"INSERT INTO wire_probe VALUES ({lit}), (8, NULL, NULL, NULL)")
+        cols, rows = c.query("SELECT * FROM wire_probe ORDER BY id")
+        assert cols == ["id", "name", "v", "ts"]
+        assert rows == [
+            ("7", "o'brien \\ x", "2.5", "2026-08-15 11:30:00"),
+            ("8", None, None, None),
+        ]
+        with pytest.raises(Exception, match="42703"):
+            c.query("SELECT no_such_col FROM wire_probe")
+        # connection must survive an error cycle (drained to ReadyForQuery)
+        assert c.query("SELECT count(*) AS n FROM wire_probe")[1] == [("2",)]
+
+
+def test_distributed_sink_partitioned_batched_insert(spark, sf_dir, pg):
+    """One connection per partition, multi-row INSERT batches, one
+    transaction per partition — content equality against the source."""
+    from pyspark.sql import functions as F
+
+    from rpa_etl_investing_spark.catalog import tbl
+
+    src = (
+        tbl(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").cast("double").alias("total"),
+        )
+        .limit(200)
+        .repartition(4)
+    )
+    with _client(pg) as c:
+        c.query("DROP TABLE IF EXISTS sink_orders")
+        c.query(
+            "CREATE TABLE sink_orders (id bigint, status text, total double precision)"
+        )
+    write_via_pgwire(
+        src,
+        pg["address"],
+        "sink_orders",
+        port=pg["port"],
+        batch_rows=32,
+    )
+    with _client(pg) as c:
+        _, rows = c.query("SELECT id, status, total FROM sink_orders")
+    got = {(int(i), s, float(t)) for i, s, t in rows}
+    want = {(r["id"], r["status"], r["total"]) for r in src.collect()}
+    assert got == want and len(got) == 200
+
+
+def test_reference_star_schema_flagship_on_live_postgres(spark, tmp_path, pg):
+    """Load the reference star schema into live Postgres through the
+    distributed sink, then let POSTGRES answer the flagship query
+    (main.py:149-157) and compare with our Spark implementation on the
+    same warehouse — the full extract→transform→load→query loop of the
+    reference, with its real database engine in the loop."""
+    from rpa_etl_investing_spark.etl.pipeline import flagship_top10, load_star_schema
+    from rpa_etl_investing_spark.sources.scrape_source import scrape_frame
+
+    wh = str(tmp_path / "wh")
+    raw = scrape_frame(spark, rows_per_page=40)
+    load_star_schema(spark, raw, wh, _dt.datetime(2026, 8, 15, 12, 0, 0))
+
+    ddl = {
+        "pais": "CREATE TABLE pais (id bigint PRIMARY KEY, nome text UNIQUE)",
+        "setor": "CREATE TABLE setor (id bigint PRIMARY KEY, nome text UNIQUE)",
+        "indice_financeiro": (
+            "CREATE TABLE indice_financeiro (nome text, pais_id bigint, "
+            "setor_id bigint, valor_atual double precision, maxima double "
+            "precision, minima double precision, variacao double precision, "
+            "data_coleta timestamp)"
+        ),
+    }
+    with _client(pg) as c:
+        for t in ("indice_financeiro", "setor", "pais"):
+            c.query(f"DROP TABLE IF EXISTS {t}")
+        for t in ("pais", "setor", "indice_financeiro"):
+            c.query(ddl[t])
+    for t in ("pais", "setor"):
+        write_via_pgwire(
+            spark.read.parquet(f"{wh}/{t}"), pg["address"], t, port=pg["port"]
+        )
+    fact_cols = [
+        "nome",
+        "pais_id",
+        "setor_id",
+        "valor_atual",
+        "maxima",
+        "minima",
+        "variacao",
+        "data_coleta",
+    ]
+    write_via_pgwire(
+        spark.read.parquet(f"{wh}/indice_financeiro").select(*fact_cols),
+        pg["address"],
+        "indice_financeiro",
+        port=pg["port"],
+    )
+    with _client(pg) as c:
+        _, pg_rows = c.query(
+            # the reference's query (README.md:53-60 + the code's sector
+            # filter, main.py:154), nome as the deterministic tie-break
+            "SELECT i.nome, p.nome AS pais, s.nome AS setor, i.maxima "
+            "FROM indice_financeiro i "
+            "JOIN pais p ON p.id = i.pais_id "
+            "JOIN setor s ON s.id = i.setor_id "
+            "WHERE s.nome = 'Primário' AND p.nome IN ('China', 'EUA') "
+            "ORDER BY i.maxima DESC, i.nome ASC LIMIT 10"
+        )
+    pg_result = [(n, p, s, float(m)) for n, p, s, m in pg_rows]
+    spark_result = [
+        (r["nome"], r["pais"], r["setor"], r["maxima"])
+        for r in flagship_top10(spark, wh).collect()
+    ]
+    assert pg_result == spark_result and len(pg_result) == 10
