@@ -54,7 +54,18 @@ HEADLINE = {
     "q13_zorder_layout": "source_zorder_layout",
     "q14_simhash64_pairs": "llm_simhash64_hamming_pairs",
     "q15_heavy_hitters": "llm_heavy_hitters",
+    # r6: skew/AQE stress (VERDICT r5 next-round #7) — the same-key
+    # self-join whose whale keys AQE's skew split would carve up at
+    # scale; tracked so the skew machinery has a number like the dedup
+    # family does.
+    "q16_skew_dup_payments": "etl_duplicate_payment_scan",
 }
+
+# Queries whose final adaptive plan is inspected for AQE skew handling
+# after the timed reps; at sf0.1 the post-shuffle partitions sit below
+# spark.sql.adaptive.skewJoin thresholds so `skew=true` is expected
+# False here — the field exists so a scale-up run shows the flip.
+_AQE_PROBE = ["q16_skew_dup_payments"]
 
 # the set whose sum is comparable with the r1 baseline recording
 _ORIGINAL_12 = [f"q{i}_" for i in range(1, 13)]
@@ -104,6 +115,13 @@ def main() -> int:
         timings[bench_name] = round(reps[2], 3)
         timings_min[bench_name] = round(reps[0], 3)
 
+    aqe_skew: dict[str, bool] = {}
+    for bench_name in _AQE_PROBE:
+        df = QUERIES[HEADLINE[bench_name]].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        aqe_skew[bench_name] = "skew=true" in plan
+
     sub12 = sum(
         t
         for name, t in timings.items()
@@ -117,6 +135,7 @@ def main() -> int:
         "queries_min": timings_min,
         "min_total": round(sum(timings_min.values()), 3),
         "subtotal_12": round(sub12, 3),
+        "aqe_skew_join_applied": aqe_skew,
         "sf": sf,
     }
     print(json.dumps(out))

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""One-off 10× scale experiment (VERDICT r5 stretch #8): run the bench
+headline set at sf0.1 AND at the derived 10× fixture
+(scripts/make_scale_fixture.py), record where the physical plans FLIP
+(broadcast→shuffled join, AQE skew splits, partition counts), and
+write SCALE.md. This converts the "plans you'd want at 100× scale"
+claim from design argument to observation.
+
+Usage: python scripts/scale_probe.py [/tmp/sf1]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+
+
+def plan_features(plan: str) -> dict:
+    return {
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sortmerge_joins": plan.count("SortMergeJoin"),
+        "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
+        "exchanges": len(re.findall(r"Exchange (?:hash|range|rangepartitioning|SinglePartition)", plan)),
+        "aqe_skew": "skew=true" in plan,
+        "aqe_final": "isFinalPlan=true" in plan,
+    }
+
+
+def main() -> int:
+    big_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    small_dir = "/root/testdata/sf0.1"
+    from bench import HEADLINE
+
+    from rpa_etl_investing_spark.plans import QUERIES
+    from rpa_etl_investing_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale-probe",
+        extra_conf={
+            "spark.driver.extraJavaOptions": "-Xms8g -XX:+AlwaysPreTouch",
+            "spark.driver.memory": os.environ["SPARK_GRAFT_DRIVER_MEM"],
+        },
+    )
+
+    rows: list[dict] = []
+    for bench_name, reg_name in HEADLINE.items():
+        rec = {"query": bench_name}
+        for tag, d in (("small", small_dir), ("big", big_dir)):
+            try:
+                t0 = time.perf_counter()
+                df = QUERIES[reg_name].fn(spark, d)
+                df.write.format("noop").mode("overwrite").save()
+                rec[f"{tag}_sec"] = round(time.perf_counter() - t0, 2)
+                rec[f"{tag}_feat"] = plan_features(
+                    df._jdf.queryExecution().executedPlan().toString()
+                )
+            except Exception as e:
+                rec[f"{tag}_err"] = repr(e)[:160]
+        rows.append(rec)
+        print(rec)
+
+    lines = [
+        "# SCALE — 10× plan-flip experiment (r6)",
+        "",
+        "The bench headline set executed once at sf0.1 and once at a derived",
+        "10× (sf1-shaped) fixture (`scripts/make_scale_fixture.py`: FK-consistent",
+        "replication of the read-only sf0.1 parquet; bounded domains not",
+        "replicated). Recorded: executed-plan join strategies, exchange counts,",
+        "AQE skew activation, wall time. The question this answers: do the",
+        "plans DEGRADE the way the scale design says they should — size-gated",
+        "broadcasts flipping to shuffled joins, nothing OOMing, no pinned",
+        "build side — when the data is 10× bigger than every previous round's",
+        "bench? Timings are one-shot (not medians): this is a plan probe, not",
+        "a benchmark; read the flips, not the seconds.",
+        "",
+        "| query | sf0.1 s | 10× s | joins sf0.1 (B/S/H) | joins 10× (B/S/H) | exch sf0.1→10× | skew |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        if "small_err" in r or "big_err" in r:
+            lines.append(
+                f"| {r['query']} | {r.get('small_sec','ERR')} | {r.get('big_sec','ERR')} "
+                f"| — | — | — | {r.get('small_err','') or r.get('big_err','')} |"
+            )
+            continue
+        sf, bf = r["small_feat"], r["big_feat"]
+        lines.append(
+            f"| {r['query']} | {r['small_sec']} | {r['big_sec']} "
+            f"| {sf['broadcast_joins']}/{sf['sortmerge_joins']}/{sf['shuffled_hash_joins']} "
+            f"| {bf['broadcast_joins']}/{bf['sortmerge_joins']}/{bf['shuffled_hash_joins']} "
+            f"| {sf['exchanges']}→{bf['exchanges']} "
+            f"| {'sf0.1' if sf['aqe_skew'] else ''}{'+10×' if bf['aqe_skew'] else ''} |"
+        )
+    lines += ["", "## Flips observed", ""]
+    for r in rows:
+        if "small_feat" not in r or "big_feat" not in r:
+            continue
+        sf, bf = r["small_feat"], r["big_feat"]
+        notes = []
+        if sf["broadcast_joins"] != bf["broadcast_joins"] or sf["sortmerge_joins"] != bf["sortmerge_joins"] or sf["shuffled_hash_joins"] != bf["shuffled_hash_joins"]:
+            notes.append(
+                f"join strategy {sf['broadcast_joins']}B/{sf['sortmerge_joins']}S/{sf['shuffled_hash_joins']}H → "
+                f"{bf['broadcast_joins']}B/{bf['sortmerge_joins']}S/{bf['shuffled_hash_joins']}H"
+            )
+        if bf["aqe_skew"] and not sf["aqe_skew"]:
+            notes.append("AQE skew split ACTIVATED at 10×")
+        if notes:
+            lines.append(f"- **{r['query']}**: " + "; ".join(notes))
+    with open("SCALE.md", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("wrote SCALE.md")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
