@@ -771,6 +771,77 @@ def etl_scd2_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "etl_scd2_point_in_time_join",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+             ts AS valid_from,
+             LEAD(ts) OVER w AS valid_to,
+             value AS attr_value
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT c.event_id, c.user_id, c.ts, h.version, h.attr_value
+    FROM events c LEFT JOIN hist h
+      ON c.user_id = h.user_id AND c.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR c.ts < h.valid_to)
+    WHERE c.event_type = 'click'
+    ORDER BY c.event_id
+    """,
+)
+def etl_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J17: point-in-time (temporal FK) resolution against an SCD2
+    dimension — the Kimball lookup every versioned warehouse runs and
+    the natural companion of ``etl_scd2_history``: each fact row joins
+    the dimension VERSION that was valid at the fact's own event time,
+    not the current one. Facts are click events; the dimension history
+    is the per-user purchase-event version chain (valid_from/valid_to
+    half-open intervals); clicks before a user's first purchase keep
+    NULL attributes (left join — enrichment never drops facts).
+
+    Distinct from the as-of family (plans/advanced.py): as-of picks the
+    nearest EVENT by time; point-in-time picks the unique VERSION whose
+    validity interval contains the fact timestamp — at most one match
+    by construction, so the join cannot fan out.
+
+    Scale shape: equi-join on the dimension's natural key with the
+    interval predicate as a residual — one hash shuffle per side keyed
+    on user_id, per-key fan-out bounded by that user's version count
+    (never a range cross-product). The history window sorts
+    per-user-sized runs under the same single shuffle."""
+    ev = tbl(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("h_user_id"),
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).cast("long").alias("version"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.col("value").alias("attr_value"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        clicks.join(
+            hist,
+            (F.col("user_id") == F.col("h_user_id"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+            "left",
+        )
+        .select("event_id", "user_id", "ts", "version", "attr_value")
+        .orderBy("event_id")
+    )
+
+
+@register(
     "etl_late_arriving_dimension",
     oracle="""
     WITH known AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0),

@@ -24,6 +24,8 @@ import math
 import os
 import sys
 
+sys.path.insert(0, "/root/repo")
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 

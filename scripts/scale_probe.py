@@ -16,6 +16,8 @@ import re
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
 
 
@@ -30,8 +32,22 @@ def plan_features(plan: str) -> dict:
     }
 
 
+def _du(path: str) -> str:
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    if os.path.isfile(path):
+        total = os.path.getsize(path)
+    return f"{total / (1 << 20):.1f} MB"
+
+
 def main() -> int:
     big_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    label = sys.argv[2] if len(sys.argv) > 2 else "10×"
     small_dir = "/root/testdata/sf0.1"
     from bench import HEADLINE
 
@@ -45,6 +61,15 @@ def main() -> int:
             "spark.driver.memory": os.environ["SPARK_GRAFT_DRIVER_MEM"],
         },
     )
+
+    # warm the JVM/codegen so the first timed query isn't a JIT outlier
+    for bench_name, reg_name in HEADLINE.items():
+        try:
+            QUERIES[reg_name].fn(spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass
 
     rows: list[dict] = []
     for bench_name, reg_name in HEADLINE.items():
@@ -63,21 +88,33 @@ def main() -> int:
         rows.append(rec)
         print(rec)
 
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     lines = [
-        "# SCALE — 10× plan-flip experiment (r6)",
+        f"# SCALE — {label} plan-flip experiment (r6)",
         "",
         "The bench headline set executed once at sf0.1 and once at a derived",
-        "10× (sf1-shaped) fixture (`scripts/make_scale_fixture.py`: FK-consistent",
+        f"{label} fixture (`scripts/make_scale_fixture.py`: FK-consistent",
         "replication of the read-only sf0.1 parquet; bounded domains not",
         "replicated). Recorded: executed-plan join strategies, exchange counts,",
         "AQE skew activation, wall time. The question this answers: do the",
         "plans DEGRADE the way the scale design says they should — size-gated",
         "broadcasts flipping to shuffled joins, nothing OOMing, no pinned",
-        "build side — when the data is 10× bigger than every previous round's",
-        "bench? Timings are one-shot (not medians): this is a plan probe, not",
-        "a benchmark; read the flips, not the seconds.",
+        f"build side — when the data is {label} bigger than every previous round's",
+        "bench? Timings are one-shot after a sf0.001 warm pass: this is a plan",
+        "probe, not a benchmark; read the flips, not the seconds.",
         "",
-        "| query | sf0.1 s | 10× s | joins sf0.1 (B/S/H) | joins 10× (B/S/H) | exch sf0.1→10× | skew |",
+        f"`spark.sql.autoBroadcastJoinThreshold` = {thresh}. On-disk bytes",
+        "(compressed parquet — what the planner's size estimate sees):",
+        "",
+        "| table | sf0.1 | " + label + " |",
+        "|---|---|---|",
+        *[
+            f"| {t} | {_du(f'{small_dir}/{t}.parquet')} | {_du(f'{big_dir}/{t}.parquet')} |"
+            for t in ("customer", "orders", "lineitem", "part", "supplier",
+                      "events", "documents", "embeddings")
+        ],
+        "",
+        f"| query | sf0.1 s | {label} s | joins sf0.1 (B/S/H) | joins {label} (B/S/H) | exch sf0.1→{label} | skew |",
         "|---|---|---|---|---|---|---|",
     ]
     for r in rows:
@@ -93,7 +130,7 @@ def main() -> int:
             f"| {sf['broadcast_joins']}/{sf['sortmerge_joins']}/{sf['shuffled_hash_joins']} "
             f"| {bf['broadcast_joins']}/{bf['sortmerge_joins']}/{bf['shuffled_hash_joins']} "
             f"| {sf['exchanges']}→{bf['exchanges']} "
-            f"| {'sf0.1' if sf['aqe_skew'] else ''}{'+10×' if bf['aqe_skew'] else ''} |"
+            f"| {'sf0.1' if sf['aqe_skew'] else ''}{'+big' if bf['aqe_skew'] else ''} |"
         )
     lines += ["", "## Flips observed", ""]
     for r in rows:
@@ -107,7 +144,7 @@ def main() -> int:
                 f"{bf['broadcast_joins']}B/{bf['sortmerge_joins']}S/{bf['shuffled_hash_joins']}H"
             )
         if bf["aqe_skew"] and not sf["aqe_skew"]:
-            notes.append("AQE skew split ACTIVATED at 10×")
+            notes.append(f"AQE skew split ACTIVATED at {label}")
         if notes:
             lines.append(f"- **{r['query']}**: " + "; ".join(notes))
     with open("SCALE.md", "w") as fh:
