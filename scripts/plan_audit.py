@@ -33,6 +33,10 @@ NOTES = {
     "q10_token_stats": "explode → partial count → final count, top-k take-ordered",
     "q11_shipping_priority": "selective dim filter first, two fact shuffles, take-ordered top-k",
     "q12_similarity_ivf": "broadcast coarse quantizer, equi-join on cell id",
+    "q13_zorder_layout": "Morton interleave computed map-side; one range exchange for the layout sort",
+    "q14_simhash64_pairs": "persisted 64-bit signatures, pigeonhole band equi-join, bit_count Hamming residual",
+    "q15_heavy_hitters": "per-partition Misra-Gries in Arrow batches, broadcast-semi-join thin, exact recount",
+    "q16_skew_dup_payments": "same-key self-join, residual integer band predicates; AQE skew split carves whale keys at scale",
 }
 
 
@@ -52,6 +56,7 @@ EXTRAS = {
     "analytics_order_count_distribution": "LeftOuter join preserved; aggregate-of-aggregate, second key space tiny",
     "analytics_lone_blamed_supplier": "EXISTS + NOT EXISTS on one fact: LeftSemi then LeftAnti hash joins sharing the orderkey exchange",
     "etl_scd2_history": "per-user window (no global partition); SCD2 intervals via lead()",
+    "etl_scd2_point_in_time_join": "temporal FK resolve: user_id equi-join with the validity interval as residual — one shuffle per side, ≤1 version match per fact",
     "llm_minhash_verified_pairs": "LSH candidates → candidate-bounded shingle join; exact Jaccard never goes all-pairs",
     "llm_chunk_overlap": "map-only: scan → sequence/explode → slice, zero exchanges",
     "analytics_market_share": "eight-way star join, dims broadcast; conditional-sum/total-sum ratio per group",
