@@ -117,10 +117,18 @@ def main() -> int:
 
     aqe_skew: dict[str, bool] = {}
     for bench_name in _AQE_PROBE:
+        # checksum-wrapper: execute the SAME QueryExecution we inspect
+        # (a noop write plans a fresh one, and an unexecuted adaptive
+        # plan never shows AQE's runtime skew decision) while forcing
+        # every output column through the join — a bare count() lets
+        # Catalyst prune the payload and understates the shuffle
+        from pyspark.sql import functions as F
+
         df = QUERIES[HEADLINE[bench_name]].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        aqe_skew[bench_name] = "skew=true" in plan
+        probe = df.select(F.xxhash64(F.struct(*df.columns)).alias("_h")).agg(F.sum(F.col("_h").cast("decimal(38,0)")))
+        probe.collect()
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        aqe_skew[bench_name] = "skew=true" in plan.split("== Initial Plan ==")[0]
 
     sub12 = sum(
         t

@@ -117,38 +117,58 @@ def estimate_scan_partitions(df: DataFrame) -> int | None:
     planning and builds the whole RDD graph driver-side per call, the
     py4j cost SURVEY §9.6 warns about; VERDICT r5 "what's wrong" #3).
 
-    Mirrors Spark's FilePartition packing: each file is cut into
-    ``maxSplitBytes`` chunks where ``maxSplitBytes = min(
-    maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism))``
-    and chunks pack into partitions of that size — so the estimate is
-    ``ceil(totalBytes / maxSplitBytes)`` with every file carrying the
-    open cost. Returns ``None`` when the plan has no file index (e.g.
-    an in-memory relation — caller falls back) and ``len(files)`` for
-    non-local URIs whose sizes the driver can't stat cheaply (a lower
-    bound: every file is at least one split).
+    Mirrors Spark's FilePartition packing exactly (FilePartition.scala):
+    ``maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    totalBytes/parallelism))`` where every file carries the open cost;
+    each file is cut into ``maxSplitBytes`` chunks, chunks are sorted by
+    size descending and packed greedily, closing a partition when adding
+    the next split (costed at size+openCost) would exceed
+    ``maxSplitBytes``; an empty partition always accepts its first
+    split. Returns ``None`` when the plan has no file index
+    (e.g. an in-memory relation — caller falls back) and ``len(files)``
+    for non-local URIs whose sizes the driver can't stat cheaply (a
+    lower bound: every file is at least one split).
     """
-    import math
     import os
     from urllib.parse import unquote, urlparse
 
+    sizes: list[int] = []
     files = df.inputFiles()
     if not files:
         return None
-    conf = df.sparkSession.conf
-    max_part = _size_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
-    open_cost = _size_bytes(conf.get("spark.sql.files.openCostInBytes", "4MB"))
-    total = 0
     for uri in files:
         parsed = urlparse(uri)
         if parsed.scheme not in ("file", ""):
             return len(files)
         try:
-            total += os.path.getsize(unquote(parsed.path)) + open_cost
+            sizes.append(os.path.getsize(unquote(parsed.path)))
         except OSError:
             return len(files)
+    conf = df.sparkSession.conf
+    max_part = _size_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    open_cost = _size_bytes(conf.get("spark.sql.files.openCostInBytes", "4MB"))
+    total = sum(sizes) + open_cost * len(sizes)
     par = max(1, df.sparkSession.sparkContext.defaultParallelism)
     split = max(1, min(max_part, max(open_cost, total // par)))
-    return max(1, math.ceil(total / split))
+    # cut files into splits (Spark sorts them by size descending)
+    chunks: list[int] = []
+    for sz in sizes:
+        while sz > split:
+            chunks.append(split)
+            sz -= split
+        if sz > 0 or not chunks:
+            chunks.append(sz)
+    chunks.sort(reverse=True)
+    partitions, current = 0, 0
+    for c in chunks:
+        cost = c + open_cost
+        if current > 0 and current + cost > split:
+            partitions += 1
+            current = 0
+        current += cost
+    if current > 0:
+        partitions += 1
+    return max(1, partitions)
 
 
 def widen(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:

@@ -22,6 +22,9 @@ os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
 
 
 def plan_features(plan: str) -> dict:
+    # AdaptiveSparkPlanExec prints BOTH the final and the initial plan;
+    # count features in the FINAL section only (the runtime decisions)
+    plan = plan.split("== Initial Plan ==")[0]
     return {
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sortmerge_joins": plan.count("SortMergeJoin"),
@@ -30,6 +33,26 @@ def plan_features(plan: str) -> dict:
         "aqe_skew": "skew=true" in plan,
         "aqe_final": "isFinalPlan=true" in plan,
     }
+
+
+def checksum_all_columns(df):
+    """One-row action that forces EVERY output column through the plan
+    (groupBy().count() lets Catalyst prune the payload — measured: the
+    whale join's shuffle shrank to the RLE-compressible key column and
+    the skew vanished). Falls back to count() for outputs whose types
+    xxhash64 can't hash (maps)."""
+    from pyspark.sql import functions as F
+
+    try:
+        probe = df.select(
+            F.xxhash64(F.struct(*df.columns)).alias("_h")
+        ).agg(F.sum(F.col("_h").cast("decimal(38,0)")).alias("checksum"))
+        probe.collect()
+        return probe
+    except Exception:
+        probe = df.groupBy().count()
+        probe.collect()
+        return probe
 
 
 def _du(path: str) -> str:
@@ -78,10 +101,14 @@ def main() -> int:
             try:
                 t0 = time.perf_counter()
                 df = QUERIES[reg_name].fn(spark, d)
-                df.write.format("noop").mode("overwrite").save()
+                # execute THIS DataFrame's own QueryExecution (a noop
+                # write builds a NEW one, leaving df's plan unexecuted —
+                # isFinalPlan=false — so AQE's runtime decisions would
+                # be invisible), forcing every output column through
+                probe = checksum_all_columns(df)
                 rec[f"{tag}_sec"] = round(time.perf_counter() - t0, 2)
                 rec[f"{tag}_feat"] = plan_features(
-                    df._jdf.queryExecution().executedPlan().toString()
+                    probe._jdf.queryExecution().executedPlan().toString()
                 )
             except Exception as e:
                 rec[f"{tag}_err"] = repr(e)[:160]

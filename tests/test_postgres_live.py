@@ -157,6 +157,35 @@ def test_distributed_sink_partitioned_batched_insert(spark, sf_dir, pg):
     assert got == want and len(got) == 200
 
 
+def test_sink_handles_nulls_empty_partitions_and_quotes(spark, pg):
+    """Edge surface of the wire sink: SQL NULLs survive, quote/backslash
+    text is escaped not mangled, and empty partitions (more partitions
+    than rows) open-and-commit without emitting an INSERT."""
+    import datetime as dt
+
+    rows = [
+        (1, "o'brien", None, dt.datetime(2026, 8, 15, 12, 0)),
+        (2, None, 2.5, None),
+        (3, 'back\\slash "quoted"', -1.5, dt.datetime(1970, 1, 1)),
+    ]
+    src = spark.createDataFrame(
+        rows, "id long, name string, v double, ts timestamp"
+    ).repartition(8)  # > row count → several empty partitions
+    with _client(pg) as c:
+        c.query("DROP TABLE IF EXISTS sink_edge")
+        c.query(
+            "CREATE TABLE sink_edge (id bigint, name text, v double precision, ts timestamp)"
+        )
+    write_via_pgwire(src, pg["address"], "sink_edge", port=pg["port"], batch_rows=2)
+    with _client(pg) as c:
+        _, got = c.query("SELECT id, name, v, ts FROM sink_edge ORDER BY id")
+    assert got == [
+        ("1", "o'brien", None, "2026-08-15 12:00:00"),
+        ("2", None, "2.5", None),
+        ("3", 'back\\slash "quoted"', "-1.5", "1970-01-01 00:00:00"),
+    ]
+
+
 def test_reference_star_schema_flagship_on_live_postgres(spark, tmp_path, pg):
     """Load the reference star schema into live Postgres through the
     distributed sink, then let POSTGRES answer the flagship query
