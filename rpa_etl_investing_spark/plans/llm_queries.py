@@ -3349,3 +3349,283 @@ def llm_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_pairs") > 0)
         .orderBy("src_a", "src_b")
     )
+
+
+# ---- IVF-PQ ADC search (round 6) -------------------------------------------
+
+# Shared subspace-distance fragment: quantized L2 between 16-dim
+# subspace j of vector column `v` and codebook column `c` — the same
+# 1e10 per-component grid as _PQ_ORACLE, so every distance is an exact
+# BIGINT on both engines.
+def _dq_sql(v: str, c: str, j: str) -> str:
+    return (
+        f"CAST(LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1 + {j} * 16, 17 + {j} * 16), "
+        f"i -> CAST(FLOOR((CAST({v}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE)) "
+        f"* (CAST({v}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE)) * 1e10 + 0.5) AS BIGINT)), "
+        f"'sum') AS BIGINT)"
+    )
+
+
+_IVFPQ_ORACLE = f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+                  WHERE vec_id < 8),
+    corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+    js AS (SELECT UNNEST([0, 1, 2, 3]) AS j),
+    cd AS (
+      SELECT v.vec_id, c.cid, js.j,
+             {_dq_sql('v.embedding', 'c.cemb', 'js.j')} AS dq
+      FROM corp v CROSS JOIN cent c CROSS JOIN js),
+    tot AS (SELECT vec_id, cid, CAST(SUM(dq) AS BIGINT) AS dqtot
+            FROM cd GROUP BY 1, 2),
+    cell AS (
+      SELECT vec_id, cid AS cell_id FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dqtot, cid) AS rn
+        FROM tot) WHERE rn = 1),
+    code AS (
+      SELECT vec_id, j, cid AS code FROM (
+        SELECT vec_id, j, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dq, cid) AS rn
+        FROM cd) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell_id FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dqtot, cid) AS rn
+        FROM tot WHERE vec_id < 16) WHERE rn <= 2),
+    lut AS (
+      SELECT vec_id AS query_id, j, cid, dq AS lut_q
+      FROM cd WHERE vec_id < 16),
+    cand AS (
+      SELECT p.query_id, cl.vec_id AS neighbor_id
+      FROM probes p JOIN cell cl ON cl.cell_id = p.cell_id
+      WHERE cl.vec_id <> p.query_id),
+    adc AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(SUM(l.lut_q) AS BIGINT) AS adc_q
+      FROM cand
+      JOIN code co ON co.vec_id = cand.neighbor_id
+      JOIN lut l ON l.query_id = cand.query_id AND l.j = co.j
+                AND l.cid = co.code
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_q FROM (
+      SELECT query_id, neighbor_id, adc_q,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_q, neighbor_id) AS rank
+      FROM adc) WHERE rank <= 5
+"""
+
+
+@register("llm_ivfpq_adc_search", oracle=_IVFPQ_ORACLE)
+def llm_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+ (r6): IVF-PQ asymmetric-distance top-k search — the full
+    billion-scale ANN query shape (Jégou et al., PAMI'11), composing
+    the IVF coarse quantizer with the PQ codes the separate
+    `llm_similarity_ivf` / `llm_embedding_pq` queries demonstrate.
+    Queries = vectors 8..15 (full precision); corpus = every vector
+    ≥ 8 encoded as (cell, 4 sub-codes); each query probes its 2
+    nearest cells and ranks candidates by the ADC distance
+    Σ_j LUT[j][code_j] — candidate vectors are never touched, only
+    their byte codes and the query's 4×8 lookup table.
+
+    One cross-join pass against the BROADCAST codebook (8 centroids =
+    both coarse quantizer and per-subspace codebook, the vec_id<8 seed
+    convention) yields the whole index in a single hash aggregate per
+    vector: the IVF cell is argmin of the TOTAL quantized L2 (sum of
+    the 4 subspace distances) and each PQ code is argmin of its own
+    subspace distance — five struct-min aggregates sharing one
+    shuffle. The LUT is |Q|·m·k = 8·4·8 rows (bounded, broadcast), the
+    probe list 2 rows per query (broadcast), so the only corpus-scale
+    work is the map-side encode and a probed-cell equi-join whose
+    candidate count scales with cell occupancy, not corpus size. Every
+    distance is an exact BIGINT on the 1e10 grid (the _PQ_ORACLE
+    convention); ranking tie-breaks on neighbor_id, so both engines
+    produce identical top-5 lists.
+
+    At 100 TB: the encode is one pass (store the codes — 5 bytes/vec
+    here); queries touch only probed cells' code lists; ADC arithmetic
+    reads the broadcast LUT instead of 64-float vectors — the memory-
+    traffic win that makes PQ the production layout. Residual encoding
+    (codes of v − centroid) and Lloyd-trained codebooks drop in via
+    `lloyd_refine_centroids` without changing this plan shape."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    corp = emb.filter(F.col("vec_id") >= 8).select("vec_id", "embedding")
+    pairs = corp.join(F.broadcast(cent))
+
+    def dq(j: int):
+        lo = j * 16
+        return F.expr(
+            f"CAST(aggregate(sequence({lo}, {lo + 15}), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc + CAST(FLOOR((CAST(embedding[i] AS DOUBLE) - "
+            f"CAST(cemb[i] AS DOUBLE)) * (CAST(embedding[i] AS DOUBLE) - "
+            f"CAST(cemb[i] AS DOUBLE)) * 1e10 + 0.5) AS BIGINT)) AS BIGINT)"
+        )
+
+    # one concrete projection so each dq_j is computed once per
+    # (vector, centroid) row (HOFs sit outside codegen CSE — the
+    # rolling-hash discipline), then every argmin shares one shuffle
+    scored = pairs.select(
+        "vec_id",
+        "cid",
+        *[dq(j).alias(f"dq{j}") for j in range(4)],
+    ).withColumn("dqtot", sum(F.col(f"dq{j}") for j in range(4)))
+
+    enc = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dqtot", "cid")).alias("cb"),
+            *[
+                F.min(F.struct(F.col(f"dq{j}").alias("d"), F.col("cid").alias("c"))).alias(f"b{j}")
+                for j in range(4)
+            ],
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cb.cid").alias("cell_id"),
+            *[F.col(f"b{j}.c").alias(f"code{j}") for j in range(4)],
+        )
+    )
+
+    qscored = scored.filter(F.col("vec_id") < 16)
+    from pyspark.sql.window import Window as W
+
+    wq = W.partitionBy("vec_id").orderBy("dqtot", "cid")
+    probes = (
+        qscored.select("vec_id", "cid", "dqtot")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell_id"))
+    )
+    lut = qscored.select(
+        F.col("vec_id").alias("query_id"),
+        "cid",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), F.col(f"dq{j}").alias("lut_q"))
+                for j in range(4)
+            ])
+        ).alias("s"),
+    ).select("query_id", F.col("s.j").alias("j"), "cid", F.col("s.lut_q").alias("lut_q"))
+
+    cand = enc.join(F.broadcast(probes), "cell_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    melt = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), F.col(f"code{j}").alias("code"))
+                for j in range(4)
+            ])
+        ).alias("s"),
+    ).select("query_id", "neighbor_id", F.col("s.j").alias("j"), F.col("s.code").alias("code"))
+    adc = (
+        melt.join(
+            F.broadcast(lut),
+            (melt.query_id == lut.query_id)
+            & (melt.j == lut.j)
+            & (F.col("code") == lut.cid),
+        )
+        .select(melt.query_id, "neighbor_id", "lut_q")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("lut_q").cast("bigint").alias("adc_q"))
+    )
+    wr = W.partitionBy("query_id").orderBy("adc_q", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "adc_q")
+    )
+
+
+_WINNOW_ORACLE = """
+    WITH h AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(text) < 8 THEN CAST([] AS BIGINT[])
+                  ELSE LIST_TRANSFORM(RANGE(1, LENGTH(text) - 8 + 2), i ->
+                    LIST_REDUCE(LIST_TRANSFORM(RANGE(0, 8),
+                                  j -> CAST(ASCII(SUBSTR(text, CAST(i + j AS INT), 1)) AS BIGINT)),
+                                (acc, x) -> (acc * 257 + x) % 2147483647))
+             END AS hw
+      FROM documents),
+    s AS (
+      SELECT doc_id, CAST(LEN(hw) AS BIGINT) AS n_kgrams,
+             LIST_DISTINCT(
+               CASE WHEN LEN(hw) = 0 THEN CAST([] AS BIGINT[])
+                    WHEN LEN(hw) < 4 THEN [LIST_AGGREGATE(hw, 'min')]
+                    ELSE LIST_TRANSFORM(RANGE(1, LEN(hw) - 4 + 2),
+                           st -> LIST_AGGREGATE(hw[st:st+3], 'min'))
+               END) AS sel
+      FROM h),
+    e AS (SELECT doc_id, UNNEST(sel) AS fp FROM s),
+    dfc AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS dfc FROM e GROUP BY fp),
+    agg AS (
+      SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_selected,
+             CAST(SUM(CASE WHEN dfc.dfc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+      FROM e JOIN dfc USING (fp) GROUP BY 1)
+    SELECT s.doc_id, s.n_kgrams,
+           CAST(COALESCE(agg.n_selected, 0) AS BIGINT) AS n_selected,
+           CAST(COALESCE(agg.n_shared, 0) AS BIGINT) AS n_shared
+    FROM s LEFT JOIN agg USING (doc_id)
+"""
+
+
+@register("llm_winnowing_fingerprints", oracle=_WINNOW_ORACLE)
+def llm_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ (r6): true MOSS winnowing (Schleimer et al., SIGMOD'03) —
+    window-minimum fingerprint selection with the detection GUARANTEE
+    (any shared substring ≥ w+k−1 = 11 chars shares a fingerprint at
+    expected density 2/(w+1)), unlike the fixed-size min-n sketches
+    (`llm_rolling_hash`, `llm_fingerprint`). Per doc: k-gram count,
+    selected-fingerprint count, and how many selected fingerprints
+    also occur in ANY other document (the memorization/plagiarism
+    signal winnowing exists to compute).
+
+    Scale shape: hashing + window-min selection are map-side JVM
+    higher-order expressions over the one-row-per-doc projection (no
+    shuffle carries text); the only corpus-wide exchange is the
+    (fingerprint) hash aggregate for document frequency — selected
+    fingerprints are a 2/(w+1) ≈ 40% sample of k-gram positions, and
+    the shuffle carries BIGINTs, not strings (the hashed-shingle-key
+    discipline). Cross-doc match pairs, when needed, come off the same
+    df relation bucketed by fingerprint — never an all-pairs join.
+
+    The signature relation goes through the bounded persist registry
+    (the minhash-signature posture) for TWO reasons: both consumers
+    (the explode and the final join-back) read it once-computed, AND
+    the persist is an OPTIMIZER barrier — explode() directly over the
+    winnowing expression tree hangs Catalyst in
+    InferFiltersFromGenerate (measured: explain() itself never
+    returns — the rule clones the full HOF tree into inferred
+    `size(..)>0 / isnotnull(..)` filters and later passes choke on the
+    duplicated expression; reproduced + isolated via
+    excludedRules). The InMemoryRelation substitution happens before
+    the optimizer runs, so the Generate only ever sees a leaf."""
+    from rpa_etl_investing_spark.operators.caching import keep_or_reuse
+    from rpa_etl_investing_spark.operators.text import winnowing_fingerprints
+
+    s = keep_or_reuse(
+        winnowing_fingerprints(tbl(spark, sf_dir, "documents")), "winnow_sigs"
+    )
+    e = s.select("doc_id", F.explode("selected").alias("fp"))
+    dfc = e.groupBy("fp").agg(F.count(F.lit(1)).cast("bigint").alias("dfc"))
+    agg = (
+        e.join(dfc, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+            F.sum(F.when(F.col("dfc") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    return s.select("doc_id", "n_kgrams").join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_kgrams",
+        F.coalesce(F.col("n_selected"), F.lit(0)).cast("bigint").alias("n_selected"),
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
+    )
