@@ -3572,3 +3572,251 @@ def analytics_kaplan_meier_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hazard_q"),
     ).orderBy("t")
 
+
+
+# ---- J18 (r6): BOM-style DAG rollup ----------------------------------------
+
+_BOM_EDGES_SQL = """
+    mk AS (SELECT MAX(p_partkey) AS maxk FROM part),
+    edges AS (
+      SELECT p_partkey AS parent, p_partkey * 2 + 1 AS child,
+             p_partkey % 3 + 1 AS qty
+      FROM part, mk WHERE p_partkey * 2 + 1 <= maxk
+      UNION ALL
+      SELECT p_partkey, p_partkey * 2 + 2, p_partkey % 5 + 1
+      FROM part, mk WHERE p_partkey * 2 + 2 <= maxk
+      UNION ALL
+      SELECT p_partkey, p_partkey * 2 + 3, p_partkey % 7 + 1
+      FROM part, mk WHERE p_partkey * 2 + 3 <= maxk)
+"""
+
+
+@register(
+    "analytics_bom_rollup",
+    oracle=f"""
+    WITH RECURSIVE {_BOM_EDGES_SQL},
+    walk AS (
+      SELECT parent AS root, child AS comp, CAST(qty AS BIGINT) AS q,
+             1 AS depth
+      FROM edges WHERE parent < 20
+      UNION ALL
+      SELECT w.root, e.child, w.q * e.qty, w.depth + 1
+      FROM walk w JOIN edges e ON e.parent = w.comp
+      WHERE w.depth < 3)
+    SELECT root,
+           CAST(COUNT(*) AS BIGINT) AS n_paths,
+           CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_components,
+           CAST(SUM(q) AS BIGINT) AS total_ext_qty,
+           CAST(MAX(q) AS BIGINT) AS max_path_qty
+    FROM walk GROUP BY root ORDER BY root
+    """,
+)
+def analytics_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J18 (r6): bill-of-materials explosion — the multiplicative
+    sibling of BFS (`graph_nation_reach`): where BFS aggregates MIN
+    hops, a BOM rollup aggregates the SUM over paths of the PRODUCT of
+    per-edge quantities (extended quantity), the classic manufacturing
+    / cost-rollup recursion. The assembly DAG is derived
+    deterministically from `part` (parent p → children 2p+1/2p+2/2p+3
+    with quantities p%3+1 / p%5+1 / p%7+1 — children strictly greater
+    than parents, so acyclic, and the overlapping third edge makes it
+    a genuine DAG with shared subassemblies: path count ≠ component
+    count). Roots = parts 0..19, exploded 3 levels.
+
+    Scale shape: the unrolled form every bounded-depth warehouse
+    recursion compiles to — per level ONE keyed equi-join
+    (frontier.comp = edges.parent) and nothing else; the frontier
+    starts root-filtered (predicate pushed to the scan), so level-k
+    cost is the true path fan-out, not |edges|. Quantities multiply in
+    BIGINT (exact at any depth that fits int64); the only broadcast is
+    the 1-row MAX(p_partkey). The oracle replays the identical
+    expansion as a recursive CTE with the same depth bound."""
+    part = tbl(spark, sf_dir, "part")
+    mk = part.agg(F.max("p_partkey").alias("maxk"))
+
+    def edge(mult_off: int, mod: int):
+        return (
+            part.crossJoin(F.broadcast(mk))
+            .filter(F.col("p_partkey") * 2 + mult_off <= F.col("maxk"))
+            .select(
+                F.col("p_partkey").alias("parent"),
+                (F.col("p_partkey") * 2 + mult_off).alias("child"),
+                (F.col("p_partkey") % mod + 1).cast("bigint").alias("qty"),
+            )
+        )
+
+    edges = edge(1, 3).unionByName(edge(2, 5)).unionByName(edge(3, 7))
+    frontier = edges.filter(F.col("parent") < 20).select(
+        F.col("parent").alias("root"),
+        F.col("child").alias("comp"),
+        F.col("qty").alias("q"),
+    )
+    levels = [frontier]
+    for _ in range(2):
+        p = levels[-1].alias("p")
+        e = edges.alias("e")
+        nxt = p.join(e, F.col("p.comp") == F.col("e.parent")).select(
+            F.col("p.root").alias("root"),
+            F.col("e.child").alias("comp"),
+            (F.col("p.q") * F.col("e.qty")).alias("q"),
+        )
+        levels.append(nxt)
+    walk = levels[0]
+    for lv in levels[1:]:
+        walk = walk.unionByName(lv)
+    return (
+        walk.groupBy("root")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paths"),
+            F.countDistinct("comp").cast("bigint").alias("n_components"),
+            F.sum("q").cast("bigint").alias("total_ext_qty"),
+            F.max("q").cast("bigint").alias("max_path_qty"),
+        )
+        .orderBy("root")
+    )
+
+
+# ---- W18 (r6): U-shaped multi-touch attribution ----------------------------
+
+_USHAPE_W_SQL = """
+      CASE WHEN n = 1 THEN rev_q
+           WHEN n = 2 AND r = 1 THEN rev_q // 2
+           WHEN n = 2 THEN rev_q - rev_q // 2
+           WHEN r = 1 THEN rev_q * 2 // 5
+           WHEN r = n THEN rev_q * 2 // 5
+           WHEN r = n - 1 THEN (rev_q - 2 * (rev_q * 2 // 5))
+                               - (n - 3) * ((rev_q - 2 * (rev_q * 2 // 5)) // (n - 2))
+           ELSE (rev_q - 2 * (rev_q * 2 // 5)) // (n - 2)
+      END
+"""
+
+
+@register(
+    "analytics_attribution_u_shaped",
+    oracle=f"""
+    WITH pv AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE event_type = 'purchase'),
+    p AS (
+      SELECT user_id, ts, CAST(MIN(event_id) AS BIGINT) AS pkey,
+             CAST(SUM(vq) AS BIGINT) AS rev_q
+      FROM pv GROUP BY 1, 2),
+    t AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_type) AS channel
+      FROM events WHERE event_type IN ('click', 'view', 'signup')
+      GROUP BY 1, 2),
+    att AS (
+      SELECT t.channel, t.ts,
+             (SELECT p.pkey FROM p
+              WHERE p.user_id = t.user_id AND p.ts >= t.ts
+              ORDER BY p.ts LIMIT 1) AS pkey
+      FROM t),
+    j AS (
+      SELECT pkey, channel, ts,
+             ROW_NUMBER() OVER (PARTITION BY pkey ORDER BY ts) AS r,
+             COUNT(*) OVER (PARTITION BY pkey) AS n
+      FROM att WHERE pkey IS NOT NULL),
+    w AS (
+      SELECT j.channel, {_USHAPE_W_SQL} AS wq
+      FROM j JOIN p ON j.pkey = p.pkey),
+    touch_credit AS (
+      SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+             CAST(SUM(wq) AS BIGINT) AS credited_q
+      FROM w GROUP BY channel),
+    organic AS (
+      SELECT 'organic' AS channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+             CAST(SUM(rev_q) AS BIGINT) AS credited_q
+      FROM p WHERE pkey NOT IN (SELECT DISTINCT pkey FROM j))
+    SELECT channel, n_credits, credited_q,
+           CAST(credited_q AS DOUBLE) / 1e6 AS credited_revenue
+    FROM (SELECT * FROM touch_credit UNION ALL SELECT * FROM organic)
+    ORDER BY channel
+    """,
+)
+def analytics_attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W18 (r6): U-shaped (position-based) multi-touch attribution —
+    the fractional sibling of `analytics_attribution_last_touch`: each
+    purchase's revenue splits 40% to the FIRST touch of its journey,
+    40% to the LAST, and 20% equally across the middles, the standard
+    position-based model. A journey = every touch whose NEXT purchase
+    (forward as-of, same one-shuffle merge-scan as the last-touch
+    query) is that purchase; purchases with no preceding touch credit
+    'organic' in full.
+
+    Exactness discipline: revenue is quantized ONCE to micro-units
+    (BIGINT); every split is integer floor-division with the remainder
+    deterministically assigned (n=2: remainder to the last; n≥3:
+    middle-pool remainder to the last middle) — so credits per journey
+    sum EXACTLY to the purchase's rev_q and both engines agree
+    bit-for-bit, avoiding the 0.4·x float scheme whose credits don't
+    re-sum. The one double division (display units) happens at the
+    end.
+
+    Scale shape: touches and purchases pre-aggregate per (user, ts)
+    (dedupe + deterministic tie-channels), the forward as-of is one
+    user-key merge-scan, journey ranking is one window on the purchase
+    key, and the channel rollup re-aggregates journey rows — three
+    keyed shuffles total, none carrying more than (key, ts, BIGINT)
+    tuples; 'organic' is a broadcast-able anti probe of the purchase
+    relation against credited journey keys."""
+    from rpa_etl_investing_spark.operators.asof import asof_join
+    from pyspark.sql.window import Window as W
+
+    ev = tbl(spark, sf_dir, "events")
+    vq = F.floor(F.col("value").cast("double") * 1e6 + F.lit(0.5)).cast("bigint")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", vq.alias("vq"))
+        .groupBy("user_id", "ts")
+        .agg(
+            F.min("event_id").cast("bigint").alias("pkey"),
+            F.sum("vq").cast("bigint").alias("rev_q"),
+        )
+    )
+    t = (
+        ev.filter(F.col("event_type").isin("click", "view", "signup"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("channel"))
+    )
+    att = asof_join(
+        t,
+        p.select("user_id", "ts", "pkey"),
+        key="user_id",
+        ts="ts",
+        value_cols=["pkey"],
+        direction="forward",
+    )
+    j = (
+        att.filter(F.col("pkey_asof").isNotNull())
+        .select("channel", "ts", F.col("pkey_asof").alias("pkey"))
+        .withColumn("r", F.row_number().over(W.partitionBy("pkey").orderBy("ts")))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("pkey")))
+    )
+    w = j.join(p.select("pkey", "rev_q"), "pkey").select(
+        "channel", F.expr(_USHAPE_W_SQL.replace("//", "div")).alias("wq")
+    )
+    touch_credit = w.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+        F.sum("wq").cast("bigint").alias("credited_q"),
+    )
+    organic = (
+        p.join(j.select("pkey").distinct(), "pkey", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            F.sum("rev_q").cast("bigint").alias("credited_q"),
+        )
+        .select(F.lit("organic").alias("channel"), "n_credits", "credited_q")
+    )
+    return (
+        touch_credit.unionByName(organic)
+        .select(
+            "channel",
+            "n_credits",
+            "credited_q",
+            (F.col("credited_q").cast("double") / F.lit(1e6)).alias(
+                "credited_revenue"
+            ),
+        )
+        .orderBy("channel")
+    )

@@ -1613,3 +1613,121 @@ def curation_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---- L5+ (r6): leakage-safe fit/transform standardization ------------------
+
+_CUST_BUCKET_SQL = "substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4)"
+
+
+@register(
+    "curation_fit_transform_scaling",
+    oracle=f"""
+    WITH b AS (
+      SELECT c_mktsegment AS segment,
+             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT) AS x,
+             {_CUST_BUCKET_SQL} < '{frac_to_hex(0.8)}' AS is_train
+      FROM customer),
+    fit AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT) AS n_train,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS s2
+      FROM b WHERE is_train GROUP BY segment),
+    scored AS (
+      SELECT b.segment, b.is_train,
+             CAST(b.x AS DECIMAL(38,0)) * f.n_train - f.s1 AS d,
+             f.n_train * f.s2 - CAST(f.s1 AS DECIMAL(38,0)) * f.s1 AS nv
+      FROM b JOIN fit f ON b.segment = f.segment)
+    SELECT f.segment, f.n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(f.s1 AS DOUBLE) / f.n_train / 100 AS train_mean,
+           CAST(SUM(CASE WHEN s.d * s.d > 4 * s.nv THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(SUM(CASE WHEN NOT s.is_train AND s.d * s.d > 4 * s.nv
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_heldout_outliers
+    FROM scored s JOIN fit f ON s.segment = f.segment
+    GROUP BY f.segment, f.n_train, f.s1
+    ORDER BY f.segment
+    """,
+)
+def curation_fit_transform_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5+ (r6): leakage-safe fit/transform feature standardization —
+    the scaler every training pipeline needs: statistics (mean,
+    variance) are FIT on the deterministic 80% train split only (the
+    `curation_deterministic_split` hash convention on the entity key)
+    and APPLIED to every row, so held-out rows never influence their
+    own normalization — the sibling of the LOO target encoding's
+    leakage discipline (`analytics_target_encoding`). Reports, per
+    segment, the train-fit mean and the |z| > 2 outlier counts over
+    all rows and over held-out rows specifically.
+
+    Exactness discipline: balances quantize ONCE to integer cents;
+    the z-score threshold is evaluated without ever forming a float
+    z — |z| > 2  ⟺  (x·n − S1)² > 4·(n·S2 − S1²), all in
+    DECIMAL(38,0) (the covariance-matrix posture: cents², times corpus
+    cardinality, overflows int64 at scale — decimal keeps the
+    inequality exact on both engines). The one display division
+    (train_mean) happens at the end.
+
+    Scale shape: the fit is one hash aggregate over the train split
+    (mergeable (n, Σx, Σx²) state — incremental refits reuse it, the
+    `etl_incremental_rollup` posture); the transform re-joins the
+    |segments|-row fit relation (broadcast-able by construction) back
+    onto the full table map-side. One fact shuffle for the fit, one
+    for the final per-segment audit."""
+    cust = tbl(spark, sf_dir, "customer")
+    b = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal").cast("double") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+        (
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 4)
+            < F.lit(frac_to_hex(0.8))
+        ).alias("is_train"),
+    )
+    fit = (
+        b.filter("is_train")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+            F.sum("x").cast("bigint").alias("s1"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+            .cast("decimal(38,0)")
+            .alias("s2"),
+        )
+    )
+    scored = b.join(fit, "segment").select(
+        "segment",
+        "is_train",
+        "n_train",
+        "s1",
+        (F.col("x").cast("decimal(38,0)") * F.col("n_train") - F.col("s1")).alias("d"),
+        (
+            F.col("n_train") * F.col("s2")
+            - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+        ).alias("nv"),
+    )
+    out = F.col("d") * F.col("d") > F.lit(4) * F.col("nv")
+    return (
+        scored.groupBy("segment", "n_train", "s1")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+            F.sum(F.when(~F.col("is_train") & out, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_heldout_outliers"),
+        )
+        .select(
+            "segment",
+            "n_train",
+            "n_total",
+            (F.col("s1").cast("double") / F.col("n_train") / F.lit(100)).alias(
+                "train_mean"
+            ),
+            "n_outliers",
+            "n_heldout_outliers",
+        )
+        .orderBy("segment")
+    )

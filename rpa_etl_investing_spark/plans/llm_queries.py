@@ -3629,3 +3629,72 @@ def llm_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_selected"), F.lit(0)).cast("bigint").alias("n_selected"),
         F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
     )
+
+
+_FERTILITY_RE = r"\w+|[^\w\s]"
+
+
+@register(
+    "llm_tokenizer_fertility",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang,
+             CAST(LENGTH(text) AS BIGINT) AS chars,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS ws_toks,
+             CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_FERTILITY_RE}')) AS BIGINT)
+               AS re_toks
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           CAST(SUM(ws_toks) AS BIGINT) AS ws_tokens,
+           CAST(SUM(re_toks) AS BIGINT) AS re_tokens,
+           CAST(SUM(re_toks) * 100000000 // SUM(chars) AS BIGINT)
+             AS re_per_100chars_q,
+           CAST(SUM(chars) * 1000000 // SUM(ws_toks) AS BIGINT)
+             AS chars_per_ws_token_q
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ (r6): tokenizer-fertility profile per language — tokens
+    produced per 100 characters under a whitespace tokenizer vs a
+    BPE-ish pre-tokenization regex (`\\w+|[^\\w\\s]`, the word/punct
+    split every BPE trainer applies first), plus characters per
+    whitespace token. Fertility differences across languages are what
+    temperature/UniMax mixing corrects for (a language needing 2× the
+    tokens per character consumes 2× the training budget per byte), so
+    this profile is the input to those curation decisions.
+
+    Exactness: ratios are BIGINT floor-divisions on the 1e6 grid of
+    exact corpus sums — no float anywhere. The regex stays in the
+    Java∩RE2 common subset (ASCII \\w/\\s, no lookaround) so both
+    engines tokenize identically.
+
+    Scale shape: map-only per-doc counting (length / size(split) /
+    size(regexp_extract_all) — text never leaves the scan), one
+    |langs|-row hash aggregate. At 100 TB this is a single pass."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "lang",
+        F.length("text").cast("bigint").alias("chars"),
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_toks"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(_FERTILITY_RE), F.lit(0))
+        ).cast("bigint").alias("re_toks"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("chars").cast("bigint").alias("total_chars"),
+            F.sum("ws_toks").cast("bigint").alias("ws_tokens"),
+            F.sum("re_toks").cast("bigint").alias("re_tokens"),
+            F.expr("CAST(sum(re_toks) * 100000000 div sum(chars) AS BIGINT)").alias(
+                "re_per_100chars_q"
+            ),
+            F.expr("CAST(sum(chars) * 1000000 div sum(ws_toks) AS BIGINT)").alias(
+                "chars_per_ws_token_q"
+            ),
+        )
+        .orderBy("lang")
+    )
