@@ -3820,3 +3820,143 @@ def analytics_attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("channel")
     )
+
+
+# ---- J19 (r6): interval-overlap count join via boundary prefix counts ------
+
+
+@register(
+    "analytics_interval_overlap_counts",
+    oracle="""
+    WITH w AS (
+      SELECT o.o_orderkey, c.c_nationkey AS nk, c.c_mktsegment AS seg,
+             CAST(o.o_orderdate AS TIMESTAMP) AS s,
+             GREATEST(CAST(MAX(l.l_shipdate) AS TIMESTAMP),
+                      CAST(o.o_orderdate AS TIMESTAMP)) AS e
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY 1, 2, 3, 4),
+    a AS (SELECT * FROM w WHERE seg = 'BUILDING'),
+    b AS (SELECT * FROM w WHERE seg = 'MACHINERY'),
+    cnt AS (
+      SELECT a.nk, a.o_orderkey,
+             (SELECT COUNT(*) FROM b
+              WHERE b.nk = a.nk AND b.s <= a.e AND b.e >= a.s) AS nc
+      FROM a)
+    SELECT cnt.nk AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_building,
+           CAST((SELECT COUNT(*) FROM b WHERE b.nk = cnt.nk) AS BIGINT)
+             AS n_machinery,
+           CAST(SUM(nc) AS BIGINT) AS n_overlap_pairs,
+           CAST(MAX(nc) AS BIGINT) AS max_concurrent
+    FROM cnt GROUP BY cnt.nk ORDER BY cnt.nk
+    """,
+)
+def analytics_interval_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J19 (r6): interval×interval overlap-COUNT join via boundary
+    prefix counts — for every BUILDING-segment order's fulfillment
+    window [orderdate, last shipdate], how many same-nation
+    MACHINERY-segment windows overlap it. The algorithmic point: the
+    overlap-pair COUNT never materializes pairs — for inclusive
+    intervals, |{b : s_b ≤ e_a ∧ e_b ≥ s_a}| =
+    (# b-starts ≤ e_a) − (# b-ends < s_a), so two backward as-of
+    lookups against per-nation cumulative boundary counts replace the
+    interval join entirely. Pair output grows quadratically with SF
+    when windows are long-lived (the PPJoin data-shape lesson); the
+    count form stays LINEAR — the right query to ask at 100 TB, with
+    the bucketed pair join (J13) reserved for when pairs are truly
+    needed.
+
+    Scale shape: one order-grain aggregate (max shipdate), one
+    customer key join, then the cumulative tables are per-(nation,
+    day) — bounded by the calendar — and the two as-of probes are the
+    one-shuffle merge-scan of operators/asof.py. The oracle computes
+    the same counts as a correlated BNL COUNT, so the prefix-count
+    identity itself is what's being proven. The identity requires
+    WELL-FORMED intervals on both sides (e_b < s_a must imply
+    s_b ≤ e_a); the synthetic fixture has ~21% of orders whose max
+    shipdate precedes the order date, so windows clamp to
+    e = greatest(s, e) in both engines — found by the oracle
+    mismatch, which is exactly the class of precondition the
+    side-by-side check exists to catch."""
+    from pyspark.sql.window import Window as W
+
+    from rpa_etl_investing_spark.operators.asof import asof_join
+
+    orders = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    cust = tbl(spark, sf_dir, "customer")
+    w_df = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+            cust.c_custkey == orders.o_custkey,
+        )
+        .groupBy(
+            "o_orderkey",
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderdate").cast("timestamp").alias("s"),
+        )
+        .agg(
+            F.greatest(
+                F.max("l_shipdate").cast("timestamp"), F.col("s")
+            ).alias("e")
+        )
+    )
+    a = w_df.filter(F.col("seg") == "BUILDING").select("nk", "o_orderkey", "s", "e")
+    b = w_df.filter(F.col("seg") == "MACHINERY").select("nk", "s", "e")
+
+    wn = W.partitionBy("nk").orderBy("ts")
+    cum_starts = (
+        b.groupBy("nk", F.col("s").alias("ts"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .withColumn("cs", F.sum("d").over(wn).cast("bigint"))
+        .drop("d")
+    )
+    cum_ends = (
+        b.groupBy("nk", F.col("e").alias("ts"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .withColumn("ce", F.sum("d").over(wn).cast("bigint"))
+        .drop("d")
+    )
+    j1 = asof_join(
+        a.withColumn("ts", F.col("e")),
+        cum_starts,
+        key="nk",
+        ts="ts",
+        value_cols=["cs"],
+    )
+    j2 = asof_join(
+        j1.withColumn("ts", F.col("s") - F.expr("INTERVAL 1 DAY")),
+        cum_ends,
+        key="nk",
+        ts="ts",
+        value_cols=["ce"],
+    )
+    nc = F.coalesce(F.col("cs_asof"), F.lit(0)) - F.coalesce(
+        F.col("ce_asof"), F.lit(0)
+    )
+    per_a = j2.select("nk", "o_orderkey", nc.cast("bigint").alias("nc"))
+    nb = b.groupBy("nk").agg(F.count(F.lit(1)).cast("bigint").alias("n_machinery"))
+    return (
+        per_a.groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_building"),
+            F.sum("nc").cast("bigint").alias("n_overlap_pairs"),
+            F.max("nc").cast("bigint").alias("max_concurrent"),
+        )
+        .join(nb, "nk", "left")
+        .select(
+            F.col("nk").alias("nationkey"),
+            "n_building",
+            F.coalesce(F.col("n_machinery"), F.lit(0)).cast("bigint").alias(
+                "n_machinery"
+            ),
+            "n_overlap_pairs",
+            "max_concurrent",
+        )
+        .orderBy("nationkey")
+    )

@@ -975,3 +975,132 @@ def etl_duplicate_payment_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_a", "key_b")
     )
+
+
+# ---- J16+/MDM (r6): golden-record survivorship -----------------------------
+
+
+@register(
+    "etl_golden_record",
+    oracle="""
+    WITH RECURSIVE c AS (
+      SELECT p_name AS nm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(p_partkey) AS BIGINT) AS min_key,
+             CAST(MIN(CAST(FLOOR(CAST(p_retailprice AS DOUBLE) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS min_price_q,
+             CAST(MAX(p_size) AS BIGINT) AS max_size
+      FROM part GROUP BY 1),
+    pairs AS (
+      SELECT a.min_key AS k_a, b.min_key AS k_b
+      FROM c a JOIN c b ON a.nm < b.nm
+      WHERE ABS(LEN(a.nm) - LEN(b.nm)) <= 2
+        AND levenshtein(a.nm, b.nm) <= 2),
+    edges AS (
+      SELECT k_a AS v, k_b AS u FROM pairs
+      UNION SELECT k_b, k_a FROM pairs),
+    reach(v, u) AS (
+      SELECT v, v FROM (SELECT DISTINCT v FROM edges) AS verts
+      UNION
+      SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v),
+    labels AS (SELECT v AS k, MIN(u) AS cluster_id FROM reach GROUP BY v),
+    lbl AS (
+      SELECT c.nm, c.n, c.min_key, c.min_price_q, c.max_size,
+             COALESCE(l.cluster_id, c.min_key) AS cluster_id
+      FROM c LEFT JOIN labels l ON c.min_key = l.k),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY n DESC, nm) AS rk
+      FROM lbl)
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           MAX(CASE WHEN rk = 1 THEN nm END) AS canonical_nm,
+           CAST(MIN(min_key) AS BIGINT) AS survivor_key,
+           CAST(MIN(min_price_q) AS BIGINT) AS min_price_q,
+           CAST(MAX(max_size) AS BIGINT) AS max_size
+    FROM ranked GROUP BY cluster_id
+    """,
+)
+def etl_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM golden-record resolution (r6) — the end-to-end entity-
+    resolution pipeline the fuzzy-pair primitive (J16,
+    `analytics_fuzzy_name_pairs`) feeds: typo-variant catalog names
+    become ENTITIES (connected components over the Levenshtein ≤ 2
+    pair graph), each entity gets a deterministic canonical name
+    (most frequent variant, lexicographic tie-break) and a merged
+    survivor record (min surrogate key, min price, max size — the
+    field-wise survivorship rules MDM tools configure).
+
+    Scale shape: the pair stage inherits J16's exact-recall length-band
+    blocking over the DISTINCT-name vocabulary (quadratic only within
+    a length block of near-equal names, never over rows); components
+    run O(diameter) label-propagation rounds (operators/components.py,
+    the same machinery as `curation_dup_clusters`); survivorship is
+    one hash aggregate per cluster with struct-min argmax — no window
+    over the full table. Names are the only strings shuffled, each
+    once per stage. The oracle replays components as a recursive-CTE
+    transitive closure and survivorship as a rank-1 pick with the
+    identical (n DESC, nm) order."""
+    from rpa_etl_investing_spark.operators.components import connected_components
+
+    part = tbl(spark, sf_dir, "part")
+    price_q = F.floor(F.col("p_retailprice").cast("double") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    c = part.groupBy(F.col("p_name").alias("nm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("p_partkey").cast("bigint").alias("min_key"),
+        F.min(price_q).cast("bigint").alias("min_price_q"),
+        F.max("p_size").cast("bigint").alias("max_size"),
+    )
+    # vertices are each name's (unique) min surrogate key: the component
+    # machinery folds vertex ids through exact DECIMAL convergence sums
+    # (operators/components.py), so ids must be numeric
+    a = c.select(
+        F.col("nm").alias("nm_a"),
+        F.col("min_key").alias("k_a"),
+        F.length("nm").alias("len_key"),
+    )
+    b = c.select(
+        F.col("nm").alias("nm_b"),
+        F.col("min_key").alias("k_b"),
+        F.explode(F.sequence(F.length("nm") - 2, F.length("nm") + 2)).alias(
+            "len_key"
+        ),
+    )
+    pairs = (
+        a.join(b, "len_key")
+        .filter(
+            (F.col("nm_a") < F.col("nm_b"))
+            & (F.levenshtein("nm_a", "nm_b") <= 2)
+        )
+        .select("k_a", "k_b")
+    )
+    labels = connected_components(pairs, "k_a", "k_b").select(
+        F.col("doc_id").alias("min_key"), "cluster_id"
+    )
+    lbl = c.join(labels, "min_key", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("min_key"))
+    )
+    return (
+        lbl.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("nm").alias("nm")))
+            .getField("nm")
+            .alias("canonical_nm"),
+            F.min("min_key").cast("bigint").alias("survivor_key"),
+            F.min("min_price_q").cast("bigint").alias("min_price_q"),
+            F.max("max_size").cast("bigint").alias("max_size"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_rows",
+            "canonical_nm",
+            "survivor_key",
+            "min_price_q",
+            "max_size",
+        )
+    )

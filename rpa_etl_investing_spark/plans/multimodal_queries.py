@@ -20,6 +20,7 @@ deterministic functions of the text:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from rpa_etl_investing_spark.catalog import tbl
 from rpa_etl_investing_spark.multimodal import (
@@ -360,4 +361,87 @@ def multimodal_webdataset_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("bigint").alias("last_doc"),
         )
         .orderBy("shard_id")
+    )
+
+
+@register(
+    "multimodal_audio_chunks",
+    oracle="""
+    WITH n AS (SELECT doc_id, text,
+                      CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS nb
+               FROM documents),
+    f AS (SELECT doc_id, nb,
+                 8000 + CAST(nb % 8 AS INT) * 1000 AS rate,
+                 1 + CAST(nb % 2 AS INT) AS chans
+          FROM n),
+    m AS (SELECT doc_id, CAST(rate AS BIGINT) AS rate,
+                 nb // (chans * 2) AS ns
+          FROM f),
+    plan AS (
+      SELECT doc_id, rate, ns,
+             CASE WHEN ns <= 32 THEN 1
+                  ELSE 1 + (ns - 32 + 23) // 24 END AS n_chunks
+      FROM m)
+    SELECT p.doc_id,
+           CAST(i.i AS INT) AS chunk_idx,
+           CAST(i.i * 24 AS BIGINT) AS start_sample,
+           CAST(LEAST(i.i * 24 + 32, p.ns) AS BIGINT) AS end_sample,
+           CAST(LEAST(i.i * 24 + 32, p.ns) - i.i * 24 AS BIGINT) AS n_in_chunk,
+           CAST(i.i * 24 * 1000000 // p.rate AS BIGINT) AS start_us
+    FROM plan p, (SELECT UNNEST(RANGE(0, 100)) AS i) i
+    WHERE i.i < p.n_chunks
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM+ (r6): overlapping audio chunk plan — each decoded WAV is cut
+    into fixed 32-sample windows with stride 24 (25% overlap, the same
+    32/24 discipline as the text chunker `llm_chunk_overlap`), the
+    shape ASR/audio-tokenizer training uses so no acoustic event is
+    split without context. Chunk grain: (doc, idx, sample range,
+    integer-µs start offset); the final (short) chunk is clamped to
+    the real sample count, never padded here (padding policy belongs
+    to the batch shaper, `multimodal_length_batching`).
+
+    Scale shape: sample counts come from the REAL RIFF/fmt parse
+    (multimodal/binary_ops.py, Arrow mapInPandas over the binary
+    column); the plan itself is a map-side sequence-explode per doc —
+    fan-out = chunk count, bounded by duration — with pure-BIGINT
+    offset arithmetic identical on both engines. At 100 TB the chunk
+    plan is a projection of the decode pass; byte-range fetches for
+    each chunk (start_sample·block_align + header offset) follow from
+    these columns without re-reading audio."""
+    from rpa_etl_investing_spark.multimodal import (
+        attach_binary_audio,
+        decode_audio_metadata,
+    )
+
+    meta = decode_audio_metadata(
+        attach_binary_audio(tbl(spark, sf_dir, "documents"))
+    ).select(
+        "doc_id",
+        F.col("sample_rate").cast("bigint").alias("rate"),
+        F.col("n_samples").alias("ns"),
+    )
+    n_chunks = F.when(F.col("ns") <= 32, F.lit(1)).otherwise(
+        F.lit(1) + F.floor((F.col("ns") - 32 + 23) / 24).cast("bigint")
+    )
+    plan = meta.withColumn("n_chunks", n_chunks)
+    return plan.select(
+        "doc_id",
+        "rate",
+        "ns",
+        F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))).alias(
+            "chunk_idx"
+        ),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx") * 24).cast("bigint").alias("start_sample"),
+        F.least(F.col("chunk_idx") * 24 + 32, F.col("ns"))
+        .cast("bigint")
+        .alias("end_sample"),
+        (F.least(F.col("chunk_idx") * 24 + 32, F.col("ns")) - F.col("chunk_idx") * 24)
+        .cast("bigint")
+        .alias("n_in_chunk"),
+        F.expr("CAST(chunk_idx * 24 * 1000000 div rate AS BIGINT)").alias("start_us"),
     )
