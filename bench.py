@@ -59,6 +59,10 @@ HEADLINE = {
     # scale; tracked so the skew machinery has a number like the dedup
     # family does.
     "q16_skew_dup_payments": "etl_duplicate_payment_scan",
+    # r6: the composed ANN production layout (coarse quantizer + PQ
+    # codes + ADC ranking) — tracks the encode-plus-probe cost the way
+    # q12 tracks IVF-flat.
+    "q17_ivfpq_adc": "llm_ivfpq_adc_search",
 }
 
 # Queries whose final adaptive plan is inspected for AQE skew handling

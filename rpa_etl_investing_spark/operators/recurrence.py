@@ -413,3 +413,47 @@ def holt(
         out_cols=("level", "trend"),
         shard_col=shard_col,
     )
+
+
+def holt_damped(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: Column | str,
+    value_col: Column | str,
+    alpha: float,
+    beta: float,
+    phi: float,
+    shard_col: str = SHARD,
+) -> DataFrame:
+    """Damped-trend Holt smoothing (Gardner & McKenzie 1985) — the
+    M-competition default: the trend is multiplied by a damping factor
+    ``φ < 1`` each step, so long-horizon forecasts flatten instead of
+    extrapolating linearly:
+
+    ``l_t = α·x_t + (1−α)(l_{t−1} + φ·b_{t−1})``
+    ``b_t = β(l_t − l_{t−1}) + (1−β)·φ·b_{t−1}``
+
+    Substitution makes the pair ONE constant-matrix affine recurrence
+    on (l, b): ``A = [[1−α, (1−α)φ], [−αβ, φ(1−αβ)]]``, offset
+    ``(α·x_t, αβ·x_t)`` — the same :func:`affine2_recurrence`
+    distributed scan as the undamped form (``φ = 1`` reduces to
+    :func:`holt` exactly). Choose α, β, φ with exact binary
+    representations (0.25, 0.5, 0.875) so both engines parse identical
+    coefficients."""
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    x = vc.cast("double")
+    return affine2_recurrence(
+        df,
+        key_cols,
+        order_col,
+        (
+            1.0 - alpha,
+            (1.0 - alpha) * phi,
+            -alpha * beta,
+            phi * (1.0 - alpha * beta),
+        ),
+        F.lit(alpha) * x,
+        F.lit(alpha * beta) * x,
+        out_cols=("level", "trend"),
+        shard_col=shard_col,
+    )

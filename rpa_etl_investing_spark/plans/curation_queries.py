@@ -1731,3 +1731,105 @@ def curation_fit_transform_scaling(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("segment")
     )
+
+
+# ---- L5+ (r6): hard-negative mining from LSH buckets ------------------------
+
+from rpa_etl_investing_spark.operators.similarity import hyperplane_bucket_sql as _hb
+from rpa_etl_investing_spark.plans.llm_queries import _cos_sql as _cos
+
+
+@register(
+    "curation_hard_negatives",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_hb("embedding")} AS bucket FROM embeddings),
+    p AS (
+      SELECT a.vec_id, n.vec_id AS nid,
+             CAST(FLOOR(1e10 * ({_cos("a.embedding", "n.embedding")}) + 0.5)
+                  AS BIGINT) AS cos_q
+      FROM b a JOIN b n ON a.bucket = n.bucket AND a.vec_id <> n.vec_id
+      WHERE ({_cos("a.embedding", "n.embedding")}) < 0.8),
+    r AS (
+      SELECT vec_id, nid, cos_q,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_q DESC, nid) AS rn,
+             COUNT(*) OVER (PARTITION BY vec_id) AS nc
+      FROM p)
+    SELECT vec_id, nid AS hard_neg_id, cos_q,
+           CAST(nc AS BIGINT) AS n_candidates
+    FROM r WHERE rn = 1 ORDER BY vec_id
+    """,
+)
+def curation_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5+ (r6): HARD-negative mining for contrastive training — the
+    quality upgrade over `curation_negative_pairs`' random negatives:
+    for each vector, the most similar in-LSH-bucket neighbor that is
+    NOT a near-duplicate (cosine < 0.8, the `llm_embedding_near_dup`
+    threshold) — semantically close but distinct, exactly what makes a
+    contrastive batch informative (easy random negatives saturate the
+    loss; duplicates would be false negatives). Emits the chosen
+    negative, its quantized similarity, and the per-anchor candidate
+    count.
+
+    Scale shape: the same sign-LSH bucket self-join as the near-dup
+    and contamination queries — candidates scale with bucket
+    occupancy, never n²; the winner is one struct-min hash aggregate
+    per anchor (max cos_q, tie to the smaller id) — deterministic on
+    the 1e-10 grid in both engines. Anchors whose bucket holds only
+    duplicates (or nothing) simply emit no row and would fall back to
+    random negatives in a composed pipeline."""
+    from rpa_etl_investing_spark.operators.similarity import (
+        _norm,
+        cosine_prenormed,
+        sign_lsh_buckets,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    b = sign_lsh_buckets(emb, 8, "vec_id", "embedding", 64).withColumn(
+        "_nrm", _norm(F.col("embedding"))
+    )
+    anchors = b.select(
+        "vec_id",
+        F.col("embedding").alias("a_vec"),
+        F.col("_nrm").alias("a_norm"),
+        "bucket",
+    )
+    negs = b.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("n_vec"),
+        F.col("_nrm").alias("n_norm"),
+        "bucket",
+    )
+    cos = cosine_prenormed(
+        F.col("a_vec"), F.col("n_vec"), F.col("a_norm"), F.col("n_norm")
+    )
+    p = (
+        anchors.join(negs, "bucket")
+        .filter(F.col("vec_id") != F.col("nid"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") < 0.8)
+        .select(
+            "vec_id",
+            "nid",
+            F.floor(F.lit(1e10) * F.col("cos_sim") + F.lit(0.5))
+            .cast("bigint")
+            .alias("cos_q"),
+        )
+    )
+    return (
+        p.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("cos_q")).alias("neg_cos"), F.col("nid").alias("nid"))
+            ).alias("best"),
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        )
+        .select(
+            "vec_id",
+            F.col("best.nid").alias("hard_neg_id"),
+            (-F.col("best.neg_cos")).cast("bigint").alias("cos_q"),
+            "n_candidates",
+        )
+        .orderBy("vec_id")
+    )

@@ -3698,3 +3698,92 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "llm_bigram_kneser_ney",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    bi0 AS (
+      SELECT UNNEST(CASE WHEN LEN(t) < 2 THEN CAST([] AS VARCHAR[])
+                         ELSE LIST_TRANSFORM(RANGE(1, LEN(t)),
+                                i -> t[i] || ' ' || t[i+1]) END) AS s
+      FROM tok),
+    bi AS (SELECT STRING_SPLIT(s, ' ')[1] AS v, STRING_SPLIT(s, ' ')[2] AS w
+           FROM bi0),
+    c AS (SELECT v, w, CAST(COUNT(*) AS BIGINT) AS c_vw FROM bi GROUP BY 1, 2),
+    cv AS (SELECT v, CAST(SUM(c_vw) AS BIGINT) AS c_v,
+                  CAST(COUNT(*) AS BIGINT) AS n1fw
+           FROM c GROUP BY v),
+    cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1bw FROM c GROUP BY w),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS bigram_types FROM c)
+    SELECT c.v, c.w, c.c_vw, cv.c_v, cv.n1fw, cw.n1bw, tt.bigram_types,
+           CAST(FLOOR(1e12 * ((c.c_vw - 0.75) / cv.c_v
+                              + (0.75 * cv.n1fw / cv.c_v)
+                                * (CAST(cw.n1bw AS DOUBLE) / tt.bigram_types))
+                      + 0.5) AS BIGINT) AS p_kn_q
+    FROM c JOIN cv USING (v) JOIN cw USING (w) CROSS JOIN tt
+    ORDER BY c.c_vw DESC, c.v, c.w
+    LIMIT 20
+    """,
+)
+def llm_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ (r6): Kneser-Ney smoothed bigram probabilities — the
+    discounted LM the fluency-filter family's raw counts
+    (`llm_bigram_counts`, `llm_bigram_doc_score`) feed in a real
+    pipeline: p(w|v) = max(c(vw)−D, 0)/c(v) + λ(v)·p_cont(w) with
+    absolute discount D = 0.75 and the CONTINUATION unigram
+    p_cont(w) = N1+(·w)/|bigram types| — the insight that makes KN the
+    standard n-gram smoother ('Francisco' is frequent but follows only
+    'San', so its continuation probability is tiny). Emitted for the
+    top-20 bigrams with every count the formula consumes, so the
+    oracle re-derives the probability from scratch.
+
+    Exactness: all counts are exact BIGINTs from ONE corpus-wide
+    (v, w) hash aggregate; c(v), N1+(v·), N1+(·w) and the type total
+    re-aggregate the COUNT relation, never the corpus (the χ²
+    marginals discipline). The probability is a single double
+    expression with an identical parse tree in both engines (D = 0.75
+    exact binary), quantized once to the 1e-12 grid.
+
+    Scale shape: one explode+aggregate shuffle carries bigram strings;
+    everything downstream is vocabulary²-bounded re-aggregation;
+    top-20 is TakeOrderedAndProject. A trained filter would broadcast
+    the (v, w, p_kn_q) table back over the corpus exactly like
+    `llm_bigram_doc_score` does with raw counts."""
+    from rpa_etl_investing_spark.operators.dedup import shingles
+
+    docs = tbl(spark, sf_dir, "documents")
+    bi = docs.select(F.explode(shingles("text", k=2)).alias("s")).select(
+        F.split("s", " ").getItem(0).alias("v"),
+        F.split("s", " ").getItem(1).alias("w"),
+    )
+    c = bi.groupBy("v", "w").agg(F.count(F.lit(1)).cast("bigint").alias("c_vw"))
+    cv = c.groupBy("v").agg(
+        F.sum("c_vw").cast("bigint").alias("c_v"),
+        F.count(F.lit(1)).cast("bigint").alias("n1fw"),
+    )
+    cw = c.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n1bw"))
+    tt = c.agg(F.count(F.lit(1)).cast("bigint").alias("bigram_types"))
+    p = (
+        (F.col("c_vw") - F.lit(0.75)) / F.col("c_v")
+        + (F.lit(0.75) * F.col("n1fw") / F.col("c_v"))
+        * (F.col("n1bw").cast("double") / F.col("bigram_types"))
+    )
+    return (
+        c.join(cv, "v")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "v",
+            "w",
+            "c_vw",
+            "c_v",
+            "n1fw",
+            "n1bw",
+            "bigram_types",
+            F.floor(F.lit(1e12) * p + F.lit(0.5)).cast("bigint").alias("p_kn_q"),
+        )
+        .orderBy(F.desc("c_vw"), "v", "w")
+        .limit(20)
+    )

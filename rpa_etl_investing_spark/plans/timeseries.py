@@ -1457,3 +1457,82 @@ def timeseries_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> Da
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     ).orderBy("day")
+
+
+@register(
+    "timeseries_holt_damped",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS x
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily),
+    -- strict sequential replay, row-by-row (the DuckDB list_reduce
+    -- STRUCT-accumulator caveat from timeseries_holt_trend applies)
+    rec AS (
+      SELECT event_type, day, x, rn,
+             0.25 * x AS l, 0.125 * x AS b
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.event_type, r.day, r.x, r.rn,
+             0.75 * rec.l + 0.65625 * rec.b + 0.25 * r.x,
+             -0.125 * rec.l + 0.765625 * rec.b + 0.125 * r.x
+      FROM rec JOIN r ON r.event_type = rec.event_type
+                     AND r.rn = rec.rn + 1)
+    SELECT event_type, day, x,
+           CAST(FLOOR(1e6 * l + 0.5) AS BIGINT) AS level_q,
+           CAST(FLOOR(1e6 * b + 0.5) AS BIGINT) AS trend_q,
+           CAST(FLOOR(1e6 * (l + 0.875 * b) + 0.5) AS BIGINT) AS forecast_q
+    FROM rec
+    """,
+)
+def timeseries_holt_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11+ (r6): DAMPED-trend Holt smoothing (Gardner & McKenzie) —
+    the forecasting-practice default the undamped `timeseries_holt_trend`
+    is the φ=1 special case of: the trend decays by φ each step so the
+    one-step forecast is l + φ·b and long horizons flatten. The damped
+    pair is STILL one constant 2×2 affine recurrence
+    (A = [[1−α, (1−α)φ], [−αβ, φ(1−αβ)]]), so the identical
+    distributed two-level scan solves it — the point of registering
+    the variant: the recurrence machinery generalizes by changing four
+    literals, not the plan.
+
+    α = 0.25, β = 0.5, φ = 0.875 — every matrix entry (0.75, 0.65625,
+    −0.125, 0.765625) is an exact binary double; the re-associated
+    scan reconciles with the oracle's strict row-by-row recursive
+    replay on the 1e-6 grid (the EWMA discipline)."""
+    from rpa_etl_investing_spark.operators.caching import keep
+    from rpa_etl_investing_spark.operators.prefix import with_id_range_shard
+    from rpa_etl_investing_spark.operators.recurrence import holt_damped
+
+    ev = tbl(spark, sf_dir, "events")
+    daily = keep(
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(dsum("value", 6).alias("x"))
+        .withColumn(
+            "ord", F.datediff(F.col("day"), F.lit("1970-01-01")).cast("bigint")
+        ),
+        scope="holt_damped_daily",
+    )
+    sharded = with_id_range_shard(daily, "ord", n_shards=8)
+    sm = holt_damped(
+        sharded, ["event_type"], "ord", "x", alpha=0.25, beta=0.5, phi=0.875
+    )
+    lq = F.floor(F.lit(1e6) * F.col("level") + F.lit(0.5)).cast("bigint")
+    tq = F.floor(F.lit(1e6) * F.col("trend") + F.lit(0.5)).cast("bigint")
+    fq = F.floor(
+        F.lit(1e6) * (F.col("level") + F.lit(0.875) * F.col("trend")) + F.lit(0.5)
+    ).cast("bigint")
+    return daily.join(sm, ["event_type", "ord"]).select(
+        "event_type",
+        "day",
+        "x",
+        lq.alias("level_q"),
+        tq.alias("trend_q"),
+        fq.alias("forecast_q"),
+    )
