@@ -1560,3 +1560,55 @@ def agg_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "agg_bitmap_rollup_reuse",
+    oracle="""
+    SELECT DATE_TRUNC('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+           CAST(COUNT(DISTINCT DATE_TRUNC('day', CAST(o_orderdate AS TIMESTAMP)))
+                AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_bitmap_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+ (r6): MERGEABLE distinct counts through a pre-aggregation —
+    the non-additive sibling of `agg_reuse_daily_rollup`: distinct
+    customers per MONTH answered FROM a stored DAILY (day, bucket) →
+    bitmap rollup, because bitmaps OR-merge where COUNT(DISTINCT)
+    values don't sum. This is the pattern that makes daily distinct
+    rollups reusable at month/quarter/year grain without ever
+    re-touching the fact — the reason warehouses store bitmap/HLL
+    STATE, not distinct numbers.
+
+    The daily grain keeps the raw `bitmap_construct_agg` binary state;
+    the month answer is `bitmap_count(bitmap_or_agg(daily_state))`
+    summed over the fixed 32k-bit buckets. Exact (not a sketch), state
+    bounded at 4 KB per (group, bucket). The oracle computes month
+    distinct directly from the fact — the match proves the merge is
+    lossless.
+
+    Scale shape: ONE fact shuffle builds the daily rollup (map-side
+    bitmap OR combine); every coarser grain re-aggregates kilobyte
+    bitmap states. Day-count rides the same rollup."""
+    orders = tbl(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate").cast("timestamp")).alias("day"),
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm")
+    )
+    monthly_buckets = daily.groupBy(
+        F.date_trunc("month", "day").alias("month"), "bucket"
+    ).agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("nb"))
+    counts = monthly_buckets.groupBy("month").agg(
+        F.sum("nb").cast("bigint").alias("n_customers")
+    )
+    days = (
+        daily.select("day")
+        .distinct()
+        .groupBy(F.date_trunc("month", "day").alias("month"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    )
+    return days.join(counts, "month").select("month", "n_days", "n_customers")

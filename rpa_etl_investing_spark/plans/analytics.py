@@ -3960,3 +3960,70 @@ def analytics_interval_overlap_counts(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("nationkey")
     )
+
+
+# ---- W19 (r6): journey trigram mining ---------------------------------------
+
+
+@register(
+    "analytics_journey_trigrams",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_type) AS et
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT user_id, LIST(et ORDER BY ts) AS l FROM e GROUP BY user_id),
+    tri AS (
+      SELECT UNNEST(CASE WHEN LEN(l) < 3 THEN CAST([] AS VARCHAR[])
+                         ELSE LIST_TRANSFORM(RANGE(1, LEN(l) - 1),
+                                i -> l[i] || '>' || l[i+1] || '>' || l[i+2])
+                    END) AS path
+      FROM seq)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+)
+def analytics_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W19 (r6): user-journey path mining — the top 3-step event
+    sequences across all users, the sequence-n-gram extension of the
+    first-order Markov model (`analytics_markov_transitions`): where
+    the transition matrix sees only adjacent pairs, trigram paths
+    expose the actual funnels users walk (view>cart>purchase vs
+    view>view>view), the input to journey-map and next-step-prediction
+    work.
+
+    Determinism: simultaneous events collapse per (user, ts) to the
+    MAX event_type first (the attribution queries' tie rule), so each
+    user's timeline sorts uniquely by timestamp and both engines build
+    identical sequences.
+
+    Scale shape: one (user, ts) dedup aggregate, then ONE user-key
+    shuffle collects each user's ordered timeline (array_sort on a
+    struct — per-user state bounded by that user's activity, the
+    sessionization posture); trigram formation is a map-side HOF over
+    the sorted array, and the path rollup + top-20 is a hash aggregate
+    feeding TakeOrderedAndProject. Event strings shuffle once."""
+    ev = tbl(spark, sf_dir, "events")
+    e = ev.groupBy("user_id", "ts").agg(F.max("event_type").alias("et"))
+    seq = e.groupBy("user_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(ts, et))), r -> r.et)")
+        .alias("l")
+    )
+    tri = seq.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(l) < 3 THEN array() "
+                "ELSE transform(sequence(1, size(l) - 2), i -> "
+                "concat(element_at(l, i), '>', element_at(l, i + 1), '>', "
+                "element_at(l, i + 2))) END"
+            )
+        ).alias("path")
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
