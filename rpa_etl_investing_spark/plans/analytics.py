@@ -4027,3 +4027,67 @@ def analytics_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(20)
     )
+
+
+@register(
+    "profile_daily_volume_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT DATE_TRUNC('day', CAST(o_orderdate AS TIMESTAMP)) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1),
+    w AS (
+      SELECT day, cnt,
+             LIST_SORT(COALESCE(LIST(cnt) OVER (ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+                        CAST([] AS BIGINT[]))) AS hist
+      FROM daily)
+    SELECT day, cnt,
+           CAST(LEN(hist) AS BIGINT) AS n_hist,
+           CAST(hist[(LEN(hist) + 1) // 2] AS BIGINT) AS trailing_median,
+           CASE WHEN LEN(hist) = 0 THEN FALSE
+                ELSE ABS(cnt - hist[(LEN(hist) + 1) // 2]) * 5
+                     > hist[(LEN(hist) + 1) // 2] * 2 END AS flagged
+    FROM w ORDER BY day
+    """,
+)
+def profile_daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-ops volume monitor (r6): flags load days whose row count
+    deviates more than 40% from the trailing-7-day median — the
+    pipeline-SLA alarm every warehouse runs before consumers read a
+    partial or double load. Median (not mean) so one bad day doesn't
+    poison its own baseline; the deviation test is the exact integer
+    inequality |cnt − med|·5 > med·2, never a float ratio; the median
+    is the type-1 lower-middle of the sorted trailing window, exact
+    BIGINT in both engines.
+
+    Scale shape: the fact collapses to calendar-bounded daily counts
+    in one hash aggregate; the trailing window runs over that tiny
+    relation (the single-partition window is bounded by days, not
+    rows — the interval-coverage posture). At 100 TB this monitor
+    costs one scan's aggregate."""
+    from pyspark.sql.window import Window as W
+
+    orders = tbl(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate").cast("timestamp")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    hist = F.sort_array(
+        F.collect_list("cnt").over(W.orderBy("day").rowsBetween(-7, -1))
+    )
+    w = daily.withColumn("hist", hist)
+    # CASE-guarded: element_at(_, 0) raises on the empty first window
+    # (DuckDB's l[0] is NULL); CaseWhen evaluates branches lazily
+    med = F.when(
+        F.size("hist") > 0,
+        F.element_at("hist", ((F.size("hist") + 1) / 2).cast("int")),
+    )
+    return w.select(
+        "day",
+        "cnt",
+        F.size("hist").cast("bigint").alias("n_hist"),
+        med.cast("bigint").alias("trailing_median"),
+        F.when(F.size("hist") == 0, F.lit(False))
+        .otherwise(F.abs(F.col("cnt") - med) * 5 > med * 2)
+        .alias("flagged"),
+    ).orderBy("day")

@@ -703,3 +703,51 @@ def set_ops_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = f_side.intersectAll(o_side).withColumn("side", F.lit("both"))
     surplus = f_side.exceptAll(o_side).withColumn("side", F.lit("f_surplus"))
     return both.unionByName(surplus)
+
+
+@register(
+    "join_null_safe_equality",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+      FROM customer),
+    d AS (
+      SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+             COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNSEGMENTED') AS label
+      FROM customer)
+    SELECT d.label, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM c JOIN d ON c.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY d.label ORDER BY d.label
+    """,
+)
+def join_null_safe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6+ (r6): NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM)
+    — the join-predicate form the rest of the J6 surface doesn't
+    cover: plain equi-joins DROP rows whose key is NULL (NULL = NULL
+    is unknown), while dimension lookups routinely need the
+    "unknown" bucket to match a designated dimension row. Here a
+    deliberately nullable segment key (BUILDING → NULL) joins a
+    derived dimension that carries a NULL-keyed 'UNSEGMENTED' row;
+    the null-safe predicate routes every NULL fact row to it.
+
+    Scale shape: Spark keeps `<=>` a HASH-joinable key (EqualNullSafe
+    is a valid equi-join expression — the plan stays
+    BroadcastHashJoin/SortMergeJoin, never a nested loop), so the
+    null-safe form costs the same as `=`. That — not the semantics —
+    is why it belongs in the surface: the common workaround
+    (COALESCE both sides to a sentinel) bakes a magic value into the
+    data; `<=>` doesn't."""
+    cust = tbl(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    c = cust.select("c_custkey", seg.alias("seg"))
+    d = (
+        cust.select(seg.alias("seg"))
+        .distinct()
+        .select("seg", F.coalesce(F.col("seg"), F.lit("UNSEGMENTED")).alias("label"))
+    )
+    return (
+        c.join(d, c.seg.eqNullSafe(d.seg))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("label")
+    )
