@@ -1612,3 +1612,58 @@ def agg_bitmap_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
     )
     return days.join(counts, "month").select("month", "n_days", "n_customers")
+
+
+@register(
+    "agg_rollup_grouping_id",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CASE GROUPING_ID(o_orderstatus, o_orderpriority)
+                WHEN 0 THEN 'status+priority'
+                WHEN 1 THEN 'status'
+                ELSE 'grand_total' END AS level,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+    """,
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+ (r6): GROUPING / GROUPING_ID metadata over a rollup — the
+    one part of the grouping-sets surface (`agg_rollup` / `agg_cube` /
+    `agg_grouping_sets`) not yet pinned by name: a NULL in a rollup
+    output is ambiguous (real NULL data vs subtotal placeholder);
+    `grouping()` disambiguates per column and `grouping_id()` encodes
+    the whole aggregation level as a bitmask, which downstream BI
+    layers switch on. The query labels each rollup level from the id
+    and COALESCEs the placeholder NULLs — the standard subtotal-report
+    shape.
+
+    Scale shape: identical to `agg_rollup` (Expand + one partial+final
+    hash aggregate); grouping metadata is computed from the Expand's
+    own level tags, costing nothing extra."""
+    orders = tbl(spark, sf_dir, "orders")
+    gid = F.grouping_id("o_orderstatus", "o_orderpriority")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            gid.cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "g_status",
+            "gid",
+            F.when(F.col("gid") == 0, F.lit("status+priority"))
+            .when(F.col("gid") == 1, F.lit("status"))
+            .otherwise(F.lit("grand_total"))
+            .alias("level"),
+            "n",
+        )
+        .orderBy("gid", "status", "priority")
+    )

@@ -4091,3 +4091,68 @@ def profile_daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(F.col("cnt") - med) * 5 > med * 2)
         .alias("flagged"),
     ).orderBy("day")
+
+
+@register(
+    "analytics_brand_transitions",
+    oracle="""
+    WITH ob AS (
+      SELECT o.o_custkey, o.o_orderdate, o.o_orderkey,
+             LIST(DISTINCT p.p_brand) AS brands
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2, 3),
+    seq AS (
+      SELECT o_custkey, brands,
+             LAG(brands) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM ob),
+    t1 AS (SELECT brands, UNNEST(prev) AS brand_from
+           FROM seq WHERE prev IS NOT NULL),
+    t2 AS (SELECT brand_from, UNNEST(brands) AS brand_to FROM t1)
+    SELECT brand_from, brand_to, CAST(COUNT(*) AS BIGINT) AS n
+    FROM t2 GROUP BY 1, 2
+    ORDER BY n DESC, brand_from, brand_to
+    LIMIT 20
+    """,
+)
+def analytics_brand_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-ORDER sequential brand affinity (r6) — "customers who
+    bought brand X last time buy brand Y next": the temporal sibling
+    of within-basket lift (`analytics_basket_affinity`), the signal
+    repurchase/upsell models train on. Each customer's order history
+    becomes a sequence of brand SETS; every consecutive order pair
+    contributes its prev×next brand cross — fan-out bounded by basket
+    size squared (≤ ~50), never by history length or corpus size.
+
+    Scale shape: one order-grain set aggregate (after the two fact
+    joins), ONE customer-key window for the lag (per-customer state =
+    two brand sets), map-side double explode, then the transition
+    hash aggregate feeding TakeOrderedAndProject. Set semantics make
+    collect_set/LIST(DISTINCT) ordering irrelevant — only membership
+    crosses the engines."""
+    from pyspark.sql.window import Window as W
+
+    orders = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part")
+    ob = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .join(part, part.p_partkey == li.l_partkey)
+        .groupBy("o_custkey", "o_orderdate", "o_orderkey")
+        .agg(F.collect_set("p_brand").alias("brands"))
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = ob.withColumn("prev", F.lag("brands").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    tr = seq.select(
+        F.explode("prev").alias("brand_from"), "brands"
+    ).select("brand_from", F.explode("brands").alias("brand_to"))
+    return (
+        tr.groupBy("brand_from", "brand_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "brand_from", "brand_to")
+        .limit(20)
+    )

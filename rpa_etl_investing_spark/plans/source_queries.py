@@ -875,3 +875,55 @@ def source_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("version", "n_rows", "sum_price")
         )
     return outs[0].unionByName(outs[1]).orderBy("version")
+
+
+@register(
+    "source_csv_multiline_quoted",
+    oracle="""
+    SELECT doc_id,
+           REPLACE(text, ' ', CHR(10)) AS gnarly,
+           CAST(LENGTH(REPLACE(text, ' ', CHR(10))) AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 20 = 0
+    """,
+)
+def source_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+ (r6): CSV with EMBEDDED NEWLINES round-trip — the format
+    corner that silently corrupts naive pipelines: a quoted field
+    containing record separators spans physical lines, so the default
+    line-splitting reader shreds it into garbage rows. Every 20th
+    document's spaces become newlines (a worst-case multi-line value),
+    written as quoted CSV and read back with ``multiLine=true``; the
+    oracle derives the same strings from the parquet source, so the
+    match proves byte-exact field recovery through quote/escape
+    handling.
+
+    Scale note (why this is an S-row, not a triviality):
+    ``multiLine=true`` is the one CSV mode Spark CANNOT split by
+    line boundaries — record boundaries are quote-context-dependent,
+    so each FILE becomes one split. The write therefore controls
+    parallelism by file count (the repartition here), and at 100 TB
+    multi-line CSV ingestion parallelizes across many modest files or
+    not at all — the reason columnar formats win the interchange
+    argument."""
+    path = scratch_dir(_sf_tag(sf_dir), "docs_multiline_csv")
+    docs = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select(
+            "doc_id",
+            F.regexp_replace("text", " ", "\n").alias("gnarly"),
+        )
+    )
+    docs.repartition(4).write.mode("overwrite").csv(
+        path, header=True, quoteAll=True
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("gnarly", T.StringType()),
+        ]
+    )
+    back = spark.read.csv(path, header=True, schema=schema, multiLine=True)
+    return back.select(
+        "doc_id", "gnarly", F.length("gnarly").cast("bigint").alias("n_chars")
+    )
