@@ -4156,3 +4156,104 @@ def analytics_brand_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "brand_from", "brand_to")
         .limit(20)
     )
+
+
+@register(
+    "analytics_segment_migration_matrix",
+    oracle="""
+    WITH yr AS (
+      SELECT EXTRACT(YEAR FROM CAST(o_orderdate AS TIMESTAMP)) AS y,
+             o_custkey AS c,
+             CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1, 2),
+    r AS (
+      SELECT y, c, rev,
+             ROW_NUMBER() OVER (PARTITION BY y ORDER BY rev) AS rn,
+             COUNT(*) OVER (PARTITION BY y) AS n
+      FROM yr),
+    cuts AS (
+      SELECT y,
+        MAX(CASE WHEN rn = CAST(FLOOR(0.2 * (n-1)) AS BIGINT) + 1 THEN rev END) AS c20,
+        MAX(CASE WHEN rn = CAST(FLOOR(0.4 * (n-1)) AS BIGINT) + 1 THEN rev END) AS c40,
+        MAX(CASE WHEN rn = CAST(FLOOR(0.6 * (n-1)) AS BIGINT) + 1 THEN rev END) AS c60,
+        MAX(CASE WHEN rn = CAST(FLOOR(0.8 * (n-1)) AS BIGINT) + 1 THEN rev END) AS c80
+      FROM r GROUP BY y),
+    seg AS (
+      SELECT yr.y, yr.c,
+             1 + CAST(yr.rev > cuts.c20 AS INT) + CAST(yr.rev > cuts.c40 AS INT)
+               + CAST(yr.rev > cuts.c60 AS INT) + CAST(yr.rev > cuts.c80 AS INT)
+               AS s
+      FROM yr JOIN cuts ON yr.y = cuts.y),
+    mx AS (SELECT MAX(y) AS my FROM yr),
+    tr AS (
+      SELECT a.s AS seg_from, CAST(COALESCE(b.s, 0) AS INT) AS seg_to
+      FROM seg a CROSS JOIN mx
+      LEFT JOIN seg b ON b.c = a.c AND b.y = a.y + 1
+      WHERE a.y < mx.my)
+    SELECT CAST(seg_from AS INT) AS seg_from, seg_to,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM tr GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def analytics_segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment-migration matrix (r6) — year-over-year movement
+    between revenue quintiles, plus churn (segment 0 = absent next
+    year): the retention-analytics classic behind "how many of last
+    year's top-20% customers stayed top-20%". Segments come from
+    per-year EXACT type-1 quintile cut VALUES; membership is a value
+    comparison, so boundary ties land identically on both engines.
+
+    Scale shape: the per-year cuts use the SHARDED two-pass exact
+    selection (operators/prefix.py `exact_quantiles` with
+    group_cols=[year]) — no per-year sort task, no per-year collect
+    buffer, the reason `percentile()`/NTILE windows are avoided at
+    100 TB. The cuts relation is (years × 4) rows (broadcast-able by
+    construction); segmentation is a map-side join + three compares;
+    the migration join is one (customer, year)-keyed self-join and a
+    30-cell aggregate."""
+    from rpa_etl_investing_spark.operators.prefix import exact_quantiles
+
+    orders = tbl(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    yr = (
+        orders.groupBy(
+            F.year(F.col("o_orderdate").cast("timestamp")).alias("y"),
+            F.col("o_custkey").alias("c"),
+        )
+        .agg(F.sum(cents).cast("bigint").alias("rev"))
+    )
+    cuts = exact_quantiles(
+        yr,
+        "rev",
+        {"c20": 0.2, "c40": 0.4, "c60": 0.6, "c80": 0.8},
+        group_cols=["y"],
+    )
+    s = (
+        F.lit(1)
+        + (F.col("rev") > F.col("c20")).cast("int")
+        + (F.col("rev") > F.col("c40")).cast("int")
+        + (F.col("rev") > F.col("c60")).cast("int")
+        + (F.col("rev") > F.col("c80")).cast("int")
+    )
+    seg = yr.join(F.broadcast(cuts), "y").select("y", "c", s.alias("s"))
+    mx = yr.agg(F.max("y").alias("my"))
+    a = seg.crossJoin(F.broadcast(mx)).filter(F.col("y") < F.col("my")).select(
+        F.col("y").alias("ya"), F.col("c").alias("ca"), F.col("s").alias("seg_from")
+    )
+    b = seg.select(
+        F.col("y").alias("yb"), F.col("c").alias("cb"), F.col("s").alias("sb")
+    )
+    tr = a.join(
+        b, (a.ca == b.cb) & (b.yb == a.ya + 1), "left"
+    ).select(
+        F.col("seg_from").cast("int").alias("seg_from"),
+        F.coalesce(F.col("sb"), F.lit(0)).cast("int").alias("seg_to"),
+    )
+    return (
+        tr.groupBy("seg_from", "seg_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("seg_from", "seg_to")
+    )

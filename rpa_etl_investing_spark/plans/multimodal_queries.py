@@ -445,3 +445,65 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_in_chunk"),
         F.expr("CAST(chunk_idx * 24 * 1000000 div rate AS BIGINT)").alias("start_us"),
     )
+
+
+@register(
+    "multimodal_interleaved_plan",
+    oracle=f"""
+    WITH meta AS ({_META_SQL}),
+    plan AS (
+      SELECT m.doc_id,
+             CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS text_tokens,
+             CAST(((m.width + 15) // 16) * ((m.height + 15) // 16) * m.n_frames
+                  AS BIGINT) AS vision_tokens
+      FROM meta m JOIN documents d ON d.doc_id = m.doc_id)
+    SELECT doc_id, text_tokens, vision_tokens,
+           text_tokens + vision_tokens + 2 AS total_tokens,
+           text_tokens + vision_tokens + 2 <= 512 AS fits_ctx,
+           CAST((text_tokens + vision_tokens + 2 + 511) // 512 AS BIGINT)
+             AS n_ctx_chunks
+    FROM plan
+    """,
+)
+def multimodal_interleaved_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM+ (r6): interleaved text+vision SEQUENCE budgeting — the
+    accounting pass a VLM training pipeline runs before building
+    batches: each document's sequence costs its text tokens plus its
+    media's vision tokens (the ViT patch budget from
+    `multimodal_patch_grid`, every AVI frame included) plus 2
+    separator tokens; the plan reports whether the interleaved
+    sequence fits a 512-token context and how many context windows it
+    needs otherwise. Downstream, `multimodal_length_batching` shapes
+    these totals into padded batches and `curation_pack_offsets` packs
+    the text side — this query is the join point between the text and
+    vision budget lines.
+
+    Scale shape: the vision side reuses the Arrow-batched header parse
+    (real PNG/JPEG/AVI bytes); the text side is a map-side split-count
+    on the SAME documents scan; the join is doc-keyed and
+    one-to-one. Pure integer arithmetic throughout — budgets must be
+    exact, an off-by-one sequence overflow is a training crash."""
+    meta = decode_media_metadata(
+        attach_binary_media(tbl(spark, sf_dir, "documents"))
+    )
+    vis = (
+        F.expr("CAST((width + 15) div 16 AS BIGINT)")
+        * F.expr("CAST((height + 15) div 16 AS BIGINT)")
+        * F.col("n_frames")
+    ).cast("bigint")
+    m = meta.select("doc_id", vis.alias("vision_tokens"))
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("text_tokens"),
+    )
+    total = F.col("text_tokens") + F.col("vision_tokens") + F.lit(2)
+    return m.join(d, "doc_id").select(
+        "doc_id",
+        "text_tokens",
+        "vision_tokens",
+        total.alias("total_tokens"),
+        (total <= 512).alias("fits_ctx"),
+        F.expr(
+            "CAST((text_tokens + vision_tokens + 2 + 511) div 512 AS BIGINT)"
+        ).alias("n_ctx_chunks"),
+    )
