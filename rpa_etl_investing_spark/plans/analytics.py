@@ -4257,3 +4257,130 @@ def analytics_segment_migration_matrix(spark: SparkSession, sf_dir: str) -> Data
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("seg_from", "seg_to")
     )
+
+
+# ---- A32+ (r6): Theil index between/within decomposition --------------------
+
+# Shared per-row term: with r = x·n/X (the income share ratio), the
+# Theil-T contribution is r·ln(r)/n. Both factors quantize before the
+# product — r to 1e6 (exact integer ratio via DECIMAL), ln(r) to 1e6
+# (absorbing libm-vs-Java last-ulp drift) — so the per-row term is an
+# exact BIGINT product and the sum is order-free.
+_THEIL_TERM_SQL = (
+    "CAST(FLOOR(CAST({x} AS DECIMAL(38,0)) * {n} * 1000000 / {tot} + 0.5) AS BIGINT)"
+    " * CAST(FLOOR(1000000 * LN(CAST({x} AS DOUBLE) * {n} / {tot}) + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "analytics_theil_decomposition",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c.c_custkey, n.n_regionkey AS region,
+             CAST(SUM(CAST(FLOOR(CAST(o.o_totalprice AS DOUBLE) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS x
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS tot FROM cust),
+    per_row AS (
+      SELECT region,
+             {_THEIL_TERM_SQL.format(x="x", n="n", tot="tot")} AS term_q
+      FROM cust CROSS JOIN g),
+    within AS (
+      SELECT region, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(term_q) AS BIGINT) AS sum_term_q
+      FROM per_row GROUP BY region),
+    grp AS (
+      SELECT region, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(x) AS BIGINT) AS x_g
+      FROM cust GROUP BY region),
+    between_c AS (
+      SELECT region,
+             CAST(FLOOR(CAST(x_g AS DECIMAL(38,0)) * 1000000 / tot + 0.5) AS BIGINT)
+             * CAST(FLOOR(1000000 * LN(CAST(x_g AS DOUBLE) * n / (CAST(n_g AS DOUBLE) * tot)) + 0.5) AS BIGINT)
+               AS bterm_q
+      FROM grp CROSS JOIN g)
+    SELECT w.region, w.n_g,
+           CAST(w.sum_term_q AS BIGINT) AS theil_contrib_q,
+           CAST(b.bterm_q AS BIGINT) AS between_contrib_q
+    FROM within w JOIN between_c b ON w.region = b.region
+    ORDER BY w.region
+    """,
+)
+def analytics_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A32+ (r6): Theil-T inequality index with its between/within
+    decomposition by region — the additive-decomposability property
+    that makes Theil (not Gini, `analytics_gini_concentration`) the
+    index economists use to answer "how much revenue concentration is
+    BETWEEN regions vs WITHIN them": T = T_between + Σ_g w_g·T_g, and
+    this query emits each region's contribution to the TOTAL index
+    (they sum to T by construction) plus its between-group term
+    (share_g x ln of the group-mean ratio); T_within = T - T_between,
+    everything still on the exact integer grid.
+
+    Exactness discipline: the per-row term r·ln(r) (r = x·n/X) is a
+    product of TWO separately quantized BIGINTs — the share ratio via
+    exact DECIMAL division to the 1e6 grid, and ln(r) to the 1e6 grid
+    (the quantized-ln convention that absorbs libm-vs-JVM last-ulp
+    differences) — so every sum crossing the engines is an integer
+    sum; consumers divide by n·10¹² once for the real index.
+
+    Scale shape: one customer-grain aggregate (two key joins), a 1-row
+    broadcast of (n, Σx), a map-side term projection, and two tiny
+    rollups (per-region) — inequality accounting at 100 TB is one
+    fact pass, exactly like the Gini query, plus a |regions|-row
+    between table."""
+    orders = tbl(spark, sf_dir, "orders")
+    cust = tbl(spark, sf_dir, "customer")
+    nation = tbl(spark, sf_dir, "nation")
+    cents = F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    base = (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .join(maybe_broadcast(nation, "nation"), nation.n_nationkey == cust.c_nationkey)
+        .groupBy("c_custkey", F.col("n_regionkey").alias("region"))
+        .agg(F.sum(cents).cast("bigint").alias("x"))
+    )
+    g = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("tot"),
+    )
+
+    def term(xc: str) -> F.Column:
+        # the SAME SQL text the oracle uses, so both engines parse the
+        # identical expression tree
+        return F.expr(_THEIL_TERM_SQL.format(x=xc, n="n", tot="tot"))
+
+    per_row = base.crossJoin(F.broadcast(g)).select(
+        "region", term("x").alias("term_q")
+    )
+    within = per_row.groupBy("region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("term_q").cast("bigint").alias("sum_term_q"),
+    )
+    grp = base.groupBy("region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("x").cast("bigint").alias("x_g"),
+    )
+    bterm = F.expr(
+        "CAST(FLOOR(CAST(x_g AS DECIMAL(38,0)) * 1000000 / tot + 0.5) AS BIGINT)"
+        " * CAST(FLOOR(1000000 * LN(CAST(x_g AS DOUBLE) * n / "
+        "(CAST(n_g AS DOUBLE) * tot)) + 0.5) AS BIGINT)"
+    )
+    between = grp.crossJoin(F.broadcast(g)).select(
+        "region", bterm.alias("bterm_q")
+    )
+    return (
+        within.join(between, "region")
+        .select(
+            "region",
+            "n_g",
+            F.col("sum_term_q").cast("bigint").alias("theil_contrib_q"),
+            F.col("bterm_q").cast("bigint").alias("between_contrib_q"),
+        )
+        .orderBy("region")
+    )
