@@ -117,6 +117,19 @@ def keep_or_reuse(
             continue
         if entry.plan.sameResult(plan):
             entries.append(entries.pop(i))  # refresh recency (true LRU)
+            # Heal externally-cleared caches: if something outside the
+            # registry dropped the persist (spark.catalog.clearCache(),
+            # a manual unpersist), serving the bare DataFrame would
+            # silently lose BOTH the reuse AND the optimizer barrier
+            # some consumers depend on (the winnowing query's
+            # InferFiltersFromGenerate guard — r6 finding). The
+            # storageLevel probe keeps the hot path warn-free.
+            try:
+                lvl = entry.df.storageLevel
+                if not (lvl.useMemory or lvl.useDisk):
+                    entry.df.persist()
+            except Exception:
+                pass  # session raced to shutdown; caller's query fails anyway
             return entry.df
     # purge dead-session entries for free, then evict LRU down to cap-1
     stale = [e for e in entries if e.app_id != app]

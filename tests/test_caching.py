@@ -172,3 +172,20 @@ def test_graph_caches_route_through_registry(spark):
     release_edge_caches()
     release_kcore_caches()
     assert not _STORE.get("graph_edges") and not _STORE.get("graph_kcore")
+
+
+def test_hit_repersists_externally_cleared_cache(spark, sf_dir):
+    """A sameResult hit whose persist was dropped OUTSIDE the registry
+    (clearCache / manual unpersist) must come back persisted — the
+    reuse contract AND the optimizer-barrier contract (the winnowing
+    query's InferFiltersFromGenerate guard) both depend on the
+    returned frame actually being cached."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    df = keep_or_reuse(nation.select("n_nationkey"), "test_caching_heal")
+    assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    df.unpersist()  # external actor drops the cache, registry unaware
+    assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+    again = keep_or_reuse(nation.select("n_nationkey"), "test_caching_heal")
+    assert again is df  # still the same plan-matched entry
+    assert again.storageLevel.useMemory or again.storageLevel.useDisk
+    release_scope("test_caching_heal")
