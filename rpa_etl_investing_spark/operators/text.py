@@ -612,27 +612,37 @@ def winnowing_fingerprints(
     nothing.
 
     Entirely map-side per document (a doc is one row): the hash array
-    and the window-min sweep are JVM higher-order expressions, O(n·w)
-    per doc, no Python, no shuffle. Returns
-    ``(doc_id, n_kgrams, selected: array<bigint>)``."""
-    windows = (
-        f"CASE WHEN length({text_col}) < {k} THEN array() "
-        f"ELSE transform(sequence(1, length({text_col}) - {k} + 1), i -> "
+    and the window-min sweep are JVM higher-order expressions, O(n·k +
+    n·w) per doc, no Python, no shuffle. Returns
+    ``(doc_id, n_kgrams, selected: array<bigint>)``.
+
+    Expression-shape note (measured, r6): the obvious two-Project form
+    (materialize the hash array ``_w``, then select window minima over
+    it) is QUADRATIC in practice — CollapseProject merges the
+    Projects and substitutes the whole O(n·k) hash sweep into every
+    ``slice(_w, s, w)`` reference, and HOFs run interpreted outside
+    codegen CSE, so each document cost O(n²·k) (≈12 s for 500 small
+    docs; ~17 min at sf0.1 corpus shape). The fix is the LET-BINDING
+    idiom: ``transform(array(<hashes>), _w -> <selection>)[0]`` binds
+    the hash array ONCE per row as a lambda variable that no optimizer
+    rule can inline, keeping the whole thing one linear expression;
+    ``n_kgrams`` is the closed form ``len−k+1``, not a recount."""
+    hashes = (
+        f"transform(sequence(1, length({text_col}) - {k} + 1), i -> "
         f"  aggregate(sequence(1, {k - 1}), CAST(ascii(substring({text_col}, i, 1)) AS BIGINT), "
-        f"    (acc, j) -> (acc * {ROLLING_BASE} + ascii(substring({text_col}, CAST(i + j AS INT), 1))) % {ROLLING_MOD})) "
-        f"END"
+        f"    (acc, j) -> (acc * {ROLLING_BASE} + ascii(substring({text_col}, CAST(i + j AS INT), 1))) % {ROLLING_MOD}))"
     )
-    sel = (
-        f"CASE WHEN size(_w) = 0 THEN array() "
-        f"WHEN size(_w) < {w} THEN array(array_min(_w)) "
+    sel_body = (
+        f"CASE WHEN size(_w) < {w} THEN array(array_min(_w)) "
         f"ELSE array_distinct(transform(sequence(1, size(_w) - {w} + 1), "
         f"s -> array_min(slice(_w, s, {w})))) END"
     )
-    # concrete hash-array projection first: the selection expression
-    # would otherwise embed the whole O(len·k) hash sweep inside the
-    # O(len·w) min sweep (HOFs sit outside codegen CSE)
-    return docs.selectExpr("doc_id", f"{windows} AS _w").selectExpr(
+    selected = (
+        f"CASE WHEN length({text_col}) < {k} THEN array() "
+        f"ELSE element_at(transform(array({hashes}), _w -> {sel_body}), 1) END"
+    )
+    return docs.selectExpr(
         "doc_id",
-        "CAST(size(_w) AS BIGINT) AS n_kgrams",
-        f"{sel} AS selected",
+        f"CAST(greatest(0, length({text_col}) - {k} + 1) AS BIGINT) AS n_kgrams",
+        f"{selected} AS selected",
     )
