@@ -84,3 +84,19 @@ def test_registry_query_plans_and_answers(spark, sf_dir):
     df.explain("formatted")
     rows = df.limit(5).collect()
     assert rows and all(r["n_selected"] >= 0 for r in rows)
+
+
+def test_hash_sweep_appears_once_in_optimized_plan(spark):
+    """Regression pin for the let-binding fix: the O(n·k) rolling-hash
+    sweep must appear exactly ONCE in the optimized plan's expressions.
+    The old two-Project form let CollapseProject substitute it into
+    every window-min slice (quadratic per document, measured); the
+    let-binding form (`transform(array(hashes), _w -> ...)`) plus the
+    closed-form k-gram count keep a single occurrence."""
+    docs = spark.createDataFrame([(1, "abcdefghijklmnop")], ["doc_id", "text"])
+    df = winnowing_fingerprints(docs, k=K, w=W)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # one sweep = exactly 2 textual occurrences (the fold's init value
+    # + its step lambda); the quadratic form showed 4+ (one sweep per
+    # referencing expression)
+    assert plan.count("ascii(substring") == 2, plan
