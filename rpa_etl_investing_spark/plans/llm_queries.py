@@ -3787,3 +3787,107 @@ def llm_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c_vw"), "v", "w")
         .limit(20)
     )
+
+
+@register(
+    "llm_frequent_directions",
+    oracle="""
+    WITH q AS (
+      SELECT LIST_TRANSFORM(embedding,
+               x -> CAST(FLOOR(1e6 * CAST(x AS DOUBLE) + 0.5) AS BIGINT)) AS qv
+      FROM embeddings)
+    SELECT CAST(8 AS INT) AS ell,
+           CAST(64 AS INT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(LIST_AGGREGATE(LIST_TRANSFORM(qv, x -> x * x), 'sum')
+                         AS BIGINT)) AS BIGINT) AS trace_q,
+           TRUE AS psd_dominated,
+           TRUE AS err_within_shrinkage
+    FROM q
+    """,
+)
+def llm_frequent_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+ (r6): Frequent Directions covariance sketch (Liberty
+    KDD'13) with its GUARANTEES CHECKED — the deterministic ℓ×d
+    streaming sketch whose Gram (a) never exceeds the true Gram in
+    the PSD order and (b) errs by at most the shrunk Frobenius mass
+    (‖AᵀA−BᵀB‖₂ ≤ ‖A‖_F²−‖B‖_F²). The production story: an 8×64
+    sketch stands in for the full covariance in PCA/whitening/drift
+    checks, is MERGEABLE (per-partition sketches stack-and-shrink —
+    the SICOMP'16 theorem), and costs ℓ·d state per task at ANY
+    corpus size — the matrix sibling of the HLL/CMS bounded-state
+    family.
+
+    Verification discipline: SVD floats never cross the engine
+    boundary. The emitted row carries the EXACT integer inputs (row
+    count, grid-quantized Frobenius mass = trace of the exact Gram)
+    plus the two guarantee BOOLEANS, evaluated against the exact Gram
+    (operators/similarity.py `gram_matrix`, integer cells on the same
+    1e-6 grid): λ_min(G−BᵀB) ≥ −tol and λ_max(G−BᵀB) ≤ shrinkage+tol.
+    The theorems hold for ANY partition order, so the booleans are
+    deterministic even though the sketch rows are not — the same
+    tolerance-oracle pattern as the HLL and CMS queries, but with the
+    bound MATHEMATICALLY tight to the algorithm rather than
+    probabilistic.
+
+    Scale shape: one Arrow-batched `mapInPandas` pass folds each
+    partition into 8 rows (numpy SVD on ≤(ℓ+batch)×64 — bounded);
+    the merge + check `applyInPandas` cogroup sees only P·ℓ sketch
+    rows and the 2080 exact-Gram cells — kilobytes, regardless of
+    corpus size."""
+    import pandas as pd
+
+    from rpa_etl_investing_spark.operators.sketch_fd import (
+        fd_partition_sketch,
+        fd_shrink,
+    )
+    from rpa_etl_investing_spark.operators.similarity import gram_matrix
+
+    ELL, D = 8, 64
+    emb = tbl(spark, sf_dir, "embeddings")
+    qv = F.expr(
+        "transform(embedding, x -> "
+        "CAST(floor(1e6 * CAST(x AS DOUBLE) + 0.5) AS BIGINT) / 1e6)"
+    )
+    sketches = emb.select(qv.alias("qv")).mapInPandas(
+        lambda it: fd_partition_sketch(it, ELL, D),
+        schema="r int, v array<double>",
+    )
+    cells = gram_matrix(emb)
+
+    def merge_and_check(skdf: pd.DataFrame, gdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        B = np.asarray(skdf["v"].tolist(), dtype=np.float64)
+        B = fd_shrink(B, ELL) if len(B) else np.zeros((0, D))
+        btb = B.T @ B if len(B) else np.zeros((D, D))
+        G = np.zeros((D, D))
+        for i, j, s_q in zip(gdf["i"], gdf["j"], gdf["s_q"]):
+            G[i, j] = G[j, i] = s_q / 1e12
+        n_rows = int(gdf["n_vecs"].iloc[0])
+        trace_q = int(round(np.trace(G) * 1e12))
+        diff = G - btb
+        ev = np.linalg.eigvalsh(diff)
+        shrinkage = np.trace(G) - np.trace(btb)
+        tol = 1e-6 * max(1.0, np.trace(G))
+        return pd.DataFrame(
+            {
+                "ell": [ELL],
+                "d": [D],
+                "n_rows": [n_rows],
+                "trace_q": [trace_q],
+                "psd_dominated": [bool(ev.min() >= -tol)],
+                "err_within_shrinkage": [bool(ev.max() <= shrinkage + tol)],
+            }
+        )
+
+    out_schema = (
+        "ell int, d int, n_rows bigint, trace_q bigint, "
+        "psd_dominated boolean, err_within_shrinkage boolean"
+    )
+    return (
+        sketches.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .cogroup(cells.withColumn("_g", F.lit(0)).groupBy("_g"))
+        .applyInPandas(lambda sk, g: merge_and_check(sk, g), out_schema)
+    )
