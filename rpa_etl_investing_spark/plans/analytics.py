@@ -4384,3 +4384,103 @@ def analytics_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("region")
     )
+
+
+@register(
+    "analytics_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT DATE_TRUNC('day', CAST(o_orderdate AS TIMESTAMP)) AS day,
+             CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1),
+    lagged AS (
+      SELECT day, rev, LAG(rev) OVER (ORDER BY day) AS prev FROM daily),
+    signs AS (
+      SELECT day, CASE WHEN rev > prev THEN 1 ELSE 0 END AS up
+      FROM lagged WHERE prev IS NOT NULL AND rev <> prev),
+    seq AS (
+      SELECT up, LAG(up) OVER (ORDER BY day) AS prev_up FROM signs),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(up) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(up) AS BIGINT) AS n2,
+             CAST(1 + SUM(CASE WHEN prev_up IS NOT NULL AND up <> prev_up
+                               THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      FROM seq)
+    SELECT n, n1, n2, runs,
+           CAST(((runs - 1) * n - 2 * n1 * n2) AS BIGINT) AS dev_num_q,
+           CAST(CAST((runs - 1) * n - 2 * n1 * n2 AS DECIMAL(38,0))
+                * ((runs - 1) * n - 2 * n1 * n2) * (n - 1) * 10000
+                > CAST(38416 AS DECIMAL(38,0)) * 2 * n1 * n2
+                  * (2 * n1 * n2 - n) AS BOOLEAN) AS nonrandom_95
+    FROM agg
+    """,
+)
+def analytics_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13+ (r6): Wald–Wolfowitz runs test on the daily revenue
+    DIRECTION sequence — does revenue move up/down randomly, or do
+    moves cluster (momentum) or alternate (oscillation/overcorrection)?
+    The randomness leg that completes the drift toolkit (PSI = share
+    shift, χ² = dependence, KS = worst-case gap, Mann-Whitney =
+    ordinal shift, Benford = digit fraud): too FEW runs means trending
+    regimes, too MANY means alternation, both breaking the i.i.d.
+    assumption monitors quietly rely on.
+
+    Exactness discipline: up/down flags come from exact integer-cents
+    comparisons (ties dropped identically in both engines); the
+    significance test |R−μ_R| > 1.96·σ_R is evaluated WITHOUT any
+    float — with A = (R−1)n − 2n₁n₂, the condition is
+    A²(n−1)·10⁴ > 38416·2n₁n₂(2n₁n₂−n), pure DECIMAL(38,0) (A² times
+    n overflows int64 at warehouse scale — the A/B-test z² posture).
+
+    Scale shape: the fact collapses to calendar-bounded daily sums in
+    one hash aggregate; both lag windows run over that tiny relation;
+    the test itself is a 1-row aggregate. One fact pass at any
+    scale."""
+    from pyspark.sql.window import Window as W
+
+    orders = tbl(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate").cast("timestamp")).alias("day")
+    ).agg(F.sum(cents).cast("bigint").alias("rev"))
+    w = W.orderBy("day")
+    signs = (
+        daily.withColumn("prev", F.lag("rev").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("rev") != F.col("prev")))
+        .select(
+            "day", F.when(F.col("rev") > F.col("prev"), 1).otherwise(0).alias("up")
+        )
+    )
+    seq = signs.withColumn("prev_up", F.lag("up").over(w))
+    agg = seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("up").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("up")).cast("bigint").alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev_up").isNotNull()
+                    & (F.col("up") != F.col("prev_up")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    return agg.selectExpr(
+        "n",
+        "n1",
+        "n2",
+        "runs",
+        "CAST(((runs - 1) * n - 2 * n1 * n2) AS BIGINT) AS dev_num_q",
+        "CAST(CAST((runs - 1) * n - 2 * n1 * n2 AS DECIMAL(38,0))"
+        " * ((runs - 1) * n - 2 * n1 * n2) * (n - 1) * 10000"
+        " > CAST(38416 AS DECIMAL(38,0)) * 2 * n1 * n2"
+        " * (2 * n1 * n2 - n) AS BOOLEAN) AS nonrandom_95",
+    )
