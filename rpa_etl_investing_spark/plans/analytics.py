@@ -4484,3 +4484,90 @@ def analytics_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         " > CAST(38416 AS DECIMAL(38,0)) * 2 * n1 * n2"
         " * (2 * n1 * n2 - n) AS BOOLEAN) AS nonrandom_95",
     )
+
+
+# ---- A33+ (r6): log-log price elasticity ------------------------------------
+
+_ELAST_XY_SQL = (
+    "CAST(FLOOR(1000000 * LN(CAST(l_extendedprice AS DOUBLE)"
+    " / CAST(l_quantity AS DOUBLE)) + 0.5) AS BIGINT)",
+    "CAST(FLOOR(1000000 * LN(CAST(l_quantity AS DOUBLE)) + 0.5) AS BIGINT)",
+)
+
+
+@register(
+    "analytics_price_elasticity",
+    oracle=f"""
+    WITH obs AS (
+      SELECT p.p_brand AS brand,
+             {_ELAST_XY_SQL[0]} AS xq,
+             {_ELAST_XY_SQL[1]} AS yq
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity > 0 AND l.l_extendedprice > 0),
+    s AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(xq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(yq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(xq AS DECIMAL(38,0)) * xq) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(xq AS DECIMAL(38,0)) * yq) AS DECIMAL(38,0)) AS sxy
+      FROM obs GROUP BY brand)
+    SELECT brand, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS elasticity,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) < -1.0 AS elastic
+    FROM s ORDER BY brand
+    """,
+)
+def analytics_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A33+ (r6): price elasticity of demand per brand — the log-log
+    OLS slope of ln(quantity) on ln(unit price), the econometric
+    workhorse behind pricing decisions (|slope| > 1 = elastic: a price
+    cut grows revenue). The log-log transform applied to the grouped
+    closed-form OLS machinery (`agg_grouped_ols`): a million brand
+    regressions still cost ONE hash aggregate.
+
+    Exactness discipline: both logs quantize ONCE per row to the 1e-6
+    grid (absorbing libm-vs-JVM last-ulp drift — the Zipf/WoE
+    convention); all five power sums accumulate as DECIMAL(38,0)
+    (grid² × row-count passes int64 at warehouse scale); the slope is
+    a single double division of identically-derived decimals, so both
+    engines emit bit-identical elasticities and the elastic verdict
+    compares identically.
+
+    Scale shape: one fact join + one partial+final hash aggregate;
+    the slope evaluates per brand row. Identical plan class to the
+    grouped OLS — the transform changes semantics, not shape."""
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part")
+    obs = (
+        li.filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .join(part, part.p_partkey == li.l_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.expr(_ELAST_XY_SQL[0]).alias("xq"),
+            F.expr(_ELAST_XY_SQL[1]).alias("yq"),
+        )
+    )
+    s = obs.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("xq").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("yq").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("xq").cast("decimal(38,0)") * F.col("xq"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("xq").cast("decimal(38,0)") * F.col("yq"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # the raw decimal power sums stay internal: DuckDB's pandas bridge
+    # floats DECIMAL(38,0) columns (lossy past 2^53), so only the final
+    # double-valued slope crosses the comparator
+    return s.select(
+        "brand",
+        "n",
+        (num / den).alias("elasticity"),
+        ((num / den) < F.lit(-1.0)).alias("elastic"),
+    ).orderBy("brand")

@@ -399,3 +399,76 @@ def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_type
         """
     )
+
+
+@register(
+    "stream_windowed_distinct",
+    oracle="""
+    WITH w AS (
+      SELECT TIMESTAMP '1970-01-01'
+               + INTERVAL (FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / 604800) * 604800)
+                 SECOND AS window_start,
+             user_id
+      FROM events)
+    SELECT window_start,
+           window_start + INTERVAL 7 DAY AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS hll_within_tol
+    FROM w GROUP BY window_start
+    """,
+)
+def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST10 (r6): distinct users per 7-day tumbling event-time window —
+    the windowed form of the distinct-counting story: EXACT counts via
+    the mergeable bitmap aggregation (`agg_bitmap_distinct`'s
+    machinery, running INSIDE the window groupBy: bounded 4 KB state
+    per (window, bucket), never an expand rewrite), alongside the
+    HLL++ estimate with the 5σ tolerance verdict (the
+    `agg_approx_distinct` convention — raw sketch estimates are
+    engine-specific, so the boolean is what crosses the comparator).
+
+    Batch ≡ stream: `F.window('ts', '7 days')` is the streaming
+    operator — the identical plan runs under readStream with a
+    watermark (ST1's convention); in streaming mode the HLL/bitmap
+    states are exactly what the state store would hold per window.
+    The oracle floors epoch seconds to the 604800 grid explicitly
+    because DuckDB's TIME_BUCKET anchors weekly buckets at 2000-01-03
+    while Spark's window() anchors at the 1970 epoch — the two grids
+    only coincide for divisors of a day."""
+    ev = tbl(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(F.window(F.col("ts").cast("timestamp"), "7 days").alias("w"), "user_id")
+        .groupBy("w", F.expr("bitmap_bucket_number(user_id)").alias("bkt"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+            F.expr(
+                "bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))"
+            ).alias("n_in_bucket"),
+            F.expr("approx_count_distinct(user_id, 0.01)").alias("hll_part"),
+        )
+    )
+    # exact distinct sums bucket popcounts; the HLL verdict re-runs the
+    # sketch at window grain (cheap second pass over the same shuffle)
+    exact = per_bucket.groupBy("w").agg(
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        F.sum("n_in_bucket").cast("bigint").alias("n_users_exact"),
+    )
+    est = (
+        ev.select(F.window(F.col("ts").cast("timestamp"), "7 days").alias("w"), "user_id")
+        .groupBy("w")
+        .agg(F.expr("approx_count_distinct(user_id, 0.01)").alias("est"))
+    )
+    return (
+        exact.join(est, "w")
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "n_users_exact",
+            (
+                F.abs(F.col("est") - F.col("n_users_exact"))
+                <= F.lit(0.05) * F.col("n_users_exact") + F.lit(5)
+            ).alias("hll_within_tol"),
+        )
+    )
