@@ -4510,13 +4510,19 @@ _ELAST_XY_SQL = (
              CAST(SUM(CAST(yq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
              CAST(SUM(CAST(xq AS DECIMAL(38,0)) * xq) AS DECIMAL(38,0)) AS sxx,
              CAST(SUM(CAST(xq AS DECIMAL(38,0)) * yq) AS DECIMAL(38,0)) AS sxy
-      FROM obs GROUP BY brand)
+      FROM obs GROUP BY brand),
+    q AS (
+      SELECT brand, n,
+             CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+               - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+             CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+               - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den
+      FROM s)
     SELECT brand, n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE) AS elasticity,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE) < -1.0 AS elastic
-    FROM s ORDER BY brand
+           CAST(CAST(num * 1000000000000 // den AS BIGINT) AS DOUBLE)
+             / 1000000000000.0 AS elasticity,
+           num + den < 0 AS elastic
+    FROM q WHERE den > 0 ORDER BY brand
     """,
 )
 def analytics_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4527,13 +4533,20 @@ def analytics_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form OLS machinery (`agg_grouped_ols`): a million brand
     regressions still cost ONE hash aggregate.
 
-    Exactness discipline: both logs quantize ONCE per row to the 1e-6
-    grid (absorbing libm-vs-JVM last-ulp drift — the Zipf/WoE
-    convention); all five power sums accumulate as DECIMAL(38,0)
-    (grid² × row-count passes int64 at warehouse scale); the slope is
-    a single double division of identically-derived decimals, so both
-    engines emit bit-identical elasticities and the elastic verdict
-    compares identically.
+    Exactness discipline (r7, after the r6 verdict caught a 1-ulp
+    decimal→double drift at sf0.001): both logs quantize ONCE per row
+    to the 1e-6 grid (absorbing libm-vs-JVM last-ulp drift — the
+    Zipf/WoE convention); all five power sums accumulate as
+    DECIMAL(38,0); the slope is quantized to the 1e-12 integer grid by
+    EXACT truncating integer division BEFORE any double cast — Spark's
+    decimal ``div`` and DuckDB's HUGEINT ``//`` both truncate toward
+    zero on exact int128-class arithmetic, so the quantized slope is
+    the same integer in both engines and the final
+    bigint→double / 1e12 is the identical IEEE operation. ``elastic``
+    (slope < −1) never touches floats at all: with den > 0 it is the
+    pure-decimal sign inequality num + den < 0 (the A24 z² posture).
+    Brands with den = 0 (constant log-price — slope undefined) are
+    excluded by both engines.
 
     Scale shape: one fact join + one partial+final hash aggregate;
     the slope evaluates per brand row. Identical plan class to the
@@ -4560,14 +4573,27 @@ def analytics_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("sxy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    num = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("decimal(38,0)")
+        .alias("num")
+    )
+    den = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("decimal(38,0)")
+        .alias("den")
+    )
     # the raw decimal power sums stay internal: DuckDB's pandas bridge
-    # floats DECIMAL(38,0) columns (lossy past 2^53), so only the final
-    # double-valued slope crosses the comparator
-    return s.select(
+    # floats DECIMAL(38,0) columns (lossy past 2^53), so only the
+    # 1e-12-grid-quantized slope (exact in both engines) crosses the
+    # comparator
+    q = s.select("brand", "n", num, den).filter(F.col("den") > 0)
+    return q.select(
         "brand",
         "n",
-        (num / den).alias("elasticity"),
-        ((num / den) < F.lit(-1.0)).alias("elastic"),
+        (
+            F.expr("num * 1000000000000 div den").cast("double")
+            / F.lit(1000000000000.0)
+        ).alias("elasticity"),
+        ((F.col("num") + F.col("den")) < 0).alias("elastic"),
     ).orderBy("brand")

@@ -299,9 +299,16 @@ def stream_upsert_journal(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_dir = os.path.join(base, uuid.uuid4().hex)
     chunks_dir = os.path.join(run_dir, "chunks")
     events = tbl(spark, sf_dir, "events").select("event_id", "user_id")
+    # one FILE per chunk (so maxFilesPerTrigger=1 yields exactly three
+    # deterministic micro-batches) WITHOUT funneling the whole table
+    # through a single task (r6 verdict item #7): hash-repartitioning on
+    # the partition column routes each chunk value to exactly one of
+    # three parallel tasks, and partitionBy then emits one file per
+    # chunk value per task — 3 writers instead of coalesce(1)'s 1, and
+    # the shape stays per-key-bounded at any fixture scale.
     events.withColumn(
         "chunk", (F.col("event_id") % 3).cast("int")
-    ).coalesce(1).write.partitionBy("chunk").parquet(chunks_dir)
+    ).repartition(3, "chunk").write.partitionBy("chunk").parquet(chunks_dir)
 
     stream = (
         spark.readStream.schema("event_id bigint, user_id bigint, chunk int")

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""End-of-round certification: sweep AND suite on the frozen HEAD.
+
+The r6 escape (`analytics_price_elasticity` red at sf0.001 on the frozen
+tree) happened because certification was two separate manual steps: the
+oracle sweep was re-run after the last operators landed, but the pytest
+stamp predated them. This script closes that hole (r6 verdict item #2):
+
+1. REFUSES to certify a dirty working tree — the stamp must describe a
+   commit, not a moment.
+2. Runs the full driver contract (entry smoke + every ``queries()`` entry
+   vs its DuckDB oracle) at the driver's correctness scale via
+   ``scripts/verify_driver_contract.py`` in a fresh interpreter.
+3. Runs ``pytest tests/`` (the multi-scale sf0.001 gate lives there).
+4. Optionally (--stress) re-runs the sweep at sf0.1 with an 8g heap.
+5. Writes ``LOCAL_VERIFY_r{N}.json`` carrying the certified ``git_sha``
+   plus both result blocks, and exits nonzero unless everything is green.
+
+Usage: python scripts/certify.py ROUND_NUMBER [--stress] [--skip-pytest]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def sh(cmd: list[str], **kw) -> subprocess.CompletedProcess:
+    return subprocess.run(cmd, cwd=REPO, capture_output=True, text=True, **kw)
+
+
+def last_json_line(text: str) -> dict:
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise ValueError("no JSON summary line found in output:\n" + text[-2000:])
+
+
+def run_sweep(sf_dir: str, mem: str | None = None) -> dict:
+    env = dict(os.environ)
+    if mem:
+        env["SPARK_GRAFT_DRIVER_MEM"] = mem
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "scripts/verify_driver_contract.py", sf_dir],
+        cwd=REPO, capture_output=True, text=True, env=env,
+    )
+    summary = last_json_line(proc.stdout)
+    summary["wall_s"] = round(time.time() - t0, 1)
+    summary["exit_code"] = proc.returncode
+    return summary
+
+
+def run_pytest() -> dict:
+    t0 = time.time()
+    proc = sh([sys.executable, "-m", "pytest", "tests/", "-q", "--tb=line"])
+    tail = proc.stdout.strip().splitlines()[-30:]
+    counts = {"passed": 0, "failed": 0, "skipped": 0, "errors": 0}
+    for line in tail:
+        for key, pat in [("passed", r"(\d+) passed"), ("failed", r"(\d+) failed"),
+                         ("skipped", r"(\d+) skipped"), ("errors", r"(\d+) error")]:
+            m = re.search(pat, line)
+            if m:
+                counts[key] = max(counts[key], int(m.group(1)))
+    return {
+        **counts,
+        "wall_s": round(time.time() - t0, 1),
+        "exit_code": proc.returncode,
+        "tail": tail[-6:],
+    }
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if not args:
+        print("usage: certify.py ROUND_NUMBER [--stress] [--skip-pytest]")
+        return 2
+    rnd = int(args[0])
+    stress = "--stress" in sys.argv
+    skip_pytest = "--skip-pytest" in sys.argv
+
+    dirty = sh(["git", "status", "--porcelain"]).stdout.strip()
+    # the record file itself (and driver artifacts) may be untracked;
+    # anything else dirty means the stamp would not describe HEAD
+    blocking = [
+        ln for ln in dirty.splitlines()
+        if not re.search(r"(LOCAL_VERIFY|BENCH_|CORRECTNESS_|derby\.log|"
+                         r"spark-warehouse|\.pyc)", ln)
+    ]
+    if blocking:
+        print("REFUSING to certify a dirty tree:\n" + "\n".join(blocking))
+        return 1
+    git_sha = sh(["git", "rev-parse", "HEAD"]).stdout.strip()
+
+    record: dict = {"git_sha": git_sha, "round": rnd}
+
+    print(f"[certify r{rnd}] sweep at sf0.01 on {git_sha[:10]} ...")
+    record["sweep_sf001"] = run_sweep("/root/testdata/sf0.01")
+    print(json.dumps(record["sweep_sf001"]))
+
+    if stress:
+        print(f"[certify r{rnd}] stress sweep at sf0.1 (8g heap) ...")
+        record["stress_sf01"] = run_sweep("/root/testdata/sf0.1", mem="8g")
+        print(json.dumps(record["stress_sf01"]))
+
+    if not skip_pytest:
+        print(f"[certify r{rnd}] pytest tests/ ...")
+        record["pytest"] = run_pytest()
+        print(json.dumps({k: v for k, v in record["pytest"].items()
+                          if k != "tail"}))
+
+    sweep_ok = (record["sweep_sf001"]["n_bad"] == 0
+                and record["sweep_sf001"]["entry_rows"] > 0)
+    stress_ok = (not stress) or record["stress_sf01"]["n_bad"] == 0
+    pytest_ok = skip_pytest or (record["pytest"]["exit_code"] == 0)
+    record["green"] = bool(sweep_ok and stress_ok and pytest_ok)
+
+    # refuse to stamp if HEAD moved while we were certifying
+    now_sha = sh(["git", "rev-parse", "HEAD"]).stdout.strip()
+    if now_sha != git_sha:
+        print(f"REFUSING to stamp: HEAD moved {git_sha[:10]} -> {now_sha[:10]}"
+              " during certification; re-run on the frozen tree.")
+        return 1
+
+    out = os.path.join(REPO, f"LOCAL_VERIFY_r{rnd:02d}.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"[certify r{rnd}] wrote {out} green={record['green']}")
+    return 0 if record["green"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -241,6 +241,38 @@ def test_simhash64_banded_recall_equals_brute_force(spark, sf_dir):
         simhash64_hamming_pairs(docs, max_hamming=4)
 
 
+def test_simhash64_bucket_cap_drops_hot_buckets(spark):
+    """r6 verdict item #5: the occupancy cap must bound the Hamming
+    band join's fan-out — a bucket above ``max_bucket`` is dropped
+    whole (its pairs vanish) and the audit row counts exactly what was
+    dropped; pairs outside hot buckets survive untouched."""
+    from rpa_etl_investing_spark.operators.dedup import (
+        simhash64_bucket_audit,
+        simhash64_hamming_pairs,
+    )
+
+    # 5 identical docs (one hot bucket per band) + 2 distinct singletons
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(5)]
+    rows += [(10, "totally different words here now"), (11, "yet another doc")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = simhash64_hamming_pairs(docs, max_bucket=None)
+    clones = {(a, b) for a in range(5) for b in range(5) if a < b}
+    got = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+    assert clones <= got  # identical docs are hamming-0 pairs
+
+    capped = simhash64_hamming_pairs(docs, max_bucket=3)
+    got_capped = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert not (clones & got_capped)  # the hot cluster's pairs are gone
+    assert got_capped == got - clones  # and nothing else was dropped
+
+    audit = simhash64_bucket_audit(docs, max_bucket=3).collect()[0]
+    assert audit["n_capped_buckets"] >= 4  # one hot bucket per band
+    # each hot bucket of 5 drops C(5,2)=10 within-bucket pairs
+    assert audit["n_dropped_bucket_pairs"] == audit["n_capped_buckets"] * 10
+    assert audit["max_bucket_size"] == 5
+
+
 def test_grid_proximity_exact_recall_vs_brute_force(spark):
     """The 3x3 cell-neighborhood join must find EXACTLY the pairs a
     brute-force O(n^2) scan finds, including pairs straddling a cell

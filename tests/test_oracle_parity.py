@@ -133,6 +133,21 @@ MULTI_SF_NAMES = [
     "analytics_basket_affinity",
     "timeseries_autocorrelation",
     "agg_percentiles_interpolated",
+    # r7 (verdict item #1): the r6 float emitters. price_elasticity
+    # shipped with a decimal->double 1-ulp drift that only manifested
+    # at sf0.001 — every query whose output path touches a float MUST
+    # be in this list the round it lands.
+    "analytics_price_elasticity",
+    "analytics_theil_decomposition",
+    "analytics_runs_test",
+    "llm_bigram_kneser_ney",
+    "llm_frequent_directions",
+    "timeseries_holt_damped",
+    # r7 (verdict item #5): the simhash64 occupancy cap BITES at sf0.1
+    # (hot boilerplate buckets) — the capped pair join and its audit
+    # must match their cap-mirroring oracles at every fixture scale
+    "llm_simhash64_hamming_pairs",
+    "llm_simhash64_bucket_audit",
 ]
 
 
