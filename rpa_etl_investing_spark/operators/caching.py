@@ -34,8 +34,11 @@ Two lifecycles, one store:
   the LEAST RECENTLY USED entry once the cap is hit (a hit refreshes
   recency — ADVICE r5 found the old list was FIFO in LRU clothing).
 
-Single-driver-thread by design (Spark query construction here is not
-thread-safe anyway). Only relations whose size is decoupled from (or
+Thread-safe as of r7 (verdict item #3): all store mutations run under
+one module lock, so concurrent query issue from a driver-side thread
+pool (Spark supports it; each action is independent) cannot corrupt the
+recency list, double-persist a plan, or unpersist an entry another
+thread just reused. Only relations whose size is decoupled from (or
 heavily reduced from) the fact belong in either lifecycle — daily
 series, per-key counts, aggregated graphs, per-doc signatures.
 Raw-fact-sized or embedding-carrying projections stay unpersisted:
@@ -46,6 +49,7 @@ operators/similarity.py).
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 from typing import Any
 
@@ -61,6 +65,18 @@ class _Entry:
 
 # scope -> entries, insertion/recency-ordered (last = most recent)
 _STORE: dict[str, list[_Entry]] = {}
+
+# One lock for the whole store (r6 verdict item #3: a real engine
+# serves PARALLEL queries, and the registry's list mutations —
+# pop/append recency refresh, LRU eviction, scope release — are
+# exactly the compound operations that corrupt under 8-thread issue:
+# pop(i) against a concurrently reordered list unpersists the WRONG
+# entry, and two same-plan misses double-persist). RLock because
+# keep() calls release_scope() under the lock. The py4j sameResult
+# probe runs while holding it — that serializes registry lookups, not
+# query execution; the probe is a driver-side plan compare measured in
+# microseconds against the seconds the queries themselves take.
+_LOCK = threading.RLock()
 
 DEFAULT_LRU_CAP = 8
 
@@ -90,10 +106,11 @@ def keep(df: DataFrame, scope: str = "kept", *, retire: bool = True) -> DataFram
     multi-round algorithms whose RESULT reads every round's cache).
     Returns ``df`` for chaining."""
     app = _app_id(df)
-    if retire:
-        release_scope(scope, live_app=app)
-    df.persist()
-    _STORE.setdefault(scope, []).append(_Entry(df, None, app))
+    with _LOCK:
+        if retire:
+            release_scope(scope, live_app=app)
+        df.persist()
+        _STORE.setdefault(scope, []).append(_Entry(df, None, app))
     return df
 
 
@@ -111,34 +128,36 @@ def keep_or_reuse(
     ``cap`` live entries exist, then persists and records ``df``."""
     app = _app_id(df)
     plan = df._jdf.queryExecution().analyzed()
-    entries = _STORE.setdefault(scope, [])
-    for i, entry in enumerate(entries):
-        if entry.app_id != app or entry.plan is None:
-            continue
-        if entry.plan.sameResult(plan):
-            entries.append(entries.pop(i))  # refresh recency (true LRU)
-            # Heal externally-cleared caches: if something outside the
-            # registry dropped the persist (spark.catalog.clearCache(),
-            # a manual unpersist), serving the bare DataFrame would
-            # silently lose BOTH the reuse AND the optimizer barrier
-            # some consumers depend on (the winnowing query's
-            # InferFiltersFromGenerate guard — r6 finding). The
-            # storageLevel probe keeps the hot path warn-free.
-            try:
-                lvl = entry.df.storageLevel
-                if not (lvl.useMemory or lvl.useDisk):
-                    entry.df.persist()
-            except Exception:
-                pass  # session raced to shutdown; caller's query fails anyway
-            return entry.df
-    # purge dead-session entries for free, then evict LRU down to cap-1
-    stale = [e for e in entries if e.app_id != app]
-    for e in stale:
-        entries.remove(e)
-    while len(entries) >= cap:
-        _drop(entries.pop(0), app)
-    df.persist()
-    entries.append(_Entry(df, plan, app))
+    with _LOCK:
+        entries = _STORE.setdefault(scope, [])
+        for i, entry in enumerate(entries):
+            if entry.app_id != app or entry.plan is None:
+                continue
+            if entry.plan.sameResult(plan):
+                entries.append(entries.pop(i))  # refresh recency (true LRU)
+                # Heal externally-cleared caches: if something outside
+                # the registry dropped the persist
+                # (spark.catalog.clearCache(), a manual unpersist),
+                # serving the bare DataFrame would silently lose BOTH
+                # the reuse AND the optimizer barrier some consumers
+                # depend on (the winnowing query's
+                # InferFiltersFromGenerate guard — r6 finding). The
+                # storageLevel probe keeps the hot path warn-free.
+                try:
+                    lvl = entry.df.storageLevel
+                    if not (lvl.useMemory or lvl.useDisk):
+                        entry.df.persist()
+                except Exception:
+                    pass  # session raced to shutdown; caller's query fails
+                return entry.df
+        # purge dead-session entries for free, then evict LRU to cap-1
+        stale = [e for e in entries if e.app_id != app]
+        for e in stale:
+            entries.remove(e)
+        while len(entries) >= cap:
+            _drop(entries.pop(0), app)
+        df.persist()
+        entries.append(_Entry(df, plan, app))
     return df
 
 
@@ -146,13 +165,17 @@ def release_scope(scope: str, live_app: str | None = None) -> None:
     """Unpersist every relation kept under ``scope``. Only call once the
     previously returned DataFrames have been consumed — their plans
     read these caches."""
-    for entry in _STORE.pop(scope, []):
+    with _LOCK:
+        entries = _STORE.pop(scope, [])
+    for entry in entries:
         _drop(entry, live_app)
 
 
 def release_all() -> None:
     """Unpersist every relation in every scope (end-of-run cleanup)."""
-    for scope in list(_STORE):
+    with _LOCK:
+        scopes = list(_STORE)
+    for scope in scopes:
         release_scope(scope)
 
 

@@ -14,7 +14,12 @@ because this script used the repo's tuned ``get_spark()``; every query
 must now be self-sufficient on a vanilla session (verdict item #4).
 Pass ``--factory`` to use the tuned session instead (for perf triage).
 
-Usage: python scripts/verify_driver_contract.py [sf_dir] [name_filter] [--factory]
+Usage: python scripts/verify_driver_contract.py [sf_dir] [name_filter]
+           [--factory] [--threads N]
+
+``--threads N`` issues the queries from an N-thread pool against the one
+shared SparkSession (r6 verdict item #3: concurrent-session safety) —
+same comparisons, per-thread DuckDB connections.
 """
 
 from __future__ import annotations
@@ -28,8 +33,24 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--factory"]
-    use_factory = "--factory" in sys.argv[1:]
+    raw = sys.argv[1:]
+    use_factory = "--factory" in raw
+    n_threads = 1
+    args = []
+    skip_next = False
+    for i, a in enumerate(raw):
+        if skip_next:
+            skip_next = False
+            continue
+        if a == "--factory":
+            continue
+        if a == "--threads":
+            n_threads = int(raw[i + 1])
+            skip_next = True
+        elif a.startswith("--threads="):
+            n_threads = int(a.split("=", 1)[1])
+        else:
+            args.append(a)
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     name_filter = args[1] if len(args) > 1 else None
 
@@ -64,28 +85,55 @@ def main() -> int:
 
     queries = contract.queries()
     oracles = contract.oracle_sql()
-    con = duck_connection(sf_dir)
-    results: dict[str, str] = {}
-    for name in sorted(queries):
-        if name_filter and name_filter not in name:
-            continue
-        t0 = time.time()
+    names = [n for n in sorted(queries) if not name_filter or name_filter in n]
+
+    def check_one(name: str, con) -> str:
         try:
             spark_pdf = queries[name](spark, sf_dir).toPandas()
             if name in oracles:
                 duck_pdf = con.execute(oracles[name]).df()
                 problems = compare_frames(spark_pdf, duck_pdf)
-                status = "MATCH" if not problems else "MISMATCH: " + "; ".join(problems)
-            else:
-                status = f"ROWS_ONLY ({len(spark_pdf)} rows)"
+                return "MATCH" if not problems else (
+                    "MISMATCH: " + "; ".join(problems)
+                )
+            return f"ROWS_ONLY ({len(spark_pdf)} rows)"
         except Exception as e:  # noqa: BLE001 — report, don't crash the sweep
-            status = f"ERROR: {type(e).__name__}: {e}"
-        results[name] = status
-        print(f"  {name}: {status} [{time.time() - t0:.1f}s]")
+            return f"ERROR: {type(e).__name__}: {e}"
+
+    results: dict[str, str] = {}
+    if n_threads <= 1:
+        con = duck_connection(sf_dir)
+        for name in names:
+            t0 = time.time()
+            results[name] = check_one(name, con)
+            print(f"  {name}: {results[name]} [{time.time() - t0:.1f}s]")
+    else:
+        # Concurrent-issue mode (r6 verdict item #3): a real engine
+        # serves parallel queries. One SparkSession shared across a
+        # thread pool (supported: each action is an independent job);
+        # DuckDB connections are NOT shared — one per worker thread.
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        tls = threading.local()
+        plock = threading.Lock()
+
+        def worker(name: str) -> None:
+            if not hasattr(tls, "con"):
+                tls.con = duck_connection(sf_dir)
+            t0 = time.time()
+            status = check_one(name, tls.con)
+            with plock:
+                results[name] = status
+                print(f"  {name}: {status} [{time.time() - t0:.1f}s]")
+
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            list(pool.map(worker, names))
 
     bad = {k: v for k, v in results.items() if v.startswith(("MISMATCH", "ERROR"))}
     summary = {
         "sf_dir": sf_dir,
+        "threads": n_threads,
         "entry_rows": n_smoke,
         "n_queries": len(results),
         "n_oracle_matched": sum(1 for v in results.values() if v == "MATCH"),
