@@ -4597,3 +4597,248 @@ def analytics_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("elasticity"),
         ((F.col("num") + F.col("den")) < 0).alias("elastic"),
     ).orderBy("brand")
+
+
+# ---- r7: privacy audit — k-anonymity ----------------------------------------
+
+
+@register(
+    "profile_k_anonymity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT)
+               AS bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM customer
+      GROUP BY 1, 2, 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_records,
+           CAST(MIN(class_size) AS BIGINT) AS k_anonymity,
+           CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_classes,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_records_at_risk,
+           CAST(SUM(class_size) * 1000000
+                // (COUNT(*) * (SELECT COUNT(*) FROM customer)) AS BIGINT)
+             AS avg_class_share_q
+    FROM classes
+    """,
+)
+def profile_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 privacy family: k-anonymity audit over quasi-identifiers —
+    the re-identification check a training-data pipeline runs before a
+    release: group records by the quasi-identifier tuple (market
+    segment, nation, $1000 account-balance bucket) and report the
+    dataset's k (the SMALLEST equivalence class), the classes and
+    records below the k=5 policy line, and the average class share on
+    the 1e-6 grid (exact truncating integer division, both engines).
+
+    A record in a class of size 1 is uniquely re-identifiable from its
+    quasi-identifiers alone; ``n_records_at_risk`` is the count a
+    suppression/generalization pass would have to touch.
+
+    Scale shape: ONE partial+final hash aggregate over the
+    quasi-identifier tuple (the class table is bounded by the QI
+    domain, not the record count) + a one-row rollup — the audit costs
+    the same as any groupBy at 100 TB, and the QI class table is the
+    input a Mondrian-style generalizer would consume."""
+    cust = tbl(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
+        .cast("bigint")
+        .alias("bal_bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("class_size"))
+    total = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    at_risk = F.col("class_size") < 5
+    return (
+        classes.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("class_size").cast("bigint").alias("n_records"),
+            F.min("class_size").cast("bigint").alias("k_anonymity"),
+            F.sum(F.when(at_risk, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_classes"),
+            F.sum(F.when(at_risk, F.col("class_size")).otherwise(0))
+            .cast("bigint")
+            .alias("n_records_at_risk"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_classes",
+            "n_records",
+            "k_anonymity",
+            "n_violating_classes",
+            "n_records_at_risk",
+            F.expr("n_records * 1000000 div (n_classes * n_total)").alias(
+                "avg_class_share_q"
+            ),
+        )
+    )
+
+
+# ---- r7: degree-sketch join cardinality -------------------------------------
+
+
+@register(
+    "analytics_join_cardinality_estimate",
+    oracle="""
+    WITH oc AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                FROM orders GROUP BY o_custkey),
+    ec AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY user_id),
+    deg AS (SELECT oc.k, oc.c AS c_orders, ec.c AS c_events
+            FROM oc JOIN ec ON oc.k = ec.k),
+    pred AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_join_keys,
+             CAST(SUM(c_orders * c_events) AS BIGINT) AS predicted_rows,
+             CAST(MAX(c_orders * c_events) AS BIGINT) AS max_key_rows
+      FROM deg),
+    act AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+      FROM orders o JOIN events e ON o.o_custkey = e.user_id)
+    SELECT n_join_keys, predicted_rows, max_key_rows, actual_rows,
+           predicted_rows = actual_rows AS estimate_exact,
+           max_key_rows * 1000000 // predicted_rows AS top_key_share_q
+    FROM pred, act
+    """,
+)
+def analytics_join_cardinality_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """r7 planner-style operator: join-cardinality estimation from
+    per-key DEGREE SKETCHES — |A ⋈ B| = Σ_k deg_A(k)·deg_B(k), the
+    exact identity every cost-based optimizer approximates with
+    histograms/HLLs. Computed here exactly from two per-key count
+    aggregates (each a fraction of its table's width), then PROVEN
+    against the materialized join's row count in the same result row
+    (``estimate_exact`` must be true — the identity is the oracle), and
+    the hottest key's output share on the 1e-6 grid is the skew signal
+    a planner would read before choosing salting (operators/skew.py).
+
+    Scale shape: the degree tables shuffle ONLY (key, count) pairs —
+    at 100 TB the estimate costs two map-side-combined aggregates and a
+    key-table join, letting the engine predict (and refuse) a
+    quadratic join OUTPUT before paying for it; the verification join
+    here is fixture-scale evidence, not part of the production
+    estimator."""
+    orders = tbl(spark, sf_dir, "orders")
+    events = tbl(spark, sf_dir, "events")
+    oc = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_orders")
+    )
+    ec = events.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_events")
+    )
+    pred = (
+        oc.join(ec, "k")
+        .select((F.col("c_orders") * F.col("c_events")).alias("kr"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_join_keys"),
+            F.sum("kr").cast("bigint").alias("predicted_rows"),
+            F.max("kr").cast("bigint").alias("max_key_rows"),
+        )
+    )
+    act = (
+        orders.join(events, orders.o_custkey == events.user_id)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
+    )
+    return pred.crossJoin(F.broadcast(act)).select(
+        "n_join_keys",
+        "predicted_rows",
+        "max_key_rows",
+        "actual_rows",
+        (F.col("predicted_rows") == F.col("actual_rows")).alias(
+            "estimate_exact"
+        ),
+        F.expr("max_key_rows * 1000000 div predicted_rows").alias(
+            "top_key_share_q"
+        ),
+    )
+
+
+# ---- r7: UCB1 bandit arm scores ---------------------------------------------
+
+
+@register(
+    "analytics_ucb1_arms",
+    oracle="""
+    WITH pulls AS (
+      SELECT event_type AS arm,
+             CAST(COUNT(*) AS BIGINT) AS n_pulls,
+             CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS reward_q
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type),
+    tot AS (SELECT CAST(SUM(n_pulls) AS BIGINT) AS n_total,
+                   CAST(FLOOR(1e6 * LN(CAST(SUM(n_pulls) AS DOUBLE)) + 0.5)
+                        AS BIGINT) AS ln_total_q
+            FROM pulls)
+    SELECT arm, n_pulls,
+           reward_q // n_pulls AS mean_reward_q,
+           CAST(FLOOR(1e6 * SQRT(2.0 * ln_total_q
+                                 / (1000000.0 * n_pulls)) + 0.5) AS BIGINT)
+             AS bonus_q,
+           reward_q // n_pulls
+             + CAST(FLOOR(1e6 * SQRT(2.0 * ln_total_q
+                                     / (1000000.0 * n_pulls)) + 0.5)
+                    AS BIGINT) AS ucb1_q
+    FROM pulls, tot
+    ORDER BY arm
+    """,
+)
+def analytics_ucb1_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 experimentation analytics: UCB1 scores per arm (event_type as
+    the arm, value as the reward) — mean reward plus the
+    sqrt(2·ln N / n_arm) exploration bonus, the deterministic
+    index-policy companion to the A/B z-test (`analytics_ab_proportion_
+    test`): the arm with the max UCB1 is what an index bandit plays
+    next.
+
+    Exactness discipline: rewards quantize once per row to the 1e-6
+    grid and sum as exact BIGINTs; the mean is exact truncating integer
+    division; ln(N) quantizes once to the 1e-6 grid (the quantized-ln
+    convention), and the bonus's remaining ops — one double division of
+    identically-derived integers and one sqrt — are both
+    correctly-rounded IEEE operations, so the bits match across engines
+    and the final 1e-6 FLOOR is belt-and-braces.
+
+    Scale shape: one hash aggregate over the fact (|arms| rows out) + a
+    1-row broadcast of (N, ln N) — bandit scoring at 100 TB is exactly
+    one fact pass, and the per-arm state (n, Σreward) is the mergeable
+    sketch an incremental/streaming variant would maintain."""
+    ev = tbl(spark, sf_dir, "events")
+    rq = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    pulls = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.col("event_type").alias("arm"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pulls"),
+            F.sum(rq).cast("bigint").alias("reward_q"),
+        )
+    )
+    tot = pulls.agg(
+        F.sum("n_pulls").cast("bigint").alias("n_total"),
+    ).select(
+        "n_total",
+        F.expr(
+            "CAST(FLOOR(1e6 * LN(CAST(n_total AS DOUBLE)) + 0.5) AS BIGINT)"
+        ).alias("ln_total_q"),
+    )
+    bonus = F.expr(
+        "CAST(FLOOR(1e6 * SQRT(2.0 * ln_total_q / (1000000.0 * n_pulls))"
+        " + 0.5) AS BIGINT)"
+    )
+    return (
+        pulls.crossJoin(F.broadcast(tot))
+        .select(
+            "arm",
+            "n_pulls",
+            F.expr("reward_q div n_pulls").alias("mean_reward_q"),
+            bonus.alias("bonus_q"),
+            (F.expr("reward_q div n_pulls") + bonus).alias("ucb1_q"),
+        )
+        .orderBy("arm")
+    )

@@ -3961,3 +3961,99 @@ def llm_frequent_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(cells.withColumn("_g", F.lit(0)).groupBy("_g"))
         .applyInPandas(lambda sk, g: merge_and_check(sk, g), out_schema)
     )
+
+
+# ---- r7: embedding centroid drift monitor -----------------------------------
+
+
+@register(
+    "llm_centroid_drift",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(FLOOR(1e6 * CAST(UNNEST(embedding) AS DOUBLE) + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings),
+    cent AS (
+      SELECT label, i,
+             CAST(SUM(q) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cq,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ex GROUP BY label, i),
+    gcent AS (
+      SELECT i, CAST(SUM(q) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS gq
+      FROM ex GROUP BY i),
+    dots AS (
+      SELECT c.label, MIN(c.n) AS n_vecs,
+             CAST(SUM(c.cq * g.gq) AS BIGINT) AS dot,
+             CAST(SUM(c.cq * c.cq) AS BIGINT) AS na,
+             CAST(SUM(g.gq * g.gq) AS BIGINT) AS nb
+      FROM cent c JOIN gcent g ON c.i = g.i
+      GROUP BY c.label)
+    SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(FLOOR(1e6 * (dot / (SQRT(CAST(na AS DOUBLE))
+                                    * SQRT(CAST(nb AS DOUBLE)))) + 0.5)
+                AS BIGINT) AS cos_to_global_q
+    FROM dots ORDER BY label
+    """,
+)
+def llm_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 embedding-pipeline monitor: per-label centroid vs the global
+    corpus centroid, as quantized cosines — the drift dashboard row an
+    embedding pipeline ships per ingest batch: a label whose centroid
+    swings away from the corpus mean signals an upstream encoder change
+    or a contaminated slice, BEFORE any downstream ANN index is
+    rebuilt. (The batch twin of a streaming drift monitor; the
+    per-label state (n, Σcomponents) is a mergeable sketch.)
+
+    Exactness discipline: components quantize once per row to the 1e-6
+    grid; centroid components are exact truncating integer divisions
+    (Spark decimal/long ``div`` ≡ DuckDB BIGINT ``//``, both
+    trunc-toward-zero — the price-elasticity convention); the cosine's
+    dot and norms are exact BIGINT sums of centroid products (dim·1e12
+    ≪ 2^63), and the final double ops (two correctly-rounded sqrts, one
+    multiply, one divide on identically-derived integers) are
+    bit-identical across engines before the 1e-6 FLOOR.
+
+    Scale shape: one posexplode pass over the vectors feeding TWO
+    map-side-combined aggregates keyed on (label, dim) and (dim) — the
+    shuffle carries dim-bounded integer partials, never raw vectors;
+    the dim-row global centroid broadcasts to the per-label cosine.
+    At 100 TB the monitor is one corpus pass, same class as the Gram
+    matrix (`llm_embedding_gram`)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode("embedding").alias("i", "v"),
+    ).select(
+        "label",
+        "i",
+        F.floor(F.lit(1e6) * F.col("v").cast("double") + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    cent = ex.groupBy("label", "i").agg(
+        F.expr("CAST(SUM(q) AS BIGINT) div COUNT(*)").alias("cq"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    glob = ex.groupBy("i").agg(
+        F.expr("CAST(SUM(q) AS BIGINT) div COUNT(*)").alias("gq")
+    )
+    dots = (
+        cent.join(F.broadcast(glob), "i")
+        .groupBy("label")
+        .agg(
+            F.min("n").cast("bigint").alias("n_vecs"),
+            F.sum(F.col("cq") * F.col("gq")).cast("bigint").alias("dot"),
+            F.sum(F.col("cq") * F.col("cq")).cast("bigint").alias("na"),
+            F.sum(F.col("gq") * F.col("gq")).cast("bigint").alias("nb"),
+        )
+    )
+    return dots.select(
+        "label",
+        "n_vecs",
+        F.expr(
+            "CAST(FLOOR(1e6 * (dot / (SQRT(CAST(na AS DOUBLE))"
+            " * SQRT(CAST(nb AS DOUBLE)))) + 0.5) AS BIGINT)"
+        ).alias("cos_to_global_q"),
+    ).orderBy("label")

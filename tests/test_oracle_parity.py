@@ -148,6 +148,9 @@ MULTI_SF_NAMES = [
     # must match their cap-mirroring oracles at every fixture scale
     "llm_simhash64_hamming_pairs",
     "llm_simhash64_bucket_audit",
+    # r7 additions with quantized-ln / IEEE sqrt paths
+    "analytics_ucb1_arms",
+    "llm_centroid_drift",
 ]
 
 
