@@ -48,7 +48,18 @@ def connected_components(
     # distinct column names throughout (v/u vs lv/label vs nv/nmin): the
     # loop self-joins frames that share lineage, and qualified-name
     # resolution across a shared subtree is ambiguous otherwise
-    sym = sym.distinct().localCheckpoint(eager=False)
+    #
+    # EAGER checkpoint (r7, sf1 stress finding): with eager=False the
+    # edge pipeline materializes lazily inside round 0's much larger
+    # join plan, where AQE coalesces the upstream pair-join's
+    # post-shuffle partitions for THAT plan's statistics — at sf1 the
+    # n-gram pair generator's hot-shingle partition then lands on one
+    # coalesced task and the first round straggles >10 min (measured;
+    # the identical pair plan executed standalone takes 38 s). Eager
+    # materialization runs the generator as its own job with its own
+    # adaptive plan, and every label round touches only the compact
+    # checkpointed edge list.
+    sym = sym.distinct().localCheckpoint()
 
     labels = (
         sym.select(F.col("v").alias("lv")).distinct().withColumn("label", F.col("lv"))
@@ -108,13 +119,18 @@ def large_small_star_components(
     ecols = edges.select(
         F.col(src).cast("long").alias("eu"), F.col(dst).cast("long").alias("ev")
     ).filter(F.col("eu") != F.col("ev"))
+    cur = ecols.distinct().localCheckpoint()
+    # verts reads the CHECKPOINTED edges, not ecols: deriving it from the
+    # raw edge pipeline would re-run the (possibly expensive) generator
+    # when the lazy checkpoint materializes inside a later join plan —
+    # the same straggler class the sf1 stress caught in plain label
+    # propagation (see connected_components above).
     verts = (
-        ecols.select(F.col("eu").alias("vid"))
-        .unionByName(ecols.select(F.col("ev").alias("vid")))
+        cur.select(F.col("eu").alias("vid"))
+        .unionByName(cur.select(F.col("ev").alias("vid")))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    cur = ecols.distinct().localCheckpoint()
 
     def large_star(e: DataFrame) -> DataFrame:
         sym = e.select("eu", "ev").unionByName(

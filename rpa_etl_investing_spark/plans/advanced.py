@@ -164,7 +164,7 @@ def dim_upsert_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS total_qty
+           (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS total_qty
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o_orderstatus

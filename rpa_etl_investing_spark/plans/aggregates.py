@@ -23,10 +23,31 @@ from rpa_etl_investing_spark.plans.registry import register
 
 def dsum(col: Column | str, scale: int = 2) -> Column:
     """Order-independent exact sum of a double column: accumulate in
-    DECIMAL, emit DOUBLE. Mirrors the oracle-side
-    ``CAST(SUM(CAST(x AS DECIMAL(27,s))) AS DOUBLE)``."""
+    DECIMAL, emit DOUBLE **via the scaled-BIGINT exit** (r7): the sum
+    is shifted onto the 10^scale integer grid, cast to BIGINT (exact —
+    the shifted value is integral), and only THEN converted
+    bigint→double and divided by 10^scale. Both of those are
+    correctly-rounded IEEE operations that Spark and DuckDB perform
+    identically, whereas the direct decimal→double cast is
+    correctly-rounded in Spark (BigDecimal.doubleValue) but NOT always
+    in DuckDB (int128 → double ÷ 10^s, two roundings): the sf1
+    full-registry stress caught `agg_pricing_summary`'s sum_charge
+    drifting 1 ulp once group sums passed 2^53 in grid units. Below
+    2^53 the two exits are bit-identical (int64→double is exact there),
+    so every small-SF oracle match is preserved by construction.
+    Headroom: exact while |sum| < 2^63 / 10^scale grid units — for
+    scale 6 that is ~9.2e12 in value terms, ≈ TPC-H sf400 per group.
+    Mirrors the oracle-side
+    ``CAST(CAST(SUM(CAST(x AS DECIMAL(27,s))) * 10^s AS BIGINT)
+    AS DOUBLE) / 10^s.0``."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(27,{scale})")).cast("double")
+    p = 10 ** scale
+    return (
+        (F.sum(c.cast(f"decimal(27,{scale})")) * F.lit(p))
+        .cast("bigint")
+        .cast("double")
+        / F.lit(float(p))
+    )
 
 
 def davg(col: Column | str, scale: int = 2) -> Column:
@@ -39,13 +60,13 @@ def davg(col: Column | str, scale: int = 2) -> Column:
     "agg_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)      AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / COUNT(l_quantity)      AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) / COUNT(l_discount)      AS avg_disc,
+           (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0)      AS sum_qty,
+           (CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_base_price,
+           (CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0) AS sum_disc_price,
+           (CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS sum_charge,
+           (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) / COUNT(l_quantity)      AS avg_qty,
+           (CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) / COUNT(l_extendedprice) AS avg_price,
+           (CAST(CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) / COUNT(l_discount)      AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -204,7 +225,7 @@ def agg_min_max_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_having",
     oracle="""
     SELECT o_custkey, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS spend
+           (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS spend
     FROM orders
     GROUP BY o_custkey
     HAVING COUNT(*) >= 12
@@ -225,7 +246,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r.r_name AS region, n.n_name AS nation,
            COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS total_balance
+           (CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS total_balance
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -253,7 +274,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus AS status, o_orderpriority AS priority,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+           (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -277,7 +298,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS qty
+           (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -290,7 +311,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS qty
+               (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -303,8 +324,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_linestatus,
            COUNT(*) AS n,
            (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE)
-            - CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)
-              * CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*))
+            - (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0)
+              * (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) / COUNT(*))
            / (COUNT(*) - 1) AS var_qty
     FROM lineitem
     GROUP BY l_linestatus
@@ -722,8 +743,8 @@ def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(CASE WHEN v < lo THEN 1 END) AS BIGINT) AS n_clipped_lo,
            CAST(COUNT(CASE WHEN v > hi THEN 1 END) AS BIGINT) AS n_clipped_hi,
-           CAST(SUM(CAST(v AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*) AS mean_raw,
-           CAST(SUM(CAST(w AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*) AS mean_winsorized
+           (CAST(CAST(SUM(CAST(v AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) / COUNT(*) AS mean_raw,
+           (CAST(CAST(SUM(CAST(w AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) / COUNT(*) AS mean_winsorized
     FROM c GROUP BY l_returnflag, lo, hi
     """,
 )
@@ -770,7 +791,7 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            DATE_TRUNC('month', CAST(l_shipdate AS TIMESTAMP)) AS month,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+           (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4)))
                 AS DOUBLE) AS revenue
     FROM lineitem
@@ -877,7 +898,7 @@ _U16_SQL = " + ".join(
       FROM (SELECT flag, x, r, {_U16_SQL} AS u FROM seeded)),
     means AS (
       SELECT flag, r,
-             CAST(FLOOR(1e6 * CAST(SUM(CAST(w * x AS DECIMAL(27,2))) AS DOUBLE)
+             CAST(FLOOR(1e6 * (CAST(CAST(SUM(CAST(w * x AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0)
                         / SUM(w) + 0.5) AS BIGINT) AS mean_q
       FROM weighted GROUP BY flag, r)
     SELECT flag,
@@ -1066,9 +1087,9 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT l_returnflag AS flag,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+             CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0
                   AS DOUBLE) AS sx,
-             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE)
+             CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0
                   AS DOUBLE) AS sy,
              CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))
                            ) AS DOUBLE) AS DOUBLE) AS sxy,

@@ -23,7 +23,7 @@ from rpa_etl_investing_spark.plans.registry import register
     "analytics_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))) AS DOUBLE)
+           (CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0)
              AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
@@ -63,7 +63,7 @@ def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytics_local_supplier_volume",
     oracle="""
     SELECT n.n_name AS nation,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))) AS DOUBLE)
+           (CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0)
              AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -111,7 +111,7 @@ def analytics_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFra
     "analytics_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))) AS DOUBLE)
+           (CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0)
              AS revenue,
            n.n_name AS nation
     FROM customer c
@@ -151,7 +151,7 @@ def analytics_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "analytics_disjunctive_join",
     oracle="""
-    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))) AS DOUBLE)
+    SELECT (CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0)
              AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l
@@ -365,7 +365,7 @@ def analytics_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytics_large_orders",
     oracle="""
     SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
+           (CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_qty
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -620,7 +620,7 @@ def analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                          THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))
                          ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE) * 100.0
-             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))) AS DOUBLE)
+             / (CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0)
              AS promo_revenue_pct,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l
@@ -658,7 +658,7 @@ def analytics_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytics_top_nations_by_balance",
     oracle="""
     SELECT n.n_name AS nation,
-           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS total_bal
+           (CAST(CAST(SUM(CAST(s.s_acctbal AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS total_bal
     FROM supplier s
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     GROUP BY n.n_name
@@ -799,7 +799,7 @@ def analytics_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "analytics_forecast_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,4))) AS DOUBLE)
+    SELECT (CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0)
              AS revenue_increase,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem
@@ -925,11 +925,11 @@ def analytics_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFra
     "analytics_dormant_rich_customers",
     oracle="""
     WITH avg_bal AS (
-      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*) AS ab
+      SELECT (CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) / COUNT(*) AS ab
       FROM customer WHERE c_acctbal > 0)
     SELECT c.c_nationkey,
            CAST(COUNT(*) AS BIGINT) AS n_custs,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS total_bal
+           (CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS total_bal
     FROM customer c CROSS JOIN avg_bal
     WHERE c.c_acctbal > avg_bal.ab
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -1066,7 +1066,7 @@ def analytics_lateness_priority_matrix(spark: SparkSession, sf_dir: str) -> Data
 @register(
     "analytics_small_qty_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) / 7.0
+    SELECT (CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) / 7.0
              AS avg_yearly
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#4'
@@ -1513,7 +1513,7 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM purchases p)
     SELECT COALESCE(channel, 'organic') AS channel,
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
-           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS attributed_revenue
+           (CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS attributed_revenue
     FROM attributed
     GROUP BY 1
     """,
@@ -1878,7 +1878,7 @@ def profile_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(DATE_DIFF('day', MAX(CAST(ts AS TIMESTAMP)),
                             (SELECT dmax FROM maxd)) AS BIGINT) AS recency_days,
              CAST(COUNT(*) AS BIGINT) AS frequency,
-             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS monetary
+             (CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS monetary
       FROM events WHERE event_type = 'purchase'
       GROUP BY user_id),
     rr AS (
@@ -1963,7 +1963,7 @@ def analytics_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
       SELECT o_orderpriority,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS s,
+             (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS s,
              CAST(COUNT(*) AS BIGINT) AS c
       FROM orders GROUP BY o_orderpriority)
     SELECT o.o_orderkey, o.o_orderpriority,

@@ -292,7 +292,7 @@ def etl_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT k, seg, bal FROM changes WHERE op = 'U')
     SELECT c_mktsegment AS segment,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS total_bal
+           (CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS total_bal
     FROM merged GROUP BY c_mktsegment ORDER BY segment
     """,
 )
@@ -620,7 +620,7 @@ def etl_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DATE_TRUNC('month', o_orderdate) AS month,
            o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price,
+           (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_price,
            MIN(o_totalprice) AS min_price,
            MAX(o_totalprice) AS max_price
     FROM orders

@@ -284,7 +284,7 @@ def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT DATE_TRUNC('month', l_shipdate) AS ship_month,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+           (CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS revenue
     FROM lineitem
     GROUP BY DATE_TRUNC('month', l_shipdate)
     """,

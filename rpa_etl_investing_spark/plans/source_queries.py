@@ -95,7 +95,7 @@ def source_json_corrupt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+           (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_price
     FROM orders
     WHERE o_orderpriority = '1-URGENT'
     GROUP BY o_orderstatus
@@ -132,7 +132,7 @@ _ORC_SCHEMA = T.StructType(
     oracle="""
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS total
+           (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS total
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -251,7 +251,7 @@ def source_binaryfile_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
+           (CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_qty
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -297,7 +297,7 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(CASE WHEN l_quantity > 45 THEN 1 END) AS BIGINT) AS n_high_qty,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty
+           (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_qty
     FROM lineitem
     """,
 )
@@ -334,7 +334,7 @@ def source_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+           (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_price
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -367,7 +367,7 @@ def source_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+           (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_price
     FROM orders
     WHERE o_orderstatus <> 'O' OR o_orderkey % 2 = 0
     GROUP BY o_orderstatus
@@ -804,12 +804,12 @@ def source_generator_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 1 AS version,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+           (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_price
     FROM orders WHERE o_orderdate < DATE '1996-01-01'
     UNION ALL
     SELECT 2 AS version,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price
+           (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_price
     FROM orders
     ORDER BY version
     """,

@@ -30,7 +30,7 @@ from rpa_etl_investing_spark.streaming import (
            TIME_BUCKET(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL 10 MINUTE AS window_end,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+           (CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS total_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -234,7 +234,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
            e.event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+           (CAST(CAST(SUM(CAST(e.value AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS total_value
     FROM events e
     LEFT JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1, 2

@@ -72,13 +72,13 @@ def subquery_exists_late_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "subquery_scalar_per_part_avg",
     oracle="""
-    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS sum_price,
+    SELECT (CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_price,
            CAST(COUNT(*) AS BIGINT) AS n_small
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_brand = 'Brand#13'
       AND l.l_quantity < 0.5 * (
-        SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+        SELECT (CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0)
                / COUNT(l2.l_quantity)
         FROM lineitem l2
         WHERE l2.l_partkey = p.p_partkey)
@@ -114,10 +114,10 @@ def subquery_scalar_per_part_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subquery_not_exists_dormant",
     oracle="""
     SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS total_bal
+           (CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS total_bal
     FROM customer c
     WHERE c.c_acctbal > (
-        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(27,2))) AS DOUBLE)
+        SELECT (CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0)
                / COUNT(c2.c_acctbal)
         FROM customer c2 WHERE c2.c_acctbal > 0)
       AND NOT EXISTS (

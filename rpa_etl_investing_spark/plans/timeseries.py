@@ -84,7 +84,7 @@ def gap_fill_locf(
     oracle="""
     WITH daily AS (
       SELECT user_id, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS v
+             (CAST(CAST(SUM(CAST(value AS DECIMAL(27,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0) AS v
       FROM events GROUP BY 1, 2),
     users AS (SELECT DISTINCT user_id FROM events),
     spine AS (
@@ -117,7 +117,7 @@ def timeseries_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT user_id, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS v
+             (CAST(CAST(SUM(CAST(value AS DECIMAL(27,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0) AS v
       FROM events GROUP BY 1, 2),
     users AS (SELECT DISTINCT user_id FROM events),
     bounds AS (
@@ -197,7 +197,7 @@ def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(value) AS low,
            MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
            CAST(COUNT(*) AS BIGINT) AS n_trades,
-           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS volume
+           (CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS volume
     FROM ranked
     GROUP BY user_id, bucket
     """,
@@ -355,8 +355,8 @@ def timeseries_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH daily AS (
       SELECT l_returnflag AS flag,
              DATE_TRUNC('day', CAST(l_shipdate AS TIMESTAMP)) AS day,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) AS notional,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS qty
+             (CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS notional,
+             (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS qty
       FROM lineitem GROUP BY 1, 2),
     vq AS (
       SELECT flag, day,
@@ -442,7 +442,7 @@ def timeseries_vwap_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS x
+             (CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS x
       FROM events WHERE event_type IS NOT NULL
       GROUP BY 1, 2),
     pre AS (
@@ -535,7 +535,7 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS volume
+           (CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS volume
     FROM s
     GROUP BY user_id, sid
     """,
@@ -676,7 +676,7 @@ def timeseries_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS x
+             (CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS x
       FROM events WHERE event_type IS NOT NULL
       GROUP BY 1, 2),
     q AS (
@@ -826,7 +826,7 @@ def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT user_id, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS v
+             (CAST(CAST(SUM(CAST(value AS DECIMAL(27,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0) AS v
       FROM events GROUP BY 1, 2),
     users AS (SELECT DISTINCT user_id FROM events),
     spine AS (
@@ -948,7 +948,7 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH RECURSIVE daily AS (
       SELECT event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS x
+             (CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS x
       FROM events WHERE event_type IS NOT NULL
       GROUP BY 1, 2),
     r AS (
@@ -1464,7 +1464,7 @@ def timeseries_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> Da
     oracle="""
     WITH RECURSIVE daily AS (
       SELECT event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
-             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS x
+             (CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0) AS x
       FROM events WHERE event_type IS NOT NULL
       GROUP BY 1, 2),
     r AS (

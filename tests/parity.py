@@ -17,8 +17,17 @@ from rpa_etl_investing_spark.catalog import TABLES
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     import os
+    import tempfile
 
     con = duckdb.connect()
+    # Per-connection spill directory: concurrent connections (the
+    # --threads sweep, parallel probe processes in the same cwd) all
+    # default to ./.tmp/duckdb_temp_storage-*.tmp and corrupt each
+    # other's spill files ("Could not read enough bytes" mid-query on
+    # the closure-heavy oracles at sf1).
+    con.execute(
+        f"SET temp_directory = '{tempfile.mkdtemp(prefix='duckspill_')}'"
+    )
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         # driver fixtures are single files; derived scale fixtures
