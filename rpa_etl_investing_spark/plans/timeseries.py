@@ -1536,3 +1536,102 @@ def timeseries_holt_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
         tq.alias("trend_q"),
         fq.alias("forecast_q"),
     )
+
+
+# ---- r7: two-threshold hysteresis alarm -------------------------------------
+
+
+@register(
+    "timeseries_hysteresis_alarm",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS xq
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS tot
+      FROM daily GROUP BY event_type),
+    marked AS (
+      SELECT d.event_type, d.day, d.xq,
+             MAX(CASE WHEN 5 * d.xq * s.n > 6 * s.tot THEN d.day END)
+               OVER (PARTITION BY d.event_type ORDER BY d.day
+                     ROWS UNBOUNDED PRECEDING) AS last_hi,
+             MAX(CASE WHEN 10 * d.xq * s.n <= 9 * s.tot THEN d.day END)
+               OVER (PARTITION BY d.event_type ORDER BY d.day
+                     ROWS UNBOUNDED PRECEDING) AS last_lo
+      FROM daily d JOIN stats s ON s.event_type = d.event_type)
+    SELECT event_type, day, xq,
+           last_hi IS NOT NULL AND (last_lo IS NULL OR last_hi > last_lo)
+             AS alarm
+    FROM marked ORDER BY event_type, day
+    """,
+)
+def timeseries_hysteresis_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 alerting pattern: two-threshold HYSTERESIS alarm over the
+    daily value total per event type — the alarm ARMS when a day
+    exceeds 1.2× the type's mean and stays armed until a day falls to
+    ≤ 0.9× the mean (the debounce every production alerting system
+    uses so a metric oscillating around one threshold doesn't flap).
+
+    The textbook formulation is a per-row stateful recurrence
+    (alarm_t = hi_t OR (alarm_{t−1} AND NOT lo_t)) — a scan. Spark
+    solves it CLOSED-FORM in one window pass: the alarm is on exactly
+    when the most recent boundary event was a hi-crossing, i.e.
+    last_hi > last_lo over two running conditional MAX windows that
+    share one (type, day-order) sort. No iterative state, no UDF, no
+    applyInPandasWithState for the batch form.
+
+    Exactness discipline: day totals are exact 1e-6-grid BIGINTs; both
+    thresholds are exact cross-multiplied integer inequalities
+    (5·x·n > 6·Σx for hi, 10·x·n ≤ 9·Σx for lo) — no float anywhere,
+    so the alarm bits are cross-engine exact by construction.
+
+    Scale shape: one fact hash-aggregate to the calendar-bounded daily
+    relation, a |types|-row stats broadcast, one window sort over
+    (types × days) rows — alerting at 100 TB costs one fact pass."""
+    ev = tbl(spark, sf_dir, "events")
+    vq = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    daily = (
+        ev.filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        )
+        .agg(F.sum(vq).cast("bigint").alias("xq"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xq").cast("bigint").alias("tot"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "xq",
+        F.max(
+            F.when(5 * F.col("xq") * F.col("n") > 6 * F.col("tot"), F.col("day"))
+        )
+        .over(w)
+        .alias("last_hi"),
+        F.max(
+            F.when(10 * F.col("xq") * F.col("n") <= 9 * F.col("tot"), F.col("day"))
+        )
+        .over(w)
+        .alias("last_lo"),
+    )
+    return m.select(
+        "event_type",
+        "day",
+        "xq",
+        (
+            F.col("last_hi").isNotNull()
+            & (F.col("last_lo").isNull() | (F.col("last_hi") > F.col("last_lo")))
+        ).alias("alarm"),
+    ).orderBy("event_type", "day")
