@@ -28,6 +28,13 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con.execute(
         f"SET temp_directory = '{tempfile.mkdtemp(prefix='duckspill_')}'"
     )
+    # DuckDB defaults its memory_limit to ~80% of PHYSICAL RAM, which
+    # on a box also hosting Spark driver JVMs starves the Python
+    # process itself (observed: MemoryError on a 718 KiB numpy alloc
+    # while an oracle spilled). The oracle queries are fixture-scale;
+    # a fixed cap keeps the comparator a good citizen and failures
+    # inside DuckDB (spill) instead of random host-wide OOM.
+    con.execute("SET memory_limit = '24GB'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         # driver fixtures are single files; derived scale fixtures
