@@ -3935,7 +3935,13 @@ def llm_frequent_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, j, s_q in zip(gdf["i"], gdf["j"], gdf["s_q"]):
             G[i, j] = G[j, i] = s_q / 1e12
         n_rows = int(gdf["n_vecs"].iloc[0])
-        trace_q = int(round(np.trace(G) * 1e12))
+        # exact integer diagonal sum — np.trace(G)*1e12 routes the
+        # 1e-12-grid cells through float64 and loses the low bit once
+        # the trace passes 2^53 (sf1 stress: off by 1 at 2.000e16)
+        trace_q = int(
+            sum(int(s) for i, j, s in zip(gdf["i"], gdf["j"], gdf["s_q"])
+                if i == j)
+        )
         diff = G - btb
         ev = np.linalg.eigvalsh(diff)
         shrinkage = np.trace(G) - np.trace(btb)
