@@ -23,6 +23,30 @@ from rpa_etl_investing_spark.streaming import (
 # window() for these durations.
 
 
+def _link_events(stream_dir: str, sf_dir: str) -> None:
+    """Populate a file-stream source directory with links to the events
+    fixture. Driver fixtures are SINGLE parquet files; derived scale
+    fixtures (scripts/make_scale_fixture.py) are Spark-written
+    DIRECTORIES — a symlink to the directory itself is invisible to the
+    file-stream source's listing (sf1 stress: both stateful streaming
+    queries read 0 rows), so directory fixtures get one link per part
+    file instead."""
+    import os
+
+    os.makedirs(stream_dir, exist_ok=True)
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet"):
+                link = os.path.join(stream_dir, f)
+                if not os.path.lexists(link):
+                    os.symlink(os.path.join(src, f), link)
+    else:
+        link = os.path.join(stream_dir, "events.parquet")
+        if not os.path.lexists(link):
+            os.symlink(src, link)
+
+
 @register(
     "stream_tumbling_window",
     oracle="""
@@ -146,10 +170,7 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     stream_dir = scratch_dir(
         os.path.basename(os.path.normpath(sf_dir)), "events_stateful", "x"
     )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.lexists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    _link_events(stream_dir, sf_dir)
 
     from rpa_etl_investing_spark.catalog import normalize_events_ts
 
@@ -371,10 +392,7 @@ def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = scratch_dir(
         os.path.basename(os.path.normpath(sf_dir)), "events_ewma", "x"
     )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.lexists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    _link_events(stream_dir, sf_dir)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
