@@ -25,6 +25,11 @@ POST_FIX_OVERLAY = {
     "llm_simhash64_hamming_pairs": "MATCH (capped band join, r7)",
     "llm_simhash64_bucket_audit": "MATCH",
     "timeseries_hysteresis_alarm": "MATCH",
+    "stream_stateful_ewma": "MATCH (after directory-fixture link fix)",
+    "stream_stateful_running_totals": "MATCH (after directory-fixture link fix)",
+    "analytics_join_cardinality_estimate": "MATCH",
+    "analytics_ucb1_arms": "MATCH",
+    "llm_centroid_drift": "MATCH",
 }
 
 NAMED_WALLS = {
