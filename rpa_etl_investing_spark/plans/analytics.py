@@ -4842,3 +4842,147 @@ def analytics_ucb1_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# ---- r7: cohort retention matrix ---------------------------------------------
+
+
+@register(
+    "analytics_retention_matrix",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey,
+             MIN(DATE_TRUNC('month', CAST(o_orderdate AS TIMESTAMP)))
+               AS cohort
+      FROM orders GROUP BY o_custkey),
+    sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_n
+              FROM fo GROUP BY cohort),
+    act AS (
+      SELECT DISTINCT o.o_custkey, f.cohort,
+             CAST(DATE_DIFF('month', f.cohort,
+                  DATE_TRUNC('month', CAST(o.o_orderdate AS TIMESTAMP)))
+                  AS BIGINT) AS age
+      FROM orders o JOIN fo f ON f.o_custkey = o.o_custkey),
+    cells AS (
+      SELECT cohort, age, CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM act WHERE age BETWEEN 0 AND 12 GROUP BY cohort, age)
+    SELECT c.cohort, c.age, c.n_active, s.cohort_n,
+           c.n_active * 1000000 // s.cohort_n AS retention_q
+    FROM cells c JOIN sizes s USING (cohort)
+    ORDER BY c.cohort, c.age
+    """,
+)
+def analytics_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: the classic cohort-retention triangle — customers grouped by
+    first-order month (the cohort), each later month's active share of
+    the cohort on the 1e-6 grid (exact truncating integer division),
+    ages 0..12. The companion emission to `analytics_cohort_ltv`
+    (revenue accumulation) — this one answers "how many came BACK",
+    the matrix every growth dashboard renders as the shaded triangle.
+
+    Scale shape: one per-customer MIN aggregate (cohort), one
+    (customer, month) distinct re-using the same key shuffle, one
+    (cohort, age) hash-agg over the distinct-activity relation —
+    bounded by customers × months, and the final matrix is
+    |cohorts| × 13 rows. No windows, no self-joins."""
+    orders = tbl(spark, sf_dir, "orders")
+    fo = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min(F.col("o_orderdate").cast("timestamp"))).alias(
+            "cohort"
+        )
+    )
+    sizes = fo.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_n")
+    )
+    act = (
+        orders.join(fo, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort",
+            (
+                F.months_between(
+                    F.date_trunc("month", F.col("o_orderdate").cast("timestamp")),
+                    F.col("cohort"),
+                )
+            )
+            .cast("bigint")
+            .alias("age"),
+        )
+        .distinct()
+    )
+    cells = (
+        act.filter((F.col("age") >= 0) & (F.col("age") <= 12))
+        .groupBy("cohort", "age")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    return (
+        cells.join(maybe_broadcast(sizes, "retention_sizes"), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "n_active",
+            "cohort_n",
+            F.expr("n_active * 1000000 div cohort_n").alias("retention_q"),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+# ---- r7: l-diversity audit ---------------------------------------------------
+
+
+@register(
+    "profile_l_diversity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey,
+             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT)
+               AS bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct
+      FROM customer GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(l_distinct) AS BIGINT) AS l_diversity,
+           CAST(SUM(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_diversity_classes,
+           CAST(SUM(CASE WHEN l_distinct < 3 THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_records_at_risk,
+           CAST(MAX(class_size) AS BIGINT) AS max_class_size
+    FROM classes
+    """,
+)
+def profile_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 privacy family (companion to `profile_k_anonymity`):
+    l-diversity — k-anonymity's known hole is the HOMOGENEOUS class
+    (all 5 members share the sensitive value, so the attacker learns it
+    without re-identification). Per quasi-identifier class (nation,
+    $1000 balance bucket) count DISTINCT sensitive values (market
+    segment); the dataset's l is the minimum, and classes below l=3
+    are reported with the records they expose.
+
+    Scale shape: one hash aggregate over the QI tuple with a
+    COUNT(DISTINCT sensitive) — Spark plans the distinct as the
+    standard two-level expand+agg, still one fact pass; the audit
+    rollup is |classes|-bounded."""
+    cust = tbl(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
+        .cast("bigint")
+        .alias("bal_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("l_distinct"),
+    )
+    low = F.col("l_distinct") < 3
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("l_distinct").cast("bigint").alias("l_diversity"),
+        F.sum(F.when(low, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low_diversity_classes"),
+        F.sum(F.when(low, F.col("class_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_records_at_risk"),
+        F.max("class_size").cast("bigint").alias("max_class_size"),
+    )

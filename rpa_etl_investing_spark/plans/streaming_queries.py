@@ -497,3 +497,55 @@ def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_within_tol"),
         )
     )
+
+
+@register(
+    "stream_windowed_topk",
+    oracle="""
+    WITH cells AS (
+      SELECT TIME_BUCKET(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+               AS window_start,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY n_events DESC, event_type)
+                AS rnk
+      FROM cells)
+    SELECT window_start, event_type, n_events, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 2
+    ORDER BY window_start, rnk
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST11 (r7): top-k event types per tumbling window — the trending
+    leaderboard every streaming dashboard maintains. Batch-checkable
+    form of the complete-mode pattern: windowed counts (the ST1
+    aggregate) ranked within each window with a deterministic
+    tie-break, k=2. In live streaming the windowed counts run
+    incrementally under a watermark and the rank is the SINK-side read
+    query (rank-over-state is not incrementally maintainable in append
+    mode — the documented Structured Streaming boundary; the state
+    store holds only the (window, type) counts, which IS the
+    leaderboard's input).
+
+    Scale shape: one fact pass into a (window × type)-bounded cell
+    relation; the rank window sorts |types| rows per window cell —
+    never the fact."""
+    ev = tbl(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    cells = ev.groupBy(
+        F.window(F.col("ts").cast("timestamp"), "30 minutes")
+        .getField("start")
+        .alias("window_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        cells.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 2)
+        .orderBy("window_start", "rnk")
+    )
