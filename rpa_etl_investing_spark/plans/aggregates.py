@@ -792,8 +792,7 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            DATE_TRUNC('month', CAST(l_shipdate AS TIMESTAMP)) AS month,
            CAST(COUNT(*) AS BIGINT) AS n_items,
            (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4)))
-                AS DOUBLE) AS revenue
+           (CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0) AS revenue
     FROM lineitem
     GROUP BY 1, 2
     """,
@@ -827,8 +826,15 @@ def agg_reuse_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", F.date_trunc("month", "day").alias("month")
     ).agg(
         F.sum("n_items").cast("bigint").alias("n_items"),
-        F.sum("d_qty").cast("double").alias("sum_qty"),
-        F.sum("d_rev").cast("double").alias("revenue"),
+        # merge step exits via the same scaled-BIGINT path as the oracle
+        # (r8 advice #1): the direct decimal->double cast is only
+        # bit-identical to it below 2^53 grid units.
+        ((F.sum("d_qty") * 100).cast("bigint").cast("double") / 100.0).alias(
+            "sum_qty"
+        ),
+        (
+            (F.sum("d_rev") * 10000).cast("bigint").cast("double") / 10000.0
+        ).alias("revenue"),
     )
 
 

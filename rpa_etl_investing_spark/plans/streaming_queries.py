@@ -30,21 +30,37 @@ def _link_events(stream_dir: str, sf_dir: str) -> None:
     DIRECTORIES — a symlink to the directory itself is invisible to the
     file-stream source's listing (sf1 stress: both stateful streaming
     queries read 0 rows), so directory fixtures get one link per part
-    file instead."""
+    file instead.
+
+    Reconciliation (r8 advice #4): the dir is synced against the
+    CURRENT fixture shape, not just appended to — a regenerated
+    directory fixture with different part-file names, or a fixture
+    that switched between file and directory shape at the same path,
+    would otherwise leave stale/dangling links that make the stream
+    double-count or fail. Every existing entry whose name or link
+    target no longer matches the expected mapping is removed before
+    the missing links are created."""
     import os
 
     os.makedirs(stream_dir, exist_ok=True)
     src = f"{sf_dir}/events.parquet"
     if os.path.isdir(src):
-        for f in sorted(os.listdir(src)):
-            if f.endswith(".parquet"):
-                link = os.path.join(stream_dir, f)
-                if not os.path.lexists(link):
-                    os.symlink(os.path.join(src, f), link)
+        expected = {
+            f: os.path.join(src, f)
+            for f in sorted(os.listdir(src))
+            if f.endswith(".parquet")
+        }
     else:
-        link = os.path.join(stream_dir, "events.parquet")
+        expected = {"events.parquet": src}
+    for name in os.listdir(stream_dir):
+        link = os.path.join(stream_dir, name)
+        target = os.readlink(link) if os.path.islink(link) else None
+        if target != expected.get(name):
+            os.remove(link)
+    for name, target in expected.items():
+        link = os.path.join(stream_dir, name)
         if not os.path.lexists(link):
-            os.symlink(src, link)
+            os.symlink(target, link)
 
 
 @register(

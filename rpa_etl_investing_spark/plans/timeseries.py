@@ -1556,10 +1556,12 @@ def timeseries_holt_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily GROUP BY event_type),
     marked AS (
       SELECT d.event_type, d.day, d.xq,
-             MAX(CASE WHEN 5 * d.xq * s.n > 6 * s.tot THEN d.day END)
+             MAX(CASE WHEN 5::HUGEINT * d.xq * s.n > 6::HUGEINT * s.tot
+                      THEN d.day END)
                OVER (PARTITION BY d.event_type ORDER BY d.day
                      ROWS UNBOUNDED PRECEDING) AS last_hi,
-             MAX(CASE WHEN 10 * d.xq * s.n <= 9 * s.tot THEN d.day END)
+             MAX(CASE WHEN 10::HUGEINT * d.xq * s.n <= 9::HUGEINT * s.tot
+                      THEN d.day END)
                OVER (PARTITION BY d.event_type ORDER BY d.day
                      ROWS UNBOUNDED PRECEDING) AS last_lo
       FROM daily d JOIN stats s ON s.event_type = d.event_type)
@@ -1587,7 +1589,12 @@ def timeseries_hysteresis_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness discipline: day totals are exact 1e-6-grid BIGINTs; both
     thresholds are exact cross-multiplied integer inequalities
     (5·x·n > 6·Σx for hi, 10·x·n ≤ 9·Σx for lo) — no float anywhere,
-    so the alarm bits are cross-engine exact by construction.
+    so the alarm bits are cross-engine exact by construction. The
+    cross-products are widened to DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB) before multiplying (r8 advice #3): in BIGINT, 10·xq·n
+    overflows at ~2^63/10 grid-day units, where non-ANSI Spark would
+    wrap silently while DuckDB raises; the widened form is exact to
+    10^38 — unreachable for any fixture scale.
 
     Scale shape: one fact hash-aggregate to the calendar-bounded daily
     relation, a |types|-row stats broadcast, one window sort over
@@ -1616,12 +1623,20 @@ def timeseries_hysteresis_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "xq",
         F.max(
-            F.when(5 * F.col("xq") * F.col("n") > 6 * F.col("tot"), F.col("day"))
+            F.when(
+                F.lit(5).cast("decimal(38,0)") * F.col("xq") * F.col("n")
+                > F.lit(6).cast("decimal(38,0)") * F.col("tot"),
+                F.col("day"),
+            )
         )
         .over(w)
         .alias("last_hi"),
         F.max(
-            F.when(10 * F.col("xq") * F.col("n") <= 9 * F.col("tot"), F.col("day"))
+            F.when(
+                F.lit(10).cast("decimal(38,0)") * F.col("xq") * F.col("n")
+                <= F.lit(9).cast("decimal(38,0)") * F.col("tot"),
+                F.col("day"),
+            )
         )
         .over(w)
         .alias("last_lo"),

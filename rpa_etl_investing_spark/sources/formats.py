@@ -32,8 +32,27 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 
 
 def scratch_dir(*parts: str) -> str:
-    """A writable scratch area inside the repo (gitignored)."""
-    path = os.path.join(_REPO_ROOT, ".scratch", *parts)
+    """A writable scratch area inside the repo (gitignored).
+
+    The path is keyed by the calling THREAD (r8, verdict item #6):
+    scratch writers are per-query-name, and two threads issuing the
+    same scratch-writing query (e.g. ``source_compaction``) would race
+    one shared dir — ``mode("overwrite")`` deletes files out from under
+    the other thread's in-flight scan. Injecting ``t{ident}`` after the
+    first component gives every concurrent issuer a disjoint subtree
+    with no lock (a per-name lock could not cover the lazy readback
+    that happens after the query function returns). Growth is bounded
+    by live-thread count — idents are reused, and a reused ident only
+    ever overwrites a dir whose owner thread is gone. Tests that
+    inspect what a query wrote call ``scratch_dir`` from the same
+    thread and therefore resolve the same path."""
+    import threading
+
+    tid = f"t{threading.get_ident()}"
+    if parts:
+        path = os.path.join(_REPO_ROOT, ".scratch", parts[0], tid, *parts[1:])
+    else:
+        path = os.path.join(_REPO_ROOT, ".scratch", tid)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     return path
 

@@ -12,11 +12,19 @@ stamp predated them. This script closes that hole (r6 verdict item #2):
    vs its DuckDB oracle) at the driver's correctness scale via
    ``scripts/verify_driver_contract.py`` in a fresh interpreter.
 3. Runs ``pytest tests/`` (the multi-scale sf0.001 gate lives there).
-4. Optionally (--stress) re-runs the sweep at sf0.1 with an 8g heap.
-5. Writes ``LOCAL_VERIFY_r{N}.json`` carrying the certified ``git_sha``
-   plus both result blocks, and exits nonzero unless everything is green.
+4. Runs the same sweep from an 8-THREAD pool (r8, verdict item #5: the
+   r7 concurrent stamp was taken mid-round at registry size 349; it is
+   now a frozen-tree leg of every certification).
+5. Refuses to stamp if any tracked file exceeds 50 MB (r8, verdict
+   item #3: the r5 DuckDB-spill blob guard).
+6. Optionally (--stress) re-runs the sweep at sf0.1 with an 8g heap.
+7. Optionally (--scale-gate) runs the 10× plan-shape assertions
+   (SPARK_GRAFT_SCALE_GATE=1, needs /tmp/sf1 built).
+8. Writes ``LOCAL_VERIFY_r{N}.json`` carrying the certified ``git_sha``
+   plus all result blocks, and exits nonzero unless everything is green.
 
 Usage: python scripts/certify.py ROUND_NUMBER [--stress] [--skip-pytest]
+           [--scale-gate]
 """
 
 from __future__ import annotations
@@ -43,14 +51,16 @@ def last_json_line(text: str) -> dict:
     raise ValueError("no JSON summary line found in output:\n" + text[-2000:])
 
 
-def run_sweep(sf_dir: str, mem: str | None = None) -> dict:
+def run_sweep(sf_dir: str, mem: str | None = None, threads: int = 1) -> dict:
     env = dict(os.environ)
     if mem:
         env["SPARK_GRAFT_DRIVER_MEM"] = mem
+    cmd = [sys.executable, "scripts/verify_driver_contract.py", sf_dir]
+    if threads > 1:
+        cmd += ["--threads", str(threads)]
     t0 = time.time()
     proc = subprocess.run(
-        [sys.executable, "scripts/verify_driver_contract.py", sf_dir],
-        cwd=REPO, capture_output=True, text=True, env=env,
+        cmd, cwd=REPO, capture_output=True, text=True, env=env,
     )
     summary = last_json_line(proc.stdout)
     summary["wall_s"] = round(time.time() - t0, 1)
@@ -58,9 +68,17 @@ def run_sweep(sf_dir: str, mem: str | None = None) -> dict:
     return summary
 
 
-def run_pytest() -> dict:
+def run_pytest(paths: list[str] | None = None,
+               extra_env: dict | None = None) -> dict:
     t0 = time.time()
-    proc = sh([sys.executable, "-m", "pytest", "tests/", "-q", "--tb=line"])
+    env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", *(paths or ["tests/"]),
+         "-q", "--tb=line"],
+        cwd=REPO, capture_output=True, text=True, env=env,
+    )
     tail = proc.stdout.strip().splitlines()[-30:]
     counts = {"passed": 0, "failed": 0, "skipped": 0, "errors": 0}
     for line in tail:
@@ -85,6 +103,7 @@ def main() -> int:
     rnd = int(args[0])
     stress = "--stress" in sys.argv
     skip_pytest = "--skip-pytest" in sys.argv
+    scale_gate = "--scale-gate" in sys.argv
 
     dirty = sh(["git", "status", "--porcelain"]).stdout.strip()
     # the record file itself (and driver artifacts) may be untracked;
@@ -97,6 +116,21 @@ def main() -> int:
     if blocking:
         print("REFUSING to certify a dirty tree:\n" + "\n".join(blocking))
         return 1
+
+    # blob guard (r8, verdict item #3): a 5.9 GB DuckDB spill file once
+    # rode into history on a `git add -A`; refuse to stamp a tree that
+    # tracks any file over 50 MB — fixtures live outside the repo and no
+    # legitimate artifact is near that size.
+    big = []
+    for rel in sh(["git", "ls-files"]).stdout.splitlines():
+        p = os.path.join(REPO, rel)
+        if os.path.isfile(p) and os.path.getsize(p) > 50 * 1024 * 1024:
+            big.append(f"{rel} ({os.path.getsize(p) // (1024 * 1024)} MB)")
+    if big:
+        print("REFUSING to certify: tracked files over 50 MB:\n"
+              + "\n".join(big))
+        return 1
+
     git_sha = sh(["git", "rev-parse", "HEAD"]).stdout.strip()
 
     record: dict = {"git_sha": git_sha, "round": rnd}
@@ -104,6 +138,12 @@ def main() -> int:
     print(f"[certify r{rnd}] sweep at sf0.01 on {git_sha[:10]} ...")
     record["sweep_sf001"] = run_sweep("/root/testdata/sf0.01")
     print(json.dumps(record["sweep_sf001"]))
+
+    print(f"[certify r{rnd}] concurrent sweep at sf0.01 (8 threads) ...")
+    record["concurrent_sweep_sf001"] = run_sweep(
+        "/root/testdata/sf0.01", mem="6g", threads=8
+    )
+    print(json.dumps(record["concurrent_sweep_sf001"]))
 
     if stress:
         print(f"[certify r{rnd}] stress sweep at sf0.1 (8g heap) ...")
@@ -116,11 +156,26 @@ def main() -> int:
         print(json.dumps({k: v for k, v in record["pytest"].items()
                           if k != "tail"}))
 
+    if scale_gate:
+        # 10× plan-shape assertions (r8, verdict item #5): requires the
+        # derived sf1 fixture at /tmp/sf1 (scripts/make_scale_fixture.py)
+        print(f"[certify r{rnd}] scale gate (sf1 plan shapes) ...")
+        record["scale_gate_sf1"] = run_pytest(
+            ["tests/test_scale_gate.py"],
+            extra_env={"SPARK_GRAFT_SCALE_GATE": "1"},
+        )
+        print(json.dumps({k: v for k, v in record["scale_gate_sf1"].items()
+                          if k != "tail"}))
+
     sweep_ok = (record["sweep_sf001"]["n_bad"] == 0
                 and record["sweep_sf001"]["entry_rows"] > 0)
+    conc_ok = record["concurrent_sweep_sf001"]["n_bad"] == 0
     stress_ok = (not stress) or record["stress_sf01"]["n_bad"] == 0
     pytest_ok = skip_pytest or (record["pytest"]["exit_code"] == 0)
-    record["green"] = bool(sweep_ok and stress_ok and pytest_ok)
+    gate_ok = (not scale_gate) or record["scale_gate_sf1"]["exit_code"] == 0
+    record["green"] = bool(
+        sweep_ok and conc_ok and stress_ok and pytest_ok and gate_ok
+    )
 
     # refuse to stamp if HEAD moved while we were certifying
     now_sha = sh(["git", "rev-parse", "HEAD"]).stdout.strip()

@@ -82,6 +82,60 @@ def test_concurrent_slice_matches_oracles(spark, sf_dir):
     assert not failures, f"concurrent issue failed: {failures}"
 
 
+def test_concurrent_same_query_scratch_writers(spark, sf_dir):
+    """r8 (verdict item #6): the SAME scratch-writing query issued from
+    4 threads at once. Before r8, scratch dirs were keyed by query name
+    only, so ``mode("overwrite")`` in one thread deleted part files out
+    from under another thread's in-flight readback; ``scratch_dir`` now
+    injects the calling thread's ident, giving each issuer a disjoint
+    subtree. Every thread must independently match the oracle."""
+    for name in ["source_compaction", "source_csv_roundtrip"]:
+        failures: dict[int, list[str] | str] = {}
+        lock = threading.Lock()
+
+        def run_one(tid: int, qname: str = name) -> None:
+            try:
+                problems = run_compare(spark, qname, sf_dir)
+                if problems:
+                    with lock:
+                        failures[tid] = problems
+            except Exception as e:  # noqa: BLE001
+                with lock:
+                    failures[tid] = f"{type(e).__name__}: {e}"
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(pool.map(run_one, range(4)))
+        assert not failures, f"{name} concurrent same-query issue: {failures}"
+
+
+def test_scratch_dir_is_thread_keyed():
+    """Two threads asking for the same scratch parts must get disjoint
+    paths; the same thread must get a stable path (tests locate what a
+    query wrote by calling scratch_dir from the same thread)."""
+    from rpa_etl_investing_spark.sources.formats import scratch_dir
+
+    paths: dict[int, str] = {}
+    # barrier keeps both threads alive through both grabs — a finished
+    # thread's ident may be REUSED by the OS, which would alias the
+    # paths and flake the assertion
+    barrier = threading.Barrier(2)
+
+    def grab(tid: int) -> None:
+        barrier.wait()
+        paths[tid] = scratch_dir("conc_probe", "files")
+        barrier.wait()
+
+    threads = [threading.Thread(target=grab, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert paths[0] != paths[1], "threads shared a scratch dir"
+    assert scratch_dir("conc_probe", "files") == scratch_dir(
+        "conc_probe", "files"
+    ), "same-thread scratch path not stable"
+
+
 def test_lru_registry_thread_safety(spark):
     """16 threads × 40 keep_or_reuse calls over 4 scopes and 12 distinct
     plans per scope: the store must never lose the LRU invariant (≤ cap
