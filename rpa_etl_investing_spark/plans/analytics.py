@@ -1620,14 +1620,19 @@ def analytics_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_triangle_count",
     oracle="""
-    WITH dir_edges AS (
+    WITH dir_edges AS MATERIALIZED (
+      -- MATERIALIZED (r8, verdict item #7): without it DuckDB inlines
+      -- this 4-way fact join into each of the three `und` references in
+      -- `tri`, re-running it 3x and spilling ~19 GB at sf1; pinned, the
+      -- edge list collapses to <=n^2 rows once and the triangle join is
+      -- trivial.
       SELECT s.s_nationkey AS src, c.c_nationkey AS dst
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY 1, 2),
-    und AS (
+    und AS MATERIALIZED (
       SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
       FROM dir_edges WHERE src <> dst),
     tri AS (

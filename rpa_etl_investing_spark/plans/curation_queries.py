@@ -48,6 +48,60 @@ from rpa_etl_investing_spark.plans.registry import register
 _BUCKET_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
 
 
+def _pd_cc_ctes(p: str, pairs: str, rounds: int = 10) -> str:
+    """Pointer-doubling connected-components ORACLE (r8, verdict item
+    #1): CTE chain computing per-vertex min-label components in
+    O(log diameter) label-to-label joins instead of the recursive-CTE
+    transitive closure the r1–r7 oracles used. The closure's ``reach``
+    relation materializes Σ cluster² rows — the named sf1 wall for all
+    four dup-graph queries — while this chain keeps ONE label row per
+    vertex per round: round k's label is the min over (self, neighbor
+    labels [hook], label-of-label [jump]); measured reach doubles per
+    round (2^k), so ``rounds``=10 covers component diameter 1024.
+    Every round is MATERIALIZED — DuckDB would otherwise inline the
+    whole chain into each reference (the r5 k-core / r7 unrolling dead
+    end: 160× slower).
+
+    Convergence tripwire: one extra round runs after round R, and
+    ``{p}_labels`` keeps rows only if R and R+1 agree EVERYWHERE — an
+    under-provisioned diameter empties the result, surfacing as a loud
+    row-count MISMATCH in the sweep rather than silently wrong labels
+    (prototyped: a 301-vertex chain at rounds=8 yields 0 rows, at 10
+    matches the recursive closure exactly).
+
+    Emits CTE definitions ``{p}_edges``, ``{p}_l0..l{R+1}``,
+    ``{p}_labels(v, lbl)``; splice into a WITH list."""
+    parts = [
+        f"""{p}_edges AS MATERIALIZED (
+      SELECT doc_a AS v, doc_b AS u FROM {pairs}
+      UNION SELECT doc_b, doc_a FROM {pairs})""",
+        f"""{p}_l0 AS MATERIALIZED (
+      SELECT v, MIN(u) AS lbl FROM (
+        SELECT v, v AS u FROM (SELECT DISTINCT v FROM {p}_edges) AS {p}_verts
+        UNION ALL SELECT v, u FROM {p}_edges) GROUP BY v)""",
+    ]
+    for k in range(1, rounds + 2):
+        parts.append(
+            f"""{p}_l{k} AS MATERIALIZED (
+      SELECT v, MIN(lbl) AS lbl FROM (
+        SELECT v, lbl FROM {p}_l{k - 1}
+        UNION ALL
+        SELECT e.v, t.lbl FROM {p}_edges e JOIN {p}_l{k - 1} t ON t.v = e.u
+        UNION ALL
+        SELECT t.v, t2.lbl FROM {p}_l{k - 1} t JOIN {p}_l{k - 1} t2
+          ON t2.v = t.lbl
+      ) GROUP BY v)"""
+        )
+    parts.append(
+        f"""{p}_labels AS MATERIALIZED (
+      SELECT v, lbl FROM {p}_l{rounds + 1}
+      WHERE NOT EXISTS (
+        SELECT 1 FROM {p}_l{rounds} a JOIN {p}_l{rounds + 1} b
+        ON a.v = b.v AND a.lbl <> b.lbl))"""
+    )
+    return ",\n    ".join(parts)
+
+
 @register(
     "curation_deterministic_split",
     oracle=f"""
@@ -106,42 +160,44 @@ def curation_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "curation_dup_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
+# shared n-gram-Jaccard pair pipeline for the three dup-graph oracles;
+# the heavy intermediates are MATERIALIZED so DuckDB computes the bucket
+# self-join once per query, not once per reference (sf1 discipline)
+_NG_PAIRS_CTES = f"""{_TOK_CTE}, {_SH_CTE},
     ex AS (SELECT DISTINCT doc_id, sh FROM shx),
     keep AS (SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) <= 1000),
-    exf AS (SELECT ex.* FROM ex JOIN keep USING (sh)),
+    exf AS MATERIALIZED (SELECT ex.* FROM ex JOIN keep USING (sh)),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM exf GROUP BY doc_id),
-    shared AS (
+    shared AS MATERIALIZED (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
       FROM exf a JOIN exf b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id),
-    pairs AS (
+    ng_pairs AS MATERIALIZED (
       SELECT doc_a, doc_b
       FROM shared
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
-    edges AS (
-      SELECT doc_a AS v, doc_b AS u FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs),
-    reach(v, u) AS (
-      SELECT v, v FROM (SELECT DISTINCT v FROM edges) AS verts
-      UNION
-      SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v)
-    SELECT v AS doc_id, MIN(u) AS cluster_id
-    FROM reach GROUP BY v
+      WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.05)"""
+
+
+@register(
+    "curation_dup_clusters",
+    oracle=f"""
+    WITH {_NG_PAIRS_CTES},
+    {_pd_cc_ctes("ng", "ng_pairs")}
+    SELECT v AS doc_id, lbl AS cluster_id FROM ng_labels
     """,
 )
 def curation_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate clusters: connected components over
     the 3-gram-Jaccard pair graph, labeling every clustered doc with
     its component's min doc_id (the canonical survivor). The oracle
-    recomputes the same components as a recursive-CTE transitive
-    closure — feasible at oracle scale, while the Spark side uses
-    O(diameter) label-propagation rounds (operators/components.py)."""
+    recomputes the same components by pointer-doubling label joins
+    (``_pd_cc_ctes``: O(log diameter) rounds, linear rows per round —
+    tractable at EVERY fixture scale including sf1, unlike the r1–r7
+    recursive closure whose reach relation was Σ cluster² rows), while
+    the Spark side uses O(diameter) label-propagation rounds
+    (operators/components.py)."""
     docs = tbl(spark, sf_dir, "documents")
     return connected_components(ngram_jaccard_pairs(docs))
 
@@ -149,30 +205,9 @@ def curation_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "curation_dup_clusters_star",
     oracle=f"""
-    WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
-    ex AS (SELECT DISTINCT doc_id, sh FROM shx),
-    keep AS (SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) <= 1000),
-    exf AS (SELECT ex.* FROM ex JOIN keep USING (sh)),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM exf GROUP BY doc_id),
-    shared AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-      FROM exf a JOIN exf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id),
-    pairs AS (
-      SELECT doc_a, doc_b
-      FROM shared
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
-    edges AS (
-      SELECT doc_a AS v, doc_b AS u FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs),
-    reach(v, u) AS (
-      SELECT v, v FROM (SELECT DISTINCT v FROM edges) AS verts
-      UNION
-      SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v)
-    SELECT v AS doc_id, MIN(u) AS cluster_id
-    FROM reach GROUP BY v
+    WITH {_NG_PAIRS_CTES},
+    {_pd_cc_ctes("ng", "ng_pairs")}
+    SELECT v AS doc_id, lbl AS cluster_id FROM ng_labels
     """,
 )
 def curation_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,30 +230,10 @@ def curation_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "curation_canonical_docs",
     oracle=f"""
-    WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
-    ex AS (SELECT DISTINCT doc_id, sh FROM shx),
-    keep AS (SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) <= 1000),
-    exf AS (SELECT ex.* FROM ex JOIN keep USING (sh)),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM exf GROUP BY doc_id),
-    shared AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-      FROM exf a JOIN exf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id),
-    pairs AS (
-      SELECT doc_a, doc_b
-      FROM shared
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
-    edges AS (
-      SELECT doc_a AS v, doc_b AS u FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs),
-    reach(v, u) AS (
-      SELECT v, v FROM (SELECT DISTINCT v FROM edges) AS verts
-      UNION
-      SELECT r.v, e.u FROM reach r JOIN edges e ON r.u = e.v),
+    WITH {_NG_PAIRS_CTES},
+    {_pd_cc_ctes("ng", "ng_pairs")},
     clusters AS (
-      SELECT v AS doc_id, MIN(u) AS cluster_id FROM reach GROUP BY v)
+      SELECT v AS doc_id, lbl AS cluster_id FROM ng_labels)
     SELECT cluster_id,
            CAST(doc_id AS BIGINT) AS kept_doc,
            CAST(n_members AS BIGINT) AS n_members,
@@ -264,24 +279,22 @@ _MH_EST = "(" + " + ".join(
     f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END" for j in range(N_MINHASH)
 ) + f") / {float(N_MINHASH)}"
 
-# closure template: pair CTE (cols doc_a/doc_b) → per-family losers
-_CLOSURE = """
-    {p}_edges AS (
-      SELECT doc_a AS v, doc_b AS u FROM {pairs}
-      UNION SELECT doc_b, doc_a FROM {pairs}),
-    {p}_reach(v, u) AS (
-      SELECT v, v FROM (SELECT DISTINCT v FROM {p}_edges) AS {p}_verts
-      UNION
-      SELECT r.v, e.u FROM {p}_reach r JOIN {p}_edges e ON r.u = e.v),
-    {p}_losers AS (
-      SELECT v AS doc_id FROM {p}_reach GROUP BY v HAVING v <> MIN(u))
-"""
+def _pd_losers(p: str, pairs: str) -> str:
+    """Pointer-doubling components + per-family loser extraction: every
+    clustered doc that is not its component's min id (the canonical
+    survivor) — same contract as the r1–r7 recursive-closure template,
+    at linear rows per round instead of Σ cluster²."""
+    return (
+        _pd_cc_ctes(p, pairs)
+        + f""",
+    {p}_losers AS (SELECT v AS doc_id FROM {p}_labels WHERE v <> lbl)"""
+    )
 
 
 @register(
     "curation_final_corpus",
     oracle=f"""
-    WITH RECURSIVE {_TOK_CTE}, {_SH_CTE},
+    WITH {_NG_PAIRS_CTES},
     -- family 1: exact sha256 groups
     exact_groups AS (
       SELECT sha256(text) AS h, MIN(doc_id) AS keep_id
@@ -290,22 +303,8 @@ _CLOSURE = """
       SELECT d.doc_id FROM documents d
       JOIN exact_groups g ON sha256(d.text) = g.h
       WHERE d.doc_id <> g.keep_id),
-    -- family 2: exact 3-gram Jaccard pairs
-    ex AS (SELECT DISTINCT doc_id, sh FROM shx),
-    keep AS (SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) <= 1000),
-    exf AS (SELECT ex.* FROM ex JOIN keep USING (sh)),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM exf GROUP BY doc_id),
-    shared AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-      FROM exf a JOIN exf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id),
-    ng_pairs AS (
-      SELECT doc_a, doc_b
-      FROM shared
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE n_shared / (sa.n_sh + sb.n_sh - n_shared) >= 0.05),
-    {_CLOSURE.format(p="ng", pairs="ng_pairs").strip()},
+    -- family 2: exact 3-gram Jaccard pairs (ng_pairs from the shared CTEs)
+    {_pd_losers("ng", "ng_pairs").strip()},
     -- family 3: MinHash band-bucket pairs at est_jaccard >= 0.5
     {_SIG_CTE},
     {_BANDS_CTES},
@@ -314,23 +313,23 @@ _CLOSURE = """
       FROM bands a JOIN bands b
         ON a.band_no = b.band_no AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id),
-    mh_pairs AS (
+    mh_pairs AS MATERIALIZED (
       SELECT p.doc_a, p.doc_b
       FROM mh_cand p
       JOIN sig sa ON sa.doc_id = p.doc_a
       JOIN sig sb ON sb.doc_id = p.doc_b
       WHERE {_MH_EST} >= 0.5),
-    {_CLOSURE.format(p="mh", pairs="mh_pairs").strip()},
+    {_pd_losers("mh", "mh_pairs").strip()},
     -- family 4: embedding-cosine near-dups (vec_id aligns with doc_id)
     eb AS (
       SELECT vec_id, embedding,
              {hyperplane_bucket_sql("embedding")} AS bucket
       FROM embeddings),
-    em_pairs AS (
+    em_pairs AS MATERIALIZED (
       SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
       FROM eb a JOIN eb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
       WHERE {_cos_sql("a.embedding", "c.embedding")} >= 0.4),
-    {_CLOSURE.format(p="em", pairs="em_pairs").strip()}
+    {_pd_losers("em", "em_pairs").strip()}
     SELECT source,
            CAST(SUM(CASE WHEN xe.doc_id IS NULL AND xn.doc_id IS NULL
                           AND xm.doc_id IS NULL AND xv.doc_id IS NULL

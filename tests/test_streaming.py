@@ -456,3 +456,63 @@ def test_transform_with_state_running_max_matches_batch(spark, sf_dir, tmp_path)
                 last[r["user_id"]] = (batch_id, r["max_value"])
     got = {(u, v) for u, (_, v) in last.items()}
     assert got == expected
+
+
+def test_windowed_topk_readstream_matches_batch(spark, sf_dir, tmp_path):
+    """ST11 under a REAL readStream (r8, verdict item #2): the windowed
+    counts run incrementally in complete mode over maxFilesPerTrigger=1
+    chunks into a memory sink — the state the docstring claims the
+    store holds — and the top-k rank is computed as the SINK-side read
+    query, exactly the append-mode boundary stream_windowed_topk
+    documents. The leaderboard must equal the batch-form query (the
+    oracle-checked registry entry) row for row."""
+    from pyspark.sql import Window as W
+
+    import rpa_etl_investing_spark.plans as plans
+
+    expected = {
+        (r["window_start"], r["event_type"], r["n_events"], r["rnk"])
+        for r in plans.QUERIES["stream_windowed_topk"].fn(spark, sf_dir).collect()
+    }
+    assert expected, "batch leaderboard is empty — fixture problem"
+
+    # several micro-batches: chunk the fixture and trigger per file
+    chunks = tmp_path / "chunks"
+    events = tbl(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    events.withColumn("chunk", (F.col("event_id") % 3).cast("int")).coalesce(
+        1
+    ).write.partitionBy("chunk").parquet(str(chunks))
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunks))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    counts = stream.groupBy(
+        F.window(F.col("ts"), "30 minutes").getField("start").alias("window_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("topk_state")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # at least 3 micro-batches ran (one per chunk file)
+        assert len(q.recentProgress) >= 3, [p.numInputRows for p in q.recentProgress]
+        rank_w = W.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+        got = {
+            (r["window_start"], r["event_type"], r["n_events"], r["rnk"])
+            for r in spark.table("topk_state")
+            .withColumn("rnk", F.row_number().over(rank_w).cast("int"))
+            .filter(F.col("rnk") <= 2)
+            .collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
