@@ -4991,3 +4991,215 @@ def profile_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_records_at_risk"),
         F.max("class_size").cast("bigint").alias("max_class_size"),
     )
+
+
+# ---- r8: gaps-and-islands activity streaks ----------------------------------
+
+
+@register(
+    "analytics_login_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+      FROM events WHERE user_id IS NOT NULL),
+    anchored AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INT) AS anchor
+      FROM days),
+    streaks AS (
+      SELECT user_id, anchor,
+             CAST(COUNT(*) AS BIGINT) AS len, MIN(day) AS start_day
+      FROM anchored GROUP BY user_id, anchor)
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           MIN(start_day) FILTER (WHERE len = (
+             SELECT MAX(s2.len) FROM streaks s2
+             WHERE s2.user_id = streaks.user_id)) AS streak_start,
+           CAST(SUM(len) AS BIGINT) AS n_active_days
+    FROM streaks GROUP BY user_id
+    """,
+)
+def analytics_login_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 engagement classic: longest consecutive-day activity streak
+    per user (gaps-and-islands). Consecutive days share the anchor
+    ``day - row_number`` (a run of k consecutive days advances both by
+    1 per row), so streaks fall out of one GROUP BY — no self-join, no
+    recursive walk.
+
+    Shuffle discipline: ONE hash repartition on ``user_id`` up front
+    satisfies every downstream requirement — the (user, day) distinct,
+    the row_number window, the (user, anchor) streak aggregate and the
+    final per-user max all cluster on a user_id-prefixed key, so
+    Catalyst reuses the single exchange (ClusteredDistribution is
+    satisfied by the coarser partitioning). At 100 TB: one fact-sized
+    shuffle of (user_id, day) pairs, then per-user work.
+
+    The longest streak's start day is reported with a deterministic
+    earliest-start tie-break (two equal-length streaks → the earlier
+    one), mirrored in the oracle's FILTER + correlated max."""
+    ev = tbl(spark, sf_dir, "events")
+    days = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("day", F.col("ts").cast("timestamp"))
+            .cast("date")
+            .alias("day"),
+        )
+        .repartition("user_id")
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("day").alias("start_day"),
+    )
+    wmax = Window.partitionBy("user_id")
+    return (
+        streaks.withColumn("max_len", F.max("len").over(wmax))
+        .groupBy("user_id")
+        .agg(
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.min(F.when(F.col("len") == F.col("max_len"), F.col("start_day")))
+            .alias("streak_start"),
+            F.sum("len").cast("bigint").alias("n_active_days"),
+        )
+    )
+
+
+@register(
+    "analytics_conversion_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events WHERE user_id IS NOT NULL),
+    s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM s1),
+    s3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM s2),
+    per_user AS (
+      SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+      FROM s3 GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t1) AS BIGINT) AS n_viewed,
+           CAST(COUNT(t2) AS BIGINT) AS n_clicked_after_view,
+           CAST(COUNT(t3) AS BIGINT) AS n_purchased_after_click
+    FROM per_user
+    """,
+)
+def analytics_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 ordered conversion funnel: view → click (strictly after the
+    first view) → purchase (strictly after that click) — the product
+    analytics primitive where step N must happen AFTER step N−1, which
+    a naive per-type min ignores (a purchase before the first view
+    must not count).
+
+    Solved in ONE user-partitioned window pass, no self-joins: t1 is
+    the per-user min view time; t2 the min click time > t1; t3 the min
+    purchase time > t2. The three window mins share the same
+    partition-only frame, so Catalyst plans a single exchange + sort
+    and evaluates them in sequence (each references the previous
+    window's output column). Per-user reduction then one global count.
+
+    At 100 TB: one fact shuffle keyed on user_id; state per user is
+    three timestamps — the same shape as sessionization, and the
+    streaming twin would be an applyInPandasWithState fold over the
+    identical recurrence."""
+    ev = tbl(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.select("user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+        .withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count("t1").cast("bigint").alias("n_viewed"),
+        F.count("t2").cast("bigint").alias("n_clicked_after_view"),
+        F.count("t3").cast("bigint").alias("n_purchased_after_click"),
+    )
+
+
+@register(
+    "profile_fd_violations",
+    oracle="""
+    WITH pairs AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY n DESC, lang) AS rnk
+      FROM pairs)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_rhs,
+           MAX(CASE WHEN rnk = 1 THEN lang END) AS majority_rhs,
+           CAST(SUM(CASE WHEN rnk > 1 THEN n ELSE 0 END) AS BIGINT)
+             AS n_violating_rows,
+           CAST(SUM(n) AS BIGINT) AS n_rows
+    FROM ranked GROUP BY source
+    """,
+)
+def profile_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 data-quality audit: functional-dependency violation profile
+    for the candidate FD ``source → lang`` on documents — for each LHS
+    value, how many distinct RHS values exist, which RHS is the
+    majority (deterministic count-desc, value-asc tie-break), and how
+    many rows disagree with it. ``n_violating_rows = 0`` everywhere ⇔
+    the FD holds; otherwise the numbers are exactly the repair cost of
+    enforcing it (rows to fix) — the profiling step schema-inference
+    and dedup pipelines run before trusting a column as a key.
+
+    Scale shape: ONE hash aggregate on (lhs, rhs) collapses the fact to
+    the value-pair histogram (bounded by domain product, not row
+    count); the rank + per-lhs rollup then run on that tiny relation —
+    the same two-level pattern as k-anonymity/l-diversity above. At
+    100 TB the fact is touched once."""
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    ranked = pairs.withColumn("rnk", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_rhs"),
+        F.max(F.when(F.col("rnk") == 1, F.col("lang"))).alias("majority_rhs"),
+        F.sum(F.when(F.col("rnk") > 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_rows"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )

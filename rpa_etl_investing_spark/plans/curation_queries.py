@@ -228,6 +228,32 @@ def curation_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_dup_clusters_jump",
+    oracle=f"""
+    WITH {_NG_PAIRS_CTES},
+    {_pd_cc_ctes("ng", "ng_pairs")}
+    SELECT v AS doc_id, lbl AS cluster_id FROM ng_labels
+    """,
+)
+def curation_dup_clusters_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: same clustering contract computed by HOOK+JUMP pointer
+    jumping (``operators/components.pointer_jumping_components``) —
+    O(log diameter) rounds of linear label joins, the engine twin of
+    the pointer-doubling oracle that replaced the r1–r7 recursive
+    closure. All THREE components algorithms (label-prop O(d), star
+    O(log² n), pointer-jumping O(log d)) now answer the identical
+    oracle, so an implementation bug in any one of them shows up as a
+    three-way disagreement at the driver gate, not a pytest-only
+    property."""
+    from rpa_etl_investing_spark.operators.components import (
+        pointer_jumping_components,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    return pointer_jumping_components(ngram_jaccard_pairs(docs))
+
+
+@register(
     "curation_canonical_docs",
     oracle=f"""
     WITH {_NG_PAIRS_CTES},

@@ -4063,3 +4063,209 @@ def llm_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * SQRT(CAST(nb AS DOUBLE)))) + 0.5) AS BIGINT)"
         ).alias("cos_to_global_q"),
     ).orderBy("label")
+
+
+# ---- r8: sketch calibration audit ------------------------------------------
+
+
+@register(
+    "llm_minhash_calibration",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SH_CTE}, {_SIG_CTE},
+    {_BANDS_CTES},
+    pairs AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_no = b.band_no AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    ex AS (SELECT DISTINCT doc_id, sh FROM shx),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_shared
+      FROM pairs p
+      JOIN ex a ON a.doc_id = p.doc_a
+      JOIN ex b ON b.doc_id = p.doc_b AND b.sh = a.sh
+      GROUP BY p.doc_a, p.doc_b),
+    scored AS (
+      SELECT ({" + ".join(f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END" for j in range(N_MINHASH))})
+               AS nm,
+             CAST(COALESCE(i.n_shared, 0) AS BIGINT) AS s,
+             CAST(sa2.n_sh + sb2.n_sh - COALESCE(i.n_shared, 0) AS BIGINT) AS u
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b
+      JOIN sizes sa2 ON sa2.doc_id = p.doc_a
+      JOIN sizes sb2 ON sb2.doc_id = p.doc_b
+      LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b)
+    SELECT CAST((20 * ABS(nm * u - {N_MINHASH} * s)) // ({N_MINHASH} * u)
+                AS BIGINT) AS err_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM scored GROUP BY 1
+    """,
+)
+def llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 sketch-quality audit: histogram of |minhash-estimated −
+    exact| Jaccard error over the LSH candidate pairs, in 0.05-wide
+    buckets — the calibration curve that tells a dedup pipeline
+    whether its 16-permutation signature is accurate enough for the
+    chosen verify threshold, BEFORE committing a 100 TB pass to it
+    (bucket mass above |err| ≈ 0.2 ⇒ add permutations or verify
+    exactly; the expected RMSE of a k-perm MinHash is √(J(1−J)/k)).
+
+    Exactness: the bucket index is computed entirely in integers —
+    estimate = nm/16 (matching-minhash count), exact = s/u (shingle
+    intersection over union), so
+    ``bucket = ⌊20·|nm·u − 16·s| / (16·u)⌋`` by cross-multiplication;
+    Spark's ``div`` and DuckDB's ``//`` both truncate, and u ≥ 1 for
+    every banded pair (a banded doc has ≥1 shingle). No float touches
+    the output, so no MULTI_SF enrollment is needed.
+
+    Scale shape: identical bounds to ``llm_minhash_verified_pairs`` —
+    the exact-intersection join is candidate-bounded (LSH-then-verify),
+    the signature join is |pairs| × 17 longs, and the histogram is a
+    21-bucket aggregate."""
+    from rpa_etl_investing_spark.operators.dedup import shingles, spread
+
+    docs = tbl(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(docs).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("est_jaccard") * N_MINHASH)
+        .cast("bigint")
+        .alias("nm"),  # exact: est is a dyadic k/16
+    )
+    ex = spread(docs, "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("sh")
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = ex.select(F.col("doc_id").alias("kb"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("kb")) & (F.col("sh") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    scored = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.col("nm"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("s"),
+            (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_shared"), F.lit(0)))
+            .cast("bigint")
+            .alias("u"),
+        )
+    )
+    return (
+        scored.select(
+            F.expr(
+                f"CAST((20 * abs(nm * u - {N_MINHASH} * s))"
+                f" div ({N_MINHASH} * u) AS BIGINT)"
+            ).alias("err_bucket")
+        )
+        .groupBy("err_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+@register(
+    "llm_embedding_outliers",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(FLOOR(1e6 * CAST(UNNEST(embedding) AS DOUBLE) + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings),
+    cent AS (
+      SELECT label, i,
+             CAST(SUM(q) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cq
+      FROM ex GROUP BY label, i),
+    dots AS (
+      SELECT e.vec_id, e.label,
+             CAST(SUM(e.q * c.cq) AS BIGINT) AS dot,
+             CAST(SUM(e.q * e.q) AS BIGINT) AS na,
+             CAST(SUM(c.cq * c.cq) AS BIGINT) AS nb
+      FROM ex e JOIN cent c ON c.label = e.label AND c.i = e.i
+      GROUP BY e.vec_id, e.label),
+    scored AS (
+      SELECT vec_id, label,
+             CAST(FLOOR(1e6 * (dot / (SQRT(CAST(na AS DOUBLE))
+                                      * SQRT(CAST(nb AS DOUBLE)))) + 0.5)
+                  AS BIGINT) AS cos_q
+      FROM dots),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                                   ORDER BY cos_q, vec_id) AS rnk
+      FROM scored)
+    SELECT label, CAST(rnk AS INT) AS rnk, vec_id,
+           cos_q AS cos_to_centroid_q
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 embedding-quality filter: the 3 vectors FARTHEST from their
+    label's centroid (lowest quantized cosine) — the per-cluster
+    outlier report a curation pipeline reviews before training
+    (mislabeled docs, encoder glitches, and contamination surface here
+    first; the centroid-drift monitor above watches the aggregate, this
+    names the individual offenders).
+
+    Exactness: same discipline as ``llm_centroid_drift`` — components
+    quantize once to the 1e-6 grid, centroid components are exact
+    truncating integer divisions, per-vector dot/norms are exact BIGINT
+    sums, and the final cosine runs the identical correctly-rounded
+    IEEE ops on identically-derived integers before the 1e-6 FLOOR, so
+    the rank keys (cos_q, vec_id) are cross-engine exact integers.
+
+    Scale shape: one posexplode pass feeds the (label, dim) centroid
+    aggregate (|labels|·dim rows → broadcast) and the per-vector dot
+    aggregate keyed on vec_id; the top-3 window sorts per label over
+    per-VECTOR rows (one row each, never components). At 100 TB:
+    one corpus pass + a vec_id-keyed shuffle of 3 longs per vector."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.floor(F.lit(1e6) * F.col("v").cast("double") + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    cent = ex.groupBy("label", "i").agg(
+        F.expr("CAST(SUM(q) AS BIGINT) div COUNT(*)").alias("cq")
+    )
+    dots = (
+        ex.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("q") * F.col("cq")).cast("bigint").alias("dot"),
+            F.sum(F.col("q") * F.col("q")).cast("bigint").alias("na"),
+            F.sum(F.col("cq") * F.col("cq")).cast("bigint").alias("nb"),
+        )
+    )
+    scored = dots.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "CAST(FLOOR(1e6 * (dot / (SQRT(CAST(na AS DOUBLE))"
+            " * SQRT(CAST(nb AS DOUBLE)))) + 0.5) AS BIGINT)"
+        ).alias("cos_q"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("label").orderBy(F.asc("cos_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("label", "rnk", "vec_id", F.col("cos_q").alias("cos_to_centroid_q"))
+    )
