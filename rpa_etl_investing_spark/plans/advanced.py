@@ -236,11 +236,11 @@ def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority AS priority,
            CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
-                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS o_rev,
+           (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+                FILTER (WHERE o_orderstatus = 'O') * 100 AS BIGINT) AS DOUBLE) / 100.0) AS o_rev,
            CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
-                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_rev
+           (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+                FILTER (WHERE o_orderstatus = 'F') * 100 AS BIGINT) AS DOUBLE) / 100.0) AS f_rev
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -262,9 +262,9 @@ def pivot_multi_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "priority",
         F.coalesce(F.col("O_n"), F.lit(0)).cast("bigint").alias("o_n"),
-        F.col("O_rev").cast("double").alias("o_rev"),
+        ((F.col("O_rev") * 100).cast("bigint").cast("double") / 100.0).alias("o_rev"),
         F.coalesce(F.col("F_n"), F.lit(0)).cast("bigint").alias("f_n"),
-        F.col("F_rev").cast("double").alias("f_rev"),
+        ((F.col("F_rev") * 100).cast("bigint").cast("double") / 100.0).alias("f_rev"),
     )
 
 
@@ -473,14 +473,14 @@ _PIVOT_SQL = """
     oracle="""
     SELECT o_orderpriority AS priority,
            CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
-                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS o_total,
+           (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+                FILTER (WHERE o_orderstatus = 'O') * 100 AS BIGINT) AS DOUBLE) / 100.0) AS o_total,
            CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
-                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_total,
+           (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+                FILTER (WHERE o_orderstatus = 'F') * 100 AS BIGINT) AS DOUBLE) / 100.0) AS f_total,
            CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
-                FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS p_total
+           (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+                FILTER (WHERE o_orderstatus = 'P') * 100 AS BIGINT) AS DOUBLE) / 100.0) AS p_total
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY priority
@@ -503,11 +503,11 @@ def sql_frontend_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "priority",
         F.col("o_n").cast("bigint").alias("o_n"),
-        F.col("o_total").cast("double").alias("o_total"),
+        ((F.col("o_total") * 100).cast("bigint").cast("double") / 100.0).alias("o_total"),
         F.col("f_n").cast("bigint").alias("f_n"),
-        F.col("f_total").cast("double").alias("f_total"),
+        ((F.col("f_total") * 100).cast("bigint").cast("double") / 100.0).alias("f_total"),
         F.col("p_n").cast("bigint").alias("p_n"),
-        F.col("p_total").cast("double").alias("p_total"),
+        ((F.col("p_total") * 100).cast("bigint").cast("double") / 100.0).alias("p_total"),
     )
 
 

@@ -56,6 +56,50 @@ def davg(col: Column | str, scale: int = 2) -> Column:
     return dsum(c, scale) / F.count(c)
 
 
+_WIDE_B = 10**9
+
+
+def dsum_wide(col: Column | str, scale: int = 0) -> Column:
+    """Deterministic double exit for decimal sums that can exceed 2^63
+    GRID units — where ``dsum``'s single BIGINT shift overflows (r8:
+    the OLS/Spearman power sums hit this at sf1). The exact integral
+    grid value (DECIMAL(38,0)) is split ``full = d1·10⁹ + d0`` by
+    floor-div/pmod (identical semantics both engines, negatives
+    included); each part is BIGINT-exact, and the emitted value is
+    ``(double(d1)·10⁹ + double(d0)) / 10^scale`` — every step a
+    correctly-rounded IEEE op both engines perform identically.
+    Headroom |sum| < 2^63·10⁹ grid units ≈ 9.2e27 — unreachable.
+    The emitted double is within ~2 ulp of the exact sum (one extra
+    rounding vs the direct cast); DETERMINISM is the contract, and the
+    consumers quantize far above ulp scale. Mirror: ``dsum_wide_sql``."""
+    c = F.col(col) if isinstance(col, str) else col
+    full = (F.sum(c.cast(f"decimal(38,{scale})")) * F.lit(10**scale)).cast(
+        "decimal(38,0)"
+    )
+    d0 = F.pmod(full, F.lit(_WIDE_B))
+    d1 = ((full - d0) / F.lit(_WIDE_B)).cast("bigint")
+    out = d1.cast("double") * F.lit(float(_WIDE_B)) + d0.cast("bigint").cast(
+        "double"
+    )
+    if scale:
+        out = out / F.lit(float(10**scale))
+    return out
+
+
+def dsum_wide_sql(inner: str, scale: int = 0) -> str:
+    """DuckDB mirror of :func:`dsum_wide` (HUGEINT carries the grid)."""
+    full = f"CAST(SUM(CAST({inner} AS DECIMAL(38,{scale}))) * {10 ** scale} AS HUGEINT)"
+    d0 = f"((({full}) % {_WIDE_B}) + {_WIDE_B}) % {_WIDE_B}"
+    d1 = f"(({full}) - ({d0})) // {_WIDE_B}"
+    expr = (
+        f"(CAST(CAST({d1} AS BIGINT) AS DOUBLE) * {_WIDE_B}.0"
+        f" + CAST(CAST({d0} AS BIGINT) AS DOUBLE))"
+    )
+    if scale:
+        expr = f"({expr} / {10 ** scale}.0)"
+    return expr
+
+
 @register(
     "agg_pricing_summary",
     oracle="""
@@ -323,7 +367,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_linestatus,
            COUNT(*) AS n,
-           (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+           ((CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0)
             - (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0)
               * (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) / COUNT(*))
            / (COUNT(*) - 1) AS var_qty
@@ -334,14 +378,23 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: sample variance via exact decimal moments (sum, sum-of-squares)
     so the result is bit-identical regardless of accumulation order —
-    the portable form of VAR_SAMP."""
+    the portable form of VAR_SAMP. Both moment exits use the
+    scaled-BIGINT path on BOTH sides (r8: the sum-of-squares term and
+    the Spark-side linear sum were still on the direct decimal→double
+    cast, which diverges from the oracle past 2^53 grid units)."""
     l = tbl(spark, sf_dir, "lineitem")
     q2 = (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(30,4)")
-    sum_q = F.sum(F.col("l_quantity").cast("decimal(27,2)")).cast("double")
+    sum_q2 = (F.sum(q2) * 10000).cast("bigint").cast("double") / 10000.0
+    sum_q = (
+        (F.sum(F.col("l_quantity").cast("decimal(27,2)")) * 100)
+        .cast("bigint")
+        .cast("double")
+        / 100.0
+    )
     n = F.count("*")
     return l.groupBy("l_linestatus").agg(
         n.alias("n"),
-        ((F.sum(q2).cast("double") - sum_q * sum_q / n) / (n - 1)).alias("var_qty"),
+        ((sum_q2 - sum_q * sum_q / n) / (n - 1)).alias("var_qty"),
     )
 
 
@@ -988,7 +1041,7 @@ def agg_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_spearman_rank_corr",
-    oracle="""
+    oracle=f"""
     WITH vx AS (
       SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem
       GROUP BY 1),
@@ -1010,11 +1063,11 @@ def agg_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN ry ON l.l_discount = ry.v),
     sums AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(CAST(SUM(CAST(ax AS DECIMAL(38,0))) AS DOUBLE) AS DOUBLE) AS sx,
-             CAST(CAST(SUM(CAST(ay AS DECIMAL(38,0))) AS DOUBLE) AS DOUBLE) AS sy,
-             CAST(CAST(SUM(CAST(ax * ay AS DECIMAL(38,0))) AS DOUBLE) AS DOUBLE) AS sxy,
-             CAST(CAST(SUM(CAST(ax * ax AS DECIMAL(38,0))) AS DOUBLE) AS DOUBLE) AS sxx,
-             CAST(CAST(SUM(CAST(ay * ay AS DECIMAL(38,0))) AS DOUBLE) AS DOUBLE) AS syy
+             {dsum_wide_sql("ax")} AS sx,
+             {dsum_wide_sql("ay")} AS sy,
+             {dsum_wide_sql("ax * ay")} AS sxy,
+             {dsum_wide_sql("ax * ax")} AS sxx,
+             {dsum_wide_sql("ay * ay")} AS syy
       FROM joined)
     SELECT CAST(n AS BIGINT) AS n_rows,
            CAST(FLOOR(1e9 * (n * sxy - sx * sy)
@@ -1067,14 +1120,16 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ry), li.l_discount == ry.v)
         .select("ax", "ay")
     )
-    d38 = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")
+    # wide exit (r8): rank power sums pass 2^53 grid units near sf1,
+    # where the direct decimal->double cast may round differently per
+    # engine; dsum_wide is deterministic at any magnitude
     sums = joined.agg(
         F.count("*").cast("double").alias("n"),
-        d38(F.col("ax")).alias("sx"),
-        d38(F.col("ay")).alias("sy"),
-        d38(F.col("ax") * F.col("ay")).alias("sxy"),
-        d38(F.col("ax") * F.col("ax")).alias("sxx"),
-        d38(F.col("ay") * F.col("ay")).alias("syy"),
+        dsum_wide(F.col("ax")).alias("sx"),
+        dsum_wide(F.col("ay")).alias("sy"),
+        dsum_wide(F.col("ax") * F.col("ay")).alias("sxy"),
+        dsum_wide(F.col("ax") * F.col("ax")).alias("sxx"),
+        dsum_wide(F.col("ay") * F.col("ay")).alias("syy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.sqrt(
@@ -1089,7 +1144,7 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_ols_regression",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT l_returnflag AS flag,
              CAST(COUNT(*) AS DOUBLE) AS n,
@@ -1097,12 +1152,9 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DOUBLE) AS sx,
              CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0
                   AS DOUBLE) AS sy,
-             CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))
-                           ) AS DOUBLE) AS DOUBLE) AS sxy,
-             CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4)))
-                       AS DOUBLE) AS DOUBLE) AS sxx,
-             CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice
-                                AS DECIMAL(38,4))) AS DOUBLE) AS DOUBLE) AS syy
+             {dsum_wide_sql("l_quantity * l_extendedprice", 4)} AS sxy,
+             {dsum_wide_sql("l_quantity * l_quantity", 4)} AS sxx,
+             {dsum_wide_sql("l_extendedprice * l_extendedprice", 4)} AS syy
       FROM lineitem GROUP BY l_returnflag)
     SELECT flag, CAST(n AS BIGINT) AS n_rows,
            CAST(FLOOR(1e6 * (n * sxy - sx * sy) / (n * sxx - sx * sx) + 0.5)
@@ -1130,14 +1182,19 @@ def agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations, no driver math."""
     li = tbl(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
-    d = lambda c, t: F.sum(c.cast(t)).cast("double")
+    # exits (r8): linear sums mirror the oracle's scaled-BIGINT path;
+    # the power sums pass 2^63 grid units at modest sf, so they take
+    # the wide split exit (deterministic at any magnitude)
+    ds = lambda c: (F.sum(c.cast("decimal(27,2)")) * 100).cast("bigint").cast(
+        "double"
+    ) / 100.0
     s = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
         F.count("*").cast("double").alias("n"),
-        d(x, "decimal(27,2)").alias("sx"),
-        d(y, "decimal(27,2)").alias("sy"),
-        d(x * y, "decimal(38,4)").alias("sxy"),
-        d(x * x, "decimal(38,4)").alias("sxx"),
-        d(y * y, "decimal(38,4)").alias("syy"),
+        ds(x).alias("sx"),
+        ds(y).alias("sy"),
+        dsum_wide(x * y, 4).alias("sxy"),
+        dsum_wide(x * x, 4).alias("sxx"),
+        dsum_wide(y * y, 4).alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")

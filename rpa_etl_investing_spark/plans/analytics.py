@@ -838,8 +838,7 @@ def analytics_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4)))
-                AS DOUBLE) AS profit
+           (CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0) AS profit
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -875,7 +874,10 @@ def analytics_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
-        .agg(F.sum(profit).cast("double").alias("profit"))
+        .agg(
+            ((F.sum(profit) * 10000).cast("bigint").cast("double") / 10000.0)
+            .alias("profit")
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 

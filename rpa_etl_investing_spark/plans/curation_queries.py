@@ -699,7 +699,7 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY q.quality DESC, q.doc_id) AS pr
       FROM q JOIN documents d USING (doc_id))
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
-           CAST(SUM(CAST(quality AS DECIMAL(27,12))) AS DOUBLE) AS total_quality
+           (CAST(CAST(SUM(CAST(quality AS DECIMAL(27,12))) * 1000000000000 AS BIGINT) AS DOUBLE) / 1000000000000.0) AS total_quality
     FROM r WHERE pr <= 0.5
     GROUP BY lang ORDER BY lang
     """.replace("{stops}", _stop_in()),
@@ -735,9 +735,16 @@ def curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_kept"),
-            F.sum(F.col("quality").cast("decimal(27,12)"))
-            .cast("double")
-            .alias("total_quality"),
+            # scaled-BIGINT exit (r8): at scale 12 the direct cast's
+            # bit-identical window ends at 2^53/1e12 ≈ 9e3 quality
+            # points per lang — sf1 already exceeds it; the shifted
+            # exit is exact to 2^63/1e12 ≈ 9.2e6.
+            (
+                (F.sum(F.col("quality").cast("decimal(27,12)")) * F.lit(10**12))
+                .cast("bigint")
+                .cast("double")
+                / F.lit(float(10**12))
+            ).alias("total_quality"),
         )
         .orderBy("lang")
     )
