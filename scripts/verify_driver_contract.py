@@ -57,6 +57,15 @@ def main() -> int:
     import __spark_entry__ as contract
     from tests.parity import compare_frames, duck_connection
 
+    # Declared walls (r8): SPARK_GRAFT_SKIP names queries whose ORACLE
+    # (or output) is known-intractable at the target scale — e.g. the
+    # exact tau-join's quadratic OUTPUT at sf1. They are recorded as
+    # SKIPPED with the declaration, so a single uninterrupted stress
+    # pass can cover everything else without hanging on a named wall.
+    skip_names = {
+        s for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",") if s
+    }
+
     if use_factory:
         from rpa_etl_investing_spark import get_spark
 
@@ -88,6 +97,8 @@ def main() -> int:
     names = [n for n in sorted(queries) if not name_filter or name_filter in n]
 
     def check_one(name: str, con) -> str:
+        if name in skip_names:
+            return "SKIPPED (declared wall: SPARK_GRAFT_SKIP)"
         try:
             spark_pdf = queries[name](spark, sf_dir).toPandas()
             if name in oracles:
@@ -138,6 +149,10 @@ def main() -> int:
         "n_queries": len(results),
         "n_oracle_matched": sum(1 for v in results.values() if v == "MATCH"),
         "n_rows_only": sum(1 for v in results.values() if v.startswith("ROWS_ONLY")),
+        "n_skipped": sum(1 for v in results.values() if v.startswith("SKIPPED")),
+        "skipped": sorted(
+            k for k, v in results.items() if v.startswith("SKIPPED")
+        ),
         "n_bad": len(bad),
         "bad": bad,
     }
