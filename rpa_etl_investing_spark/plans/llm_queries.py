@@ -4269,3 +4269,128 @@ def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("label", "rnk", "vec_id", F.col("cos_q").alias("cos_to_centroid_q"))
     )
+
+
+@register(
+    "llm_heldout_perplexity",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    split AS (
+      SELECT t.doc_id, t.t, d.source, d.doc_id % 10 = 7 AS held_out
+      FROM tok t JOIN documents d USING (doc_id)),
+    tr_bi AS (
+      SELECT STRING_SPLIT(s, ' ')[1] AS v, STRING_SPLIT(s, ' ')[2] AS w
+      FROM (SELECT UNNEST(CASE WHEN LEN(t) < 2 THEN CAST([] AS VARCHAR[])
+                               ELSE LIST_TRANSFORM(RANGE(1, LEN(t)),
+                                      i -> t[i] || ' ' || t[i+1]) END) AS s
+            FROM split WHERE NOT held_out)),
+    c AS MATERIALIZED (
+      SELECT v, w, CAST(COUNT(*) AS BIGINT) AS c_vw FROM tr_bi GROUP BY 1, 2),
+    cv AS MATERIALIZED (
+      SELECT v, CAST(SUM(c_vw) AS BIGINT) AS c_v FROM c GROUP BY v),
+    vocab AS (SELECT CAST(COUNT(DISTINCT w) + 1 AS BIGINT) AS vsz FROM c),
+    ev_bi AS (
+      SELECT source, STRING_SPLIT(s, ' ')[1] AS v, STRING_SPLIT(s, ' ')[2] AS w
+      FROM (SELECT source,
+                   UNNEST(CASE WHEN LEN(t) < 2 THEN CAST([] AS VARCHAR[])
+                               ELSE LIST_TRANSFORM(RANGE(1, LEN(t)),
+                                      i -> t[i] || ' ' || t[i+1]) END) AS s
+            FROM split WHERE held_out)),
+    scored AS (
+      SELECT e.source,
+             CAST(FLOOR(1e9 * LN(
+               (COALESCE(c.c_vw, 0) + 1.0)
+               / (COALESCE(cv.c_v, 0) + vocab.vsz)) + 0.5) AS BIGINT) AS lp_q
+      FROM ev_bi e
+      LEFT JOIN c  ON c.v = e.v AND c.w = e.w
+      LEFT JOIN cv ON cv.v = e.v
+      CROSS JOIN vocab)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lp_q) AS BIGINT) AS sum_lp_q,
+           CAST(SUM(lp_q) AS BIGINT) // COUNT(*) AS mean_lp_q
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def llm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 LM quality gate with TRAIN/EVAL SPLIT DISCIPLINE: a Laplace-
+    smoothed bigram LM is fit on the train split (doc_id % 10 ≠ 7) and
+    evaluated on the HELD-OUT split only — per source, the summed and
+    mean quantized log-probability of its held-out bigrams (mean_lp_q
+    is −ln(perplexity) on the 1e-9 grid). This is the fluency-filter
+    family's missing evaluation leg: `llm_bigram_kneser_ney` builds a
+    smoother, this measures one on data the model never saw, per
+    source — the number that decides which crawl slices the filter can
+    be trusted on. Unseen context backs off to the uniform 1/(0+V)
+    floor; V = train bigram-continuation vocabulary + 1 (the OOV slot).
+
+    Exactness: all counts are exact BIGINTs; each eval bigram's
+    log-probability is ONE libm ln of an identically-derived double
+    ratio, quantized once to the 1e-9 grid (the repo's standing
+    quantized-ln pattern — entropy/PMI/NB all rely on platform-libm
+    equality, enrolled in MULTI_SF_NAMES); sums and the trunc-division
+    mean are integer ops.
+
+    Scale shape: the train aggregate is one explode + (v,w) hash
+    aggregate (vocabulary²-bounded output); eval joins each held-out
+    bigram against the count relations — at 100 TB the count tables
+    are the small side (broadcast or bucket-join) and the corpus is
+    touched twice (once per split), never joined to itself."""
+    from rpa_etl_investing_spark.operators.dedup import spread, tokens_col
+
+    docs = tbl(spark, sf_dir, "documents")
+    toks = spread(docs, "doc_id").select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 10 == 7).alias("held_out"),
+        tokens_col("text").alias("t"),
+    )
+    bi = lambda df: df.select(
+        df.source,
+        df.held_out,
+        F.explode(
+            F.when(
+                F.size("t") < 2, F.array().cast("array<struct<v:string,w:string>>")
+            ).otherwise(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS v, t[i] AS w))"
+                )
+            )
+        ).alias("b"),
+    ).select("source", "held_out", F.col("b.v").alias("v"), F.col("b.w").alias("w"))
+    all_bi = bi(toks)
+    train = all_bi.filter(~F.col("held_out"))
+    c = train.groupBy("v", "w").agg(F.count(F.lit(1)).cast("bigint").alias("c_vw"))
+    cv = c.groupBy("v").agg(F.sum("c_vw").cast("bigint").alias("c_v"))
+    vsz = c.agg(
+        (F.countDistinct("w") + 1).cast("bigint").alias("vsz")
+    )
+    ev = all_bi.filter(F.col("held_out"))
+    scored = (
+        ev.join(c, ["v", "w"], "left")
+        .join(cv, "v", "left")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "source",
+            F.floor(
+                F.lit(1e9)
+                * F.log(
+                    (F.coalesce(F.col("c_vw"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("c_v"), F.lit(0)) + F.col("vsz"))
+                )
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lp_q"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("lp_q").cast("bigint").alias("sum_lp_q"),
+            F.expr("CAST(SUM(lp_q) AS BIGINT) div COUNT(*)").alias("mean_lp_q"),
+        )
+        .orderBy("source")
+    )

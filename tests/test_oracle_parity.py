@@ -174,6 +174,9 @@ MULTI_SF_NAMES = [
     "llm_embedding_gram_blocked",
     "llm_embedding_int8",
     "timeseries_time_weighted_avg",
+    # r8: quantized-ln path (platform-libm equality) — int output, but
+    # the ln grid must stay stable at every fixture scale
+    "llm_heldout_perplexity",
     "timeseries_gap_fill_locf_derived",
     "curation_fit_transform_scaling",
 ]
