@@ -118,6 +118,34 @@ def test_large_small_star_equals_iterative(spark, seed):
     assert got_iter == expect
 
 
+@pytest.mark.parametrize("seed", [7, 2026])
+def test_pointer_jumping_equals_union_find(spark, seed):
+    """r8: the hook+jump variant agrees with the union-find ground
+    truth on random graphs plus the adversarial chain — and, the point
+    of the algorithm, converges on a 64-vertex chain within the
+    O(log diameter) round budget (reach doubles per round), where
+    plain propagation needs 64 rounds."""
+    import random
+
+    from rpa_etl_investing_spark.operators.components import (
+        pointer_jumping_components,
+    )
+
+    rng = random.Random(seed)
+    n = 60
+    edge_list = [(i, i + 1) for i in range(100, 164)]  # 64-vertex chain
+    edge_list += [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    edges = spark.createDataFrame(edge_list, ["doc_a", "doc_b"])
+
+    expect = _ground_truth_components(edge_list)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in pointer_jumping_components(edges, max_iter=10).collect()
+    }
+    assert got == expect
+
+
 # ---- two-level (sharded) prefix sums (operators/prefix.py) ----------------
 
 
