@@ -281,7 +281,7 @@ FLOAT_EXEMPT: dict[str, str] = {
     "subquery_not_exists_dormant": _EXACT_EXIT,
     "subquery_scalar_per_part_avg": _EXACT_EXIT,
     "timeseries_sessionize": _EXACT_EXIT,
-    "udf_grouped_agg_spread": _EXACT_EXIT,
+    "udf_grouped_agg_spread": _POINTWISE,  # max-min: one subtract of exact picks
     # row-local IEEE ops
     "array_funcs": _POINTWISE,
     "math_funcs": _POINTWISE,
