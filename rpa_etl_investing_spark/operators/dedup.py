@@ -839,3 +839,107 @@ def prefix_filter_pairs(
         )
         .select("da", "db", "common", "size_a", "size_b")
     )
+
+
+def prefix_filter_pairs_capped(
+    docs: DataFrame,
+    text_col: str = "text",
+    tau_num: int = 6,
+    tau_den: int = 10,
+    max_posting: int = MAX_PREFIX_POSTING,
+) -> DataFrame:
+    """The exact τ-join's SCALE-GREEN sibling (r9, verdict item #3):
+    :func:`prefix_filter_pairs` with a per-prefix-token posting-list
+    occupancy cap, mirroring ``MAX_BAND_BUCKET`` on the LSH families.
+
+    The uncapped join is exact — and therefore has quadratic OUTPUT on
+    a boilerplate-heavy corpus (the declared sf1 wall: ~71M result
+    pairs from hot prefix tokens shared by entire near-dup clusters).
+    This variant drops prefix tokens whose posting list exceeds
+    ``max_posting`` from CANDIDATE GENERATION: a pair qualifies iff it
+    shares at least one *kept* prefix token and passes the exact
+    integer τ test on the full token sets. Members of a capped token's
+    cluster are still found when they share any rarer prefix token;
+    pairs reachable only through capped tokens are dropped, and
+    :func:`prefix_filter_cap_audit` counts exactly that drop.
+
+    The positional filter of the uncapped variant is deliberately
+    absent here: its pruning argument is anchored to the FIRST shared
+    prefix token, and capping can remove precisely that token, which
+    would turn a recall-safe heuristic into silent pair loss. The
+    length filter stays (pure algebra: J ≥ τ ⇒ τ·|B| ≤ |A|), and the
+    cap itself is the candidate-volume guard that matters at scale:
+    per-token fan-out is ≤ max_posting², so candidates are bounded by
+    |kept tokens|·max_posting² regardless of corpus skew."""
+    tok, sizes, prefix = _prefix_index(docs, text_col, tau_num, tau_den)
+    posting = prefix.groupBy("token").agg(
+        F.count(F.lit(1)).alias("posting_size")
+    )
+    kept = prefix.join(
+        posting.filter(F.col("posting_size") <= max_posting).select("token"),
+        "token",
+    )
+    a = kept.select(F.col("doc_id").alias("da"), "token", F.col("n").alias("na"))
+    b = kept.select(F.col("doc_id").alias("db"), "token", F.col("n").alias("nb"))
+    cands = (
+        a.join(b, "token")
+        .filter(F.col("da") < F.col("db"))
+        .filter(
+            (F.lit(tau_den) * F.col("na") >= F.lit(tau_num) * F.col("nb"))
+            & (F.lit(tau_den) * F.col("nb") >= F.lit(tau_num) * F.col("na"))
+        )
+        .select("da", "db")
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("da"), "token")
+    tb = tok.select(F.col("doc_id").alias("db"), "token")
+    common = (
+        cands.join(ta, "da")
+        .join(tb, ["db", "token"])
+        .groupBy("da", "db")
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("size_b"))
+    return (
+        common.join(sa, "da")
+        .join(sb, "db")
+        .filter(
+            F.lit(tau_den) * F.col("common")
+            >= F.lit(tau_num)
+            * (F.col("size_a") + F.col("size_b") - F.col("common"))
+        )
+        .select("da", "db", "common", "size_a", "size_b")
+    )
+
+
+def prefix_filter_cap_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    tau_num: int = 6,
+    tau_den: int = 10,
+    max_posting: int = MAX_PREFIX_POSTING,
+) -> DataFrame:
+    """Occupancy audit for :func:`prefix_filter_pairs_capped`, same
+    contract as ``simhash64_bucket_audit``: how many prefix tokens
+    exist, how many the cap silences, the candidate pairs those tokens
+    would have generated (the upper bound on dropped TRUE pairs), and
+    the hottest posting list — the four numbers that say whether the
+    cap is inert (sf ≤ 0.01 on this fixture) or biting (sf ≥ 0.1), so
+    a 100 TB operator never drops pairs without a ledger entry."""
+    _tok, _sizes, prefix = _prefix_index(docs, text_col, tau_num, tau_den)
+    sizes = prefix.groupBy("token").agg(
+        F.count(F.lit(1)).alias("posting_size")
+    )
+    hot = F.col("posting_size") > max_posting
+    return sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_prefix_tokens"),
+        F.sum(F.when(hot, 1).otherwise(0)).cast("bigint").alias("n_capped_tokens"),
+        F.sum(
+            F.when(hot, F.col("posting_size") * (F.col("posting_size") - 1) / 2)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_dropped_token_pairs"),
+        F.max("posting_size").cast("bigint").alias("max_posting_size"),
+    )

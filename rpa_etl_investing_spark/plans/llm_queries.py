@@ -30,6 +30,7 @@ from rpa_etl_investing_spark.operators import (
 )
 from rpa_etl_investing_spark.operators.dedup import (
     MAX_BAND_BUCKET,
+    MAX_PREFIX_POSTING,
     MINHASH_PRIME,
     N_BANDS,
     N_MINHASH,
@@ -1906,6 +1907,102 @@ def llm_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rpa_etl_investing_spark.operators.dedup import prefix_filter_pairs
 
     return prefix_filter_pairs(tbl(spark, sf_dir, "documents"))
+
+
+# Rarity-ordered prefix index replayed in DuckDB (shared by the capped
+# tau-join and its audit): per-doc distinct tokens, global df, row_number
+# by (df, token) within doc, and the |d| - ceil(tau*|d|) + 1 prefix.
+# Deterministic in both engines -- token is unique within a doc, so the
+# (df, token) sort is a total order.
+_PREFIX_IDX_CTES = f"""{_TOK_CTE},
+    pex AS (SELECT DISTINCT doc_id, UNNEST(t) AS token FROM tok),
+    psizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM pex GROUP BY doc_id),
+    pdfs AS (SELECT token, COUNT(*) AS df FROM pex GROUP BY token),
+    pranked AS (
+      SELECT pex.doc_id, pex.token, s.n,
+             ROW_NUMBER() OVER (PARTITION BY pex.doc_id
+                                ORDER BY d.df, pex.token) AS rn
+      FROM pex JOIN pdfs d USING (token)
+      JOIN psizes s ON pex.doc_id = s.doc_id),
+    pprefix AS MATERIALIZED (
+      SELECT doc_id, token FROM pranked
+      WHERE rn <= n - (6 * n + 9) // 10 + 1)"""
+
+
+@register(
+    "llm_prefix_filter_pairs_capped",
+    oracle=f"""
+    WITH {_PREFIX_IDX_CTES},
+    pkeep AS (SELECT token FROM pprefix GROUP BY token
+              HAVING COUNT(*) <= {MAX_PREFIX_POSTING}),
+    pf AS MATERIALIZED (
+      SELECT pprefix.doc_id, pprefix.token
+      FROM pprefix JOIN pkeep USING (token)),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM pf a JOIN pf b ON a.token = b.token AND a.doc_id < b.doc_id),
+    co AS (
+      SELECT c.da, c.db, CAST(COUNT(*) AS BIGINT) AS common
+      FROM cand c
+      JOIN pex a ON a.doc_id = c.da
+      JOIN pex b ON b.doc_id = c.db AND b.token = a.token
+      GROUP BY c.da, c.db)
+    SELECT co.da, co.db, co.common, sa.n AS size_a, sb.n AS size_b
+    FROM co
+    JOIN psizes sa ON co.da = sa.doc_id
+    JOIN psizes sb ON co.db = sb.doc_id
+    WHERE 10 * co.common >= 6 * (sa.n + sb.n - co.common)
+    """,
+)
+def llm_prefix_filter_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 (verdict item #3): the exact tau-join's scale-green sibling --
+    prefix filtering with a per-prefix-token posting-list occupancy cap
+    (operators/dedup.py prefix_filter_pairs_capped). The uncapped
+    operator's OUTPUT is quadratic on boilerplate-heavy corpora (the
+    declared sf1 wall: ~71M result pairs); here hot prefix tokens
+    (posting > MAX_PREFIX_POSTING = 500) are dropped from candidate
+    generation, a pair qualifies iff it shares a KEPT prefix token and
+    passes the exact integer tau test on the full token sets, and the
+    drop is ledgered by ``llm_prefix_filter_cap_audit``. The oracle
+    replays the identical rarity-ordered index, cap, candidate join,
+    and tau test -- on this fixture the cap is inert at sf0.01 (the
+    driver gate there proves capped == uncapped semantics) and BITES at
+    sf0.1 (14 of 24 prefix tokens capped), which is what keeps the
+    OUTPUT bounded at sf1 where the uncapped sibling is a declared
+    wall."""
+    from rpa_etl_investing_spark.operators.dedup import (
+        prefix_filter_pairs_capped,
+    )
+
+    return prefix_filter_pairs_capped(tbl(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_prefix_filter_cap_audit",
+    oracle=f"""
+    WITH {_PREFIX_IDX_CTES},
+    posting AS (SELECT token, COUNT(*) AS s FROM pprefix GROUP BY token)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_prefix_tokens,
+           CAST(SUM(CASE WHEN s > {MAX_PREFIX_POSTING} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_capped_tokens,
+           CAST(SUM(CASE WHEN s > {MAX_PREFIX_POSTING}
+                         THEN s * (s - 1) / 2 ELSE 0 END)
+                AS BIGINT) AS n_dropped_token_pairs,
+           CAST(MAX(s) AS BIGINT) AS max_posting_size
+    FROM posting
+    """,
+)
+def llm_prefix_filter_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: the capped tau-join's drop ledger (same contract as
+    ``llm_simhash64_bucket_audit``): prefix-token count, capped-token
+    count, the candidate pairs capping silences, and the hottest
+    posting list -- derived from the SAME rarity-ordered prefix index
+    the pair join uses, so the hash match proves the index, the cap
+    threshold, and the inert/biting claim at each fixture scale."""
+    from rpa_etl_investing_spark.operators.dedup import prefix_filter_cap_audit
+
+    return prefix_filter_cap_audit(tbl(spark, sf_dir, "documents"))
 
 
 @register(
@@ -4393,4 +4490,161 @@ def llm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(SUM(lp_q) AS BIGINT) div COUNT(*)").alias("mean_lp_q"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "llm_heldout_nb_auc",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    nbex AS (SELECT doc_id, UNNEST(t) AS tok FROM tok),
+    nblab AS (SELECT doc_id, lang, doc_id % 10 = 7 AS held_out
+              FROM documents),
+    nbb AS (
+      SELECT nbex.doc_id, nblab.lang, nblab.held_out,
+             ('0x' || substr(md5(nbex.tok), 1, 4))::INT % 16384 AS bucket
+      FROM nbex JOIN nblab ON nbex.doc_id = nblab.doc_id),
+    nbcounts AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cpos,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+               AS cneg
+      FROM nbb WHERE NOT held_out GROUP BY bucket),
+    nbtot AS (
+      SELECT CAST(SUM(cpos) AS BIGINT) AS tpos,
+             CAST(SUM(cneg) AS BIGINT) AS tneg
+      FROM nbcounts),
+    nbw AS (
+      SELECT bucket,
+             CAST(FLOOR(1e6 * (LN((cpos + 1.0) / (tpos + 16384.0))
+                               - LN((cneg + 1.0) / (tneg + 16384.0)))
+                        + 0.5) AS BIGINT) AS w_q
+      FROM nbcounts CROSS JOIN nbtot),
+    nbw0 AS (
+      SELECT CAST(FLOOR(1e6 * (LN(1.0 / (tpos + 16384.0))
+                               - LN(1.0 / (tneg + 16384.0)))
+                        + 0.5) AS BIGINT) AS w0_q
+      FROM nbtot),
+    nbsc AS (
+      SELECT nbb.doc_id,
+             MAX(CASE WHEN nbb.lang = 'en' THEN 1 ELSE 0 END) AS y,
+             CAST(SUM(COALESCE(nbw.w_q, nbw0.w0_q)) AS BIGINT) AS score_q
+      FROM nbb LEFT JOIN nbw USING (bucket) CROSS JOIN nbw0
+      WHERE nbb.held_out
+      GROUP BY nbb.doc_id),
+    nbg AS (SELECT score_q, COUNT(*) AS n, SUM(y) AS npos
+            FROM nbsc GROUP BY score_q),
+    nbr AS (SELECT n, npos,
+                   SUM(n) OVER (ORDER BY score_q
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum
+            FROM nbg),
+    nbagg AS (
+      SELECT CAST(SUM(npos * (2 * (cum - n) + n + 1)) AS BIGINT) AS s2r,
+             CAST(SUM(npos) AS BIGINT) AS np,
+             CAST(SUM(n) AS BIGINT) AS ntot
+      FROM nbr)
+    SELECT np AS n_pos, ntot - np AS n_neg,
+           s2r - np * (np + 1) AS u2,
+           CAST(s2r - np * (np + 1) AS DOUBLE) / (2 * np * (ntot - np)) AS auc
+    FROM nbagg
+    """,
+)
+def llm_heldout_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9 (verdict item #7): HELD-OUT evaluation of the hashed-NB
+    quality classifier — the train/eval split discipline
+    ``llm_heldout_perplexity`` established for the bigram LM, applied
+    to the second model family. Weights are learned ONLY on the train
+    split (doc_id % 10 != 7, identical to the LM's split), held-out
+    documents are scored with those frozen weights (buckets unseen in
+    training back off to the Laplace floor weight — the (0+1)/(tot+V)
+    log-odds, one constant), and exact tie-averaged ROC AUC is
+    computed over the held-out (score, lang='en') pairs via the
+    Mann-Whitney rank identity (same machinery as
+    ``llm_classifier_auc``). In-corpus AUC says the classifier can fit;
+    THIS number says it generalizes — the gate a curation classifier
+    must pass before filtering a 100 TB crawl slice.
+
+    Exactness: bucket weights quantized to BIGINT on the 1e-6 grid
+    (one ln per bucket); per-doc scores are exact integer sums; the
+    AUC's only ordered pass runs over DISTINCT held-out score values.
+    Scale shape: the weights relation is bounded at 2^14 rows —
+    broadcast at any corpus size; train and eval each touch the corpus
+    once, map-side."""
+    docs = tbl(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 10 == 7).alias("held_out"),
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
+        % 16384
+    )
+    b = ex.select("doc_id", "lang", "held_out", bucket.alias("bucket"))
+    counts = (
+        b.filter(~F.col("held_out"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("cpos"),
+            F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
+            .cast("bigint")
+            .alias("cneg"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("cpos").cast("bigint").alias("tpos"),
+        F.sum("cneg").cast("bigint").alias("tneg"),
+    )
+    q6 = lambda e: F.floor(F.lit(1e6) * e + F.lit(0.5)).cast("bigint")  # noqa: E731
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        q6(
+            F.log((F.col("cpos") + F.lit(1.0)) / (F.col("tpos") + F.lit(16384.0)))
+            - F.log((F.col("cneg") + F.lit(1.0)) / (F.col("tneg") + F.lit(16384.0)))
+        ).alias("w_q"),
+    )
+    w0 = tot.select(
+        q6(
+            F.log(F.lit(1.0) / (F.col("tpos") + F.lit(16384.0)))
+            - F.log(F.lit(1.0) / (F.col("tneg") + F.lit(16384.0)))
+        ).alias("w0_q")
+    )
+    # 2^14-bounded weights + 1-row floor: both broadcast-safe at any SF
+    sc = (
+        b.filter(F.col("held_out"))
+        .join(F.broadcast(w), "bucket", "left")
+        .crossJoin(F.broadcast(w0))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("y"),
+            F.sum(F.coalesce("w_q", "w0_q")).cast("bigint").alias("score_q"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    g = sc.groupBy("score_q").agg(
+        F.count("*").alias("n"), F.sum("y").alias("npos")
+    )
+    cum_w = W.orderBy("score_q").rowsBetween(W.unboundedPreceding, W.currentRow)
+    t = g.select("n", "npos", F.sum("n").over(cum_w).alias("cum"))
+    agg = t.agg(
+        F.sum(
+            F.col("npos") * (2 * (F.col("cum") - F.col("n")) + F.col("n") + 1)
+        ).alias("s2r"),
+        F.sum("npos").alias("np"),
+        F.sum("n").alias("ntot"),
+    )
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        (F.col("ntot") - F.col("np")).alias("n_neg"),
+        (F.col("s2r") - F.col("np") * (F.col("np") + 1)).alias("u2"),
+        (
+            (F.col("s2r") - F.col("np") * (F.col("np") + 1))
+            / (2 * F.col("np") * (F.col("ntot") - F.col("np")))
+        ).alias("auc"),
     )

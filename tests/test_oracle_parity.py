@@ -179,6 +179,9 @@ MULTI_SF_NAMES = [
     "llm_heldout_perplexity",
     "timeseries_gap_fill_locf_derived",
     "curation_fit_transform_scaling",
+    # r9: held-out NB AUC — quantized-ln bucket weights + exact rank
+    # AUC; the auc double is one integer-over-integer division
+    "llm_heldout_nb_auc",
 ]
 
 # r8 (verdict item #4): queries with float/double OUTPUT columns that are
