@@ -213,7 +213,9 @@ def load_star_schema(
     Returns row-count metrics, including rejected rows (observable,
     unlike ``main.py:116-117``)."""
     result = transform_raw(raw)
-    clean = result.clean.cache()
+    from rpa_etl_investing_spark.operators.caching import persist_once
+
+    clean = persist_once(result.clean)
 
     def read_dim(name: str) -> DataFrame | None:
         # Only the path-missing case means "first run" (main.py:20-22).

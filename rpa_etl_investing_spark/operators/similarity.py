@@ -346,7 +346,9 @@ def ivf_topk(
     # spark.catalog.clearCache() between them.
     prep = prep_vectors(corpus, id_col, vec_col)
     if lloyd_iters:
-        prep = prep.persist()
+        from rpa_etl_investing_spark.operators.caching import persist_once
+
+        prep = persist_once(prep)
     for _ in range(lloyd_iters):
         seed_cells = ivf_assign_cells(
             prep, centroids, id_col, vec_col, prepared=True
@@ -361,7 +363,9 @@ def ivf_topk(
             prep, centroids, id_col, vec_col, nprobe, prepared=True
         )
         if nprobe > 1:
-            assigned = assigned.persist()
+            from rpa_etl_investing_spark.operators.caching import persist_once
+
+            assigned = persist_once(assigned)
         corpus_cells = assigned.filter(F.col("probe_rank") == 1).drop("probe_rank")
         query_cells = assigned.join(F.broadcast(qkeys), id_col, "left_semi")
     else:

@@ -269,12 +269,23 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bucketed,
     )
 
+    import threading
+
     tag = _sf_tag(sf_dir)
     li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     od = tbl(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    lt, rt = f"bq_lineitem_{tag}".replace(".", "_"), f"bq_orders_{tag}".replace(".", "_")
+    # Catalog table names are keyed by the calling THREAD, mirroring the
+    # scratch paths (r9, ADVICE item #1): with a session-global name,
+    # a second thread's DROP TABLE IF EXISTS + saveAsTable could drop or
+    # re-point the table between this thread's write and its LAZY
+    # spark.table() readback (TABLE_OR_VIEW_NOT_FOUND / FileNotFound).
+    # Same growth bound as scratch_dir: idents are reused, and a reused
+    # ident only overwrites a table whose owner thread is gone.
+    tid = f"t{threading.get_ident()}"
+    lt = f"bq_lineitem_{tag}_{tid}".replace(".", "_")
+    rt = f"bq_orders_{tag}_{tid}".replace(".", "_")
     write_bucketed(
         li, lt, ["l_orderkey"], 8, ["l_orderkey"],
         path=os.path.dirname(scratch_dir(tag, "bucketed", lt, "files")),

@@ -102,7 +102,9 @@ def split_rejects(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     also makes good/bad two reads of one parse rather than two parses.
     A long-lived pipeline would instead stage the parsed scan to parquet
     and split from there — same one-parse property, spillable."""
-    df = df.cache()
+    from rpa_etl_investing_spark.operators.caching import persist_once
+
+    df = persist_once(df)
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return good, bad

@@ -100,14 +100,27 @@ def main() -> int:
         if name in skip_names:
             return "SKIPPED (declared wall: SPARK_GRAFT_SKIP)"
         try:
-            spark_pdf = queries[name](spark, sf_dir).toPandas()
+            sdf = queries[name](spark, sf_dir)
             if name in oracles:
+                # Size gate (r9, verdict item #6): above
+                # SPARK_GRAFT_HASH_GATE_ROWS (default 1M) both engines
+                # reduce to an order-insensitive checksum instead of
+                # materializing to pandas twice — the r8 sf1 pass spent
+                # 874 s on ONE 24M-row pandas round-trip. Ineligible
+                # pairs (small, exotic types) fall through to the exact
+                # path; None means "not taken".
+                hashed = hashed_compare(sdf, con, oracles[name])
+                if hashed is not None:
+                    return "MATCH (hashed)" if not hashed else (
+                        "MISMATCH: " + "; ".join(hashed)
+                    )
+                spark_pdf = sdf.toPandas()
                 duck_pdf = con.execute(oracles[name]).df()
                 problems = compare_frames(spark_pdf, duck_pdf)
                 return "MATCH" if not problems else (
                     "MISMATCH: " + "; ".join(problems)
                 )
-            return f"ROWS_ONLY ({len(spark_pdf)} rows)"
+            return f"ROWS_ONLY ({len(sdf.toPandas())} rows)"
         except Exception as e:  # noqa: BLE001 — report, don't crash the sweep
             return f"ERROR: {type(e).__name__}: {e}"
 

@@ -142,3 +142,129 @@ def run_compare(spark, name: str, sf_dir: str) -> list[str]:
     finally:
         con.close()
     return compare_frames(spark_pdf, duck_pdf)
+
+
+# ---- size-gated in-engine checksum compare (r9, verdict item #6) ----------
+#
+# The sf1 comparator, not any engine plan, was the slowest thing in the r8
+# stress pass: unpivot_fact_measures spent 874 s materializing 24M rows into
+# pandas TWICE. Above the gate, both engines instead reduce the result to an
+# order-insensitive checksum — COUNT(*) plus two independent 56-bit md5-slice
+# sums over a canonically-spelled row string — and one row is compared.
+# Same pass/fail semantics modulo (a) md5 collision and (b) float spelling
+# canonicalized through DECIMAL(38,9) (1e-9 granularity; every float output
+# in this repo sits on a coarser exact grid, so no real difference survives).
+
+import os as _os
+
+HASH_GATE_ROWS = int(_os.environ.get("SPARK_GRAFT_HASH_GATE_ROWS", "1000000"))
+
+_HASHABLE_SIMPLE = {
+    "byte", "short", "int", "integer", "bigint", "long", "boolean",
+    "string", "date",
+}
+
+
+def _spark_canon(name: str, dtype: str) -> str | None:
+    """Spark SQL expression spelling column ``name`` canonically, or None
+    if the type is out of scope for the hashed path."""
+    q = f"`{name}`"
+    if dtype in _HASHABLE_SIMPLE:
+        return f"CAST({q} AS STRING)"
+    if dtype in ("double", "float"):
+        return (
+            f"CASE WHEN isnan({q}) THEN 'NaN'"
+            f" WHEN {q} = double('inf') THEN 'Inf'"
+            f" WHEN {q} = double('-inf') THEN '-Inf'"
+            f" ELSE CAST(CAST({q} AS DECIMAL(38,9)) AS STRING) END"
+        )
+    if dtype.startswith("decimal"):
+        return f"CAST({q} AS STRING)"
+    if dtype.startswith("timestamp"):
+        return f"CAST(unix_micros({q}) AS STRING)"
+    return None
+
+
+def _duck_canon(name: str, dtype: str) -> str | None:
+    """DuckDB expression producing the IDENTICAL spelling (keyed off the
+    SPARK dtype so both engines canonicalize the same way)."""
+    q = f'"{name}"'
+    if dtype in _HASHABLE_SIMPLE:
+        return f"CAST({q} AS VARCHAR)"
+    if dtype in ("double", "float"):
+        return (
+            f"CASE WHEN isnan(CAST({q} AS DOUBLE)) THEN 'NaN'"
+            f" WHEN isinf(CAST({q} AS DOUBLE)) AND {q} > 0 THEN 'Inf'"
+            f" WHEN isinf(CAST({q} AS DOUBLE)) THEN '-Inf'"
+            f" ELSE CAST(CAST({q} AS DECIMAL(38,9)) AS VARCHAR) END"
+        )
+    if dtype.startswith("decimal"):
+        return f"CAST({q} AS VARCHAR)"
+    if dtype.startswith("timestamp"):
+        return f"CAST(epoch_us(CAST({q} AS TIMESTAMP)) AS VARCHAR)"
+    return None
+
+
+def _row_exprs(cols: list[tuple[str, str]], canon) -> str | None:
+    parts = []
+    for name, dtype in cols:
+        c = canon(name, dtype)
+        if c is None:
+            return None
+        parts.append(f"COALESCE({c}, '\x1enull')")
+    return parts
+
+
+def hashed_compare(spark_df, con, oracle_sql: str,
+                   gate_rows: int | None = None) -> list[str] | None:
+    """Order-insensitive checksum compare for oversized results.
+
+    Returns ``None`` when the pair is ineligible (below the gate,
+    gate disabled, or a column type outside the canonical-spelling
+    table) — the caller then falls back to the exact pandas path.
+    Otherwise returns the problem list (empty == match)."""
+    gate = HASH_GATE_ROWS if gate_rows is None else gate_rows
+    if gate <= 0:
+        return None
+    cols = sorted((f.name, f.dataType.simpleString()) for f in spark_df.schema.fields)
+    s_parts = _row_exprs(cols, _spark_canon)
+    d_parts = _row_exprs(cols, _duck_canon)
+    if s_parts is None or d_parts is None:
+        return None  # unsupported type: exact path
+    n_oracle = con.execute(
+        f"SELECT COUNT(*) FROM ({oracle_sql})"
+    ).fetchone()[0]
+    if n_oracle < gate:
+        return None
+    sep = "'\x1f'"
+    s_row = f"concat_ws({sep}, {', '.join(s_parts)})"
+    d_row = f"concat_ws({sep}, {', '.join(d_parts)})"
+    from pyspark.sql import functions as F
+
+    s_agg = spark_df.selectExpr(f"md5({s_row}) AS h").selectExpr(
+        "count(*) AS n",
+        "sum(cast(conv(substring(h, 1, 14), 16, 10) AS DECIMAL(38,0))) AS s1",
+        "sum(cast(conv(substring(h, 15, 14), 16, 10) AS DECIMAL(38,0))) AS s2",
+    ).collect()[0]
+    d_agg = con.execute(
+        f"""SELECT COUNT(*) AS n,
+               SUM(CAST(('0x' || substr(h, 1, 14)) AS HUGEINT)) AS s1,
+               SUM(CAST(('0x' || substr(h, 15, 14)) AS HUGEINT)) AS s2
+        FROM (SELECT md5({d_row}) AS h FROM ({oracle_sql}))"""
+    ).fetchone()
+    problems: list[str] = []
+    if int(s_agg["n"]) != int(d_agg[0]):
+        problems.append(
+            f"row count: spark={int(s_agg['n'])} duckdb={int(d_agg[0])}"
+        )
+    else:
+        for i, key in ((1, "s1"), (2, "s2")):
+            sv = int(s_agg[key]) if s_agg[key] is not None else None
+            dv = int(d_agg[i]) if d_agg[i] is not None else None
+            if sv != dv:
+                problems.append(
+                    f"checksum {key}: spark={sv} duckdb={dv} "
+                    f"(order-insensitive md5-slice sum over "
+                    f"{int(s_agg['n'])} rows)"
+                )
+    return problems

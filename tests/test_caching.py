@@ -189,3 +189,44 @@ def test_hit_repersists_externally_cleared_cache(spark, sf_dir):
     assert again is df  # still the same plan-matched entry
     assert again.storageLevel.useMemory or again.storageLevel.useDisk
     release_scope("test_caching_heal")
+
+
+def test_persist_once_skips_equivalent_cached_plan(spark):
+    """r9 (verdict item #5): persist_once() on a FRESHLY-BUILT logically
+    equal plan must NOT call persist again — the new object reports the
+    cached entry's storage level (Dataset.storageLevel is a CacheManager
+    sameResult lookup), and a second persist is the no-op that spammed
+    'Asked to cache already cached data' once per bench rep. Detected
+    by counting actual persist() calls via monkeypatch."""
+    from rpa_etl_investing_spark.operators.caching import persist_once
+
+    df1 = spark.range(512).selectExpr("id", "id * 7 AS v7")
+    # patch the CONCRETE class (pyspark 4's classic.DataFrame overrides
+    # persist; patching the abstract parent would count nothing)
+    DataFrame = type(df1)
+    try:
+        persist_once(df1)
+        df1.count()  # materialize the cache entry
+        df2 = spark.range(512).selectExpr("id", "id * 7 AS v7")
+        calls = []
+        real_persist = DataFrame.persist
+        DataFrame.persist = lambda self, *a, **k: (
+            calls.append(1), real_persist(self, *a, **k))[1]
+        try:
+            out = persist_once(df2)
+        finally:
+            DataFrame.persist = real_persist
+        assert not calls, "persist_once re-persisted an already-cached plan"
+        assert out.count() == 512
+        # and a genuinely different plan DOES persist
+        df3 = spark.range(512).selectExpr("id", "id * 9 AS v9")
+        DataFrame.persist = lambda self, *a, **k: (
+            calls.append(1), real_persist(self, *a, **k))[1]
+        try:
+            persist_once(df3)
+        finally:
+            DataFrame.persist = real_persist
+        assert calls, "persist_once failed to persist a new plan"
+        df3.unpersist()
+    finally:
+        df1.unpersist()

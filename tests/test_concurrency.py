@@ -88,8 +88,18 @@ def test_concurrent_same_query_scratch_writers(spark, sf_dir):
     only, so ``mode("overwrite")`` in one thread deleted part files out
     from under another thread's in-flight readback; ``scratch_dir`` now
     injects the calling thread's ident, giving each issuer a disjoint
-    subtree. Every thread must independently match the oracle."""
-    for name in ["source_compaction", "source_csv_roundtrip"]:
+    subtree. Every thread must independently match the oracle.
+
+    ``source_bucketed_join`` covers the CATALOG-named writer class too
+    (r9, ADVICE item #1): bucketed tables go through DROP TABLE IF
+    EXISTS + saveAsTable, so a session-global table name raced exactly
+    like a shared scratch dir — names are now thread-keyed alongside
+    the paths."""
+    for name in [
+        "source_compaction",
+        "source_csv_roundtrip",
+        "source_bucketed_join",
+    ]:
         failures: dict[int, list[str] | str] = {}
         lock = threading.Lock()
 
