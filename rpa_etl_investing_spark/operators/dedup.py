@@ -943,3 +943,74 @@ def prefix_filter_cap_audit(
         .alias("n_dropped_token_pairs"),
         F.max("posting_size").cast("bigint").alias("max_posting_size"),
     )
+
+
+def admission_screen(newb: DataFrame, corp: DataFrame) -> DataFrame:
+    """Incremental corpus ADMISSION (the continuous-ingestion dedup
+    core, extracted from the oracle-checked ``llm_incremental_dedup``
+    so the streaming leg reuses the identical logic): screen a NEW
+    batch against the EXISTING corpus — exact content-hash collision
+    plus MinHash-band near-dup (≥ 8/16 shared minhashes ⇔ est_jaccard
+    ≥ 0.5) — and return the per-document admission table
+    ``(doc_id, source, is_exact_dup, is_near_dup, admitted)``.
+
+    Both probes are asymmetric joins keyed on (hash) and
+    (band_no, band_key); the batch side never joins itself, which is
+    the property that makes the screen micro-batch-decomposable: the
+    union of per-micro-batch admissions over a partition of the new
+    docs equals the one-shot admission (proven in
+    tests/test_streaming.py's foreachBatch parity test). At 100 TB the
+    corpus-side hash/signature relations are PRECOMPUTED and persist
+    across batches — exactly the relations a deployment stores."""
+    sha = lambda c: F.sha2(F.col(c).cast("binary"), 256)  # noqa: E731
+    exact_dup = (
+        newb.select("doc_id", sha("text").alias("h"))
+        .join(corp.select(sha("text").alias("h")).distinct(), "h", "left_semi")
+        .select("doc_id")
+    )
+
+    sig_new = minhash_signatures(newb)
+    sig_corp = minhash_signatures(corp)
+    bn = band_keys(sig_new).select(
+        F.col("doc_id").alias("new_id"), "band_no", "band_key"
+    )
+    bc = band_keys(sig_corp).select(
+        F.col("doc_id").alias("corp_id"), "band_no", "band_key"
+    )
+    cand = (
+        bn.join(bc, ["band_no", "band_key"]).select("new_id", "corp_id").distinct()
+    )
+    sa = sig_new.select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(N_MINHASH)],
+    )
+    sb = sig_corp.select(
+        F.col("doc_id").alias("corp_id"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(N_MINHASH)],
+    )
+    shared = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(N_MINHASH)
+    )
+    near = (
+        cand.join(sa, "new_id")
+        .join(sb, "corp_id")
+        .filter(shared >= 8)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+
+    is_exact = F.coalesce(F.col("e_flag"), F.lit(False))
+    is_near = F.coalesce(F.col("n_flag"), F.lit(False))
+    return (
+        newb.select("doc_id", "source")
+        .join(exact_dup.withColumn("e_flag", F.lit(True)), "doc_id", "left")
+        .join(near.withColumn("n_flag", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            is_exact.alias("is_exact_dup"),
+            is_near.alias("is_near_dup"),
+            (~(is_exact | is_near)).alias("admitted"),
+        )
+    )

@@ -959,62 +959,12 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     it would persist; text never shuffles). Admission needs no corpus
     self-join at all, which is what makes daily ingestion O(batch), not
     O(corpus²)."""
-    from rpa_etl_investing_spark.operators.dedup import band_keys
+    from rpa_etl_investing_spark.operators.dedup import admission_screen
 
     docs = tbl(spark, sf_dir, "documents")
     newb = docs.filter(F.col("doc_id") % 3 == 0)
     corp = docs.filter(F.col("doc_id") % 3 != 0)
-
-    sha = lambda c: F.sha2(F.col(c).cast("binary"), 256)  # noqa: E731
-    exact_dup = (
-        newb.select("doc_id", sha("text").alias("h"))
-        .join(corp.select(sha("text").alias("h")).distinct(), "h", "left_semi")
-        .select("doc_id")
-    )
-
-    sig_new = minhash_signatures(newb)
-    sig_corp = minhash_signatures(corp)
-    bn = band_keys(sig_new).select(
-        F.col("doc_id").alias("new_id"), "band_no", "band_key"
-    )
-    bc = band_keys(sig_corp).select(
-        F.col("doc_id").alias("corp_id"), "band_no", "band_key"
-    )
-    cand = bn.join(bc, ["band_no", "band_key"]).select("new_id", "corp_id").distinct()
-    sa = sig_new.select(
-        F.col("doc_id").alias("new_id"),
-        *[F.col(f"h{j}").alias(f"a{j}") for j in range(N_MINHASH)],
-    )
-    sb = sig_corp.select(
-        F.col("doc_id").alias("corp_id"),
-        *[F.col(f"h{j}").alias(f"b{j}") for j in range(N_MINHASH)],
-    )
-    shared = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
-        for j in range(N_MINHASH)
-    )
-    near = (
-        cand.join(sa, "new_id")
-        .join(sb, "corp_id")
-        .filter(shared >= 8)
-        .select(F.col("new_id").alias("doc_id"))
-        .distinct()
-    )
-
-    is_exact = F.coalesce(F.col("e_flag"), F.lit(False))
-    is_near = F.coalesce(F.col("n_flag"), F.lit(False))
-    return (
-        newb.select("doc_id", "source")
-        .join(exact_dup.withColumn("e_flag", F.lit(True)), "doc_id", "left")
-        .join(near.withColumn("n_flag", F.lit(True)), "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            is_exact.alias("is_exact_dup"),
-            is_near.alias("is_near_dup"),
-            (~(is_exact | is_near)).alias("admitted"),
-        )
-    )
+    return admission_screen(newb, corp)
 
 
 @register(

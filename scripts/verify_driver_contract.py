@@ -55,7 +55,7 @@ def main() -> int:
     name_filter = args[1] if len(args) > 1 else None
 
     import __spark_entry__ as contract
-    from tests.parity import compare_frames, duck_connection
+    from tests.parity import compare_frames, duck_connection, hashed_compare
 
     # Declared walls (r8): SPARK_GRAFT_SKIP names queries whose ORACLE
     # (or output) is known-intractable at the target scale — e.g. the
@@ -160,7 +160,12 @@ def main() -> int:
         "threads": n_threads,
         "entry_rows": n_smoke,
         "n_queries": len(results),
-        "n_oracle_matched": sum(1 for v in results.values() if v == "MATCH"),
+        "n_oracle_matched": sum(
+            1 for v in results.values() if v.startswith("MATCH")
+        ),
+        "n_hashed": sum(
+            1 for v in results.values() if v == "MATCH (hashed)"
+        ),
         "n_rows_only": sum(1 for v in results.values() if v.startswith("ROWS_ONLY")),
         "n_skipped": sum(1 for v in results.values() if v.startswith("SKIPPED")),
         "skipped": sorted(

@@ -248,8 +248,8 @@ def hashed_compare(spark_df, con, oracle_sql: str,
     ).collect()[0]
     d_agg = con.execute(
         f"""SELECT COUNT(*) AS n,
-               SUM(CAST(('0x' || substr(h, 1, 14)) AS HUGEINT)) AS s1,
-               SUM(CAST(('0x' || substr(h, 15, 14)) AS HUGEINT)) AS s2
+               SUM(CAST(CAST(('0x' || substr(h, 1, 14)) AS BIGINT) AS HUGEINT)) AS s1,
+               SUM(CAST(CAST(('0x' || substr(h, 15, 14)) AS BIGINT) AS HUGEINT)) AS s2
         FROM (SELECT md5({d_row}) AS h FROM ({oracle_sql}))"""
     ).fetchone()
     problems: list[str] = []
