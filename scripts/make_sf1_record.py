@@ -19,9 +19,13 @@ import sys
 WALL_REASONS = {
     "llm_prefix_filter_pairs": (
         "NAMED WALL (declared, skipped in-pass): exact tau-join OUTPUT is "
-        "quadratic on this fixture (~71M pairs at sf1; documented in "
-        "bench.py; correctness-gated at sf0.01 where the enumeration "
-        "oracle is tractable)"
+        "quadratic on this fixture (~71M result pairs at sf1, and the "
+        "brute-force oracle's co-token enumeration is ~1e11 group keys; "
+        "correctness-gated at sf0.01/sf0.1 where the enumeration oracle "
+        "is tractable). r9: the scale path is the CAPPED sibling "
+        "llm_prefix_filter_pairs_capped (posting-occupancy cap + "
+        "llm_prefix_filter_cap_audit drop ledger), green at sf1 in this "
+        "pass — the same sibling structure as simhash16/simhash64"
     ),
     "llm_simhash_hamming_pairs": (
         "NAMED WALL (declared, skipped in-pass): the 16-BIT pedagogical "

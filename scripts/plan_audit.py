@@ -124,6 +124,9 @@ EXTRAS = {
     "analytics_markov_transitions": "one per-user lag window + one cell aggregate; row totals from the 25-cell matrix",
     "agg_sketch_rolling_window": "per-day HLL sketches once; rolling estimates union 7 kilobyte sketches in a window frame",
     "source_partition_checksums": "map-side 16-bit row hash, order-independent per-partition sum; one aggregate",
+    "llm_prefix_filter_pairs_capped": "r9: kept-prefix-token candidates (posting cap bounds per-token fan-out at cap^2), length-filter residual, exact verify candidate-bounded — never all-pairs",
+    "llm_heldout_nb_auc": "r9: 2^14-bounded weight relation broadcast onto the held-out explode; AUC's only ordered pass is the distinct-score table",
+    "curation_minhash_clusters_jump": "r9: capped LSH band join feeds O(log d) hook+jump label rounds; per-round joins key-partitioned over n-row frames",
 }
 
 
