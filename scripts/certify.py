@@ -120,8 +120,8 @@ def main() -> int:
     # anything else dirty means the stamp would not describe HEAD
     blocking = [
         ln for ln in dirty.splitlines()
-        if not re.search(r"(LOCAL_VERIFY|BENCH_|CORRECTNESS_|derby\.log|"
-                         r"spark-warehouse|\.pyc)", ln)
+        if not re.search(r"(LOCAL_VERIFY|BENCH_|CORRECTNESS_|SF1_STRESS_|"
+                         r"derby\.log|spark-warehouse|\.pyc)", ln)
     ]
     if blocking:
         print("REFUSING to certify a dirty tree:\n" + "\n".join(blocking))

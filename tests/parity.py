@@ -172,11 +172,26 @@ def _spark_canon(name: str, dtype: str) -> str | None:
     if dtype in _HASHABLE_SIMPLE:
         return f"CAST({q} AS STRING)"
     if dtype in ("double", "float"):
+        # floor/power-of-two decomposition, NOT a decimal cast: casting a
+        # double to DECIMAL generates digits differently per engine at the
+        # last place (observed: identical doubles spelling ...325 in Spark
+        # vs ...324 in DuckDB at sf1), while /,*,-,FLOOR by 2^52 are exact
+        # IEEE ops with bit-identical results everywhere. Distinguishes
+        # every ulp for |x| >= 1; conflates only below 2^-52 absolute in
+        # the fractional residual (far beyond any grid this repo checks).
+        hi = f"FLOOR({q} / 4503599627370496.0)"
+        r = f"({q} - {hi} * 4503599627370496.0)"
+        lo = f"FLOOR({r})"
+        fr = f"FLOOR(({r} - {lo}) * 4503599627370496.0)"
         return (
             f"CASE WHEN isnan({q}) THEN 'NaN'"
             f" WHEN {q} = double('inf') THEN 'Inf'"
             f" WHEN {q} = double('-inf') THEN '-Inf'"
-            f" ELSE CAST(CAST({q} AS DECIMAL(38,9)) AS STRING) END"
+            f" WHEN abs({q}) > 1e30 THEN"
+            f"  concat('big', CASE WHEN {q} < 0 THEN '-' ELSE '+' END)"
+            f" ELSE concat(CAST(CAST({hi} AS BIGINT) AS STRING), ':',"
+            f"  CAST(CAST({lo} AS BIGINT) AS STRING), ':',"
+            f"  CAST(CAST({fr} AS BIGINT) AS STRING)) END"
         )
     if dtype.startswith("decimal"):
         return f"CAST({q} AS STRING)"
@@ -192,11 +207,20 @@ def _duck_canon(name: str, dtype: str) -> str | None:
     if dtype in _HASHABLE_SIMPLE:
         return f"CAST({q} AS VARCHAR)"
     if dtype in ("double", "float"):
+        d = f"CAST({q} AS DOUBLE)"
+        hi = f"FLOOR({d} / 4503599627370496.0)"
+        r = f"({d} - {hi} * 4503599627370496.0)"
+        lo = f"FLOOR({r})"
+        fr = f"FLOOR(({r} - {lo}) * 4503599627370496.0)"
         return (
-            f"CASE WHEN isnan(CAST({q} AS DOUBLE)) THEN 'NaN'"
-            f" WHEN isinf(CAST({q} AS DOUBLE)) AND {q} > 0 THEN 'Inf'"
-            f" WHEN isinf(CAST({q} AS DOUBLE)) THEN '-Inf'"
-            f" ELSE CAST(CAST({q} AS DECIMAL(38,9)) AS VARCHAR) END"
+            f"CASE WHEN isnan({d}) THEN 'NaN'"
+            f" WHEN isinf({d}) AND {q} > 0 THEN 'Inf'"
+            f" WHEN isinf({d}) THEN '-Inf'"
+            f" WHEN abs({d}) > 1e30 THEN"
+            f"  concat('big', CASE WHEN {q} < 0 THEN '-' ELSE '+' END)"
+            f" ELSE concat(CAST(CAST({hi} AS BIGINT) AS VARCHAR), ':',"
+            f"  CAST(CAST({lo} AS BIGINT) AS VARCHAR), ':',"
+            f"  CAST(CAST({fr} AS BIGINT) AS VARCHAR)) END"
         )
     if dtype.startswith("decimal"):
         return f"CAST({q} AS VARCHAR)"
