@@ -196,7 +196,10 @@ def _spark_canon(name: str, dtype: str) -> str | None:
     if dtype.startswith("decimal"):
         return f"CAST({q} AS STRING)"
     if dtype.startswith("timestamp"):
-        return f"CAST(unix_micros({q}) AS STRING)"
+        # CAST normalizes TIMESTAMP_NTZ -> TIMESTAMP (unix_micros rejects
+        # NTZ input); a no-op for ltz columns. Cross-engine agreement then
+        # relies on the session being UTC-pinned, same as the exact path.
+        return f"CAST(unix_micros(CAST({q} AS TIMESTAMP)) AS STRING)"
     return None
 
 
