@@ -184,7 +184,12 @@ def _spark_canon(name: str, dtype: str) -> str | None:
         lo = f"FLOOR({r})"
         fr = f"FLOOR(({r} - {lo}) * 4503599627370496.0)"
         return (
-            f"CASE WHEN isnan({q}) THEN 'NaN'"
+            # explicit NULL arm: Spark's concat would propagate NULL
+            # anyway, but DuckDB's concat treats NULL args as '' (a NULL
+            # lag/lead spelled '::' instead of the null sentinel — caught
+            # live on window_lag_lead's 1.5M-row sf1 result)
+            f"CASE WHEN {q} IS NULL THEN NULL"
+            f" WHEN isnan({q}) THEN 'NaN'"
             f" WHEN {q} = double('inf') THEN 'Inf'"
             f" WHEN {q} = double('-inf') THEN '-Inf'"
             f" WHEN abs({q}) > 1e30 THEN"
@@ -216,7 +221,8 @@ def _duck_canon(name: str, dtype: str) -> str | None:
         lo = f"FLOOR({r})"
         fr = f"FLOOR(({r} - {lo}) * 4503599627370496.0)"
         return (
-            f"CASE WHEN isnan({d}) THEN 'NaN'"
+            f"CASE WHEN {q} IS NULL THEN NULL"
+            f" WHEN isnan({d}) THEN 'NaN'"
             f" WHEN isinf({d}) AND {q} > 0 THEN 'Inf'"
             f" WHEN isinf({d}) THEN '-Inf'"
             f" WHEN abs({d}) > 1e30 THEN"

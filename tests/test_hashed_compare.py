@@ -19,7 +19,15 @@ from tests.parity import duck_connection, hashed_compare
 # bigint/string/decimal-exit-double (unpivot), pure bigint (exact dedup
 # groups via curation), double ratio (classifier auc is 1 row — skip),
 # date/timestamp columns (ohlc has ts buckets)
-CASES = ["unpivot_fact_measures", "agg_pricing_summary", "agg_having"]
+CASES = [
+    "unpivot_fact_measures",
+    "agg_pricing_summary",
+    "agg_having",
+    # NULL doubles at window partition edges (DuckDB concat treats NULL
+    # as '' — the null sentinel must still win) + timestamp_ntz spelling
+    "window_lag_lead",
+    "datetime_funcs",
+]
 
 
 def test_hashed_path_matches_where_exact_path_matches(spark, sf_dir):
