@@ -48,12 +48,20 @@ def main() -> int:
     skipped = summary.get("skipped", [])
     unexpected = [s for s in skipped if s not in WALL_REASONS]
     assert not unexpected, f"skips without a wall reason: {unexpected}"
+    # queries whose oracle result exceeded the hash gate and were
+    # compared via the in-engine md5-slice checksum path (r9 verdict
+    # item #6: the size-gated comparator must be visible in the record)
+    import re
+    hashed = sorted(set(re.findall(
+        r"^\s+(\w+): MATCH \(hashed\)", open(log_path).read(), re.M)))
     record = {
         "sf_dir": summary["sf_dir"],
         "heap": heap,
         "single_pass": True,
         "n_queries_seen": summary["n_queries"],
         "n_match": summary["n_oracle_matched"],
+        "n_hashed_compare": summary.get("n_hashed", len(hashed)),
+        "hashed_compare_queries": hashed,
         "n_named_walls": len(skipped),
         "n_bad": summary["n_bad"],
         "bad": summary["bad"],
