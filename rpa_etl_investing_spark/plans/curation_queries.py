@@ -1941,3 +1941,56 @@ def curation_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "curation_cc_tripwire",
+    oracle="""
+    SELECT 'pointer_jumping' AS algorithm,
+           CAST(2 AS BIGINT) AS max_iter,
+           FALSE AS converged,
+           CAST(-1 AS BIGINT) AS n_components
+    UNION ALL
+    SELECT 'pointer_jumping', CAST(12 AS BIGINT), TRUE, CAST(1 AS BIGINT)
+    ORDER BY max_iter
+    """,
+)
+def curation_cc_tripwire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+ robustness: the convergence tripwire exercised END-TO-END
+    (r9 ADVICE item #3 / the r10 candidate from SURVEY §7.2's list).
+    The components algorithms raise instead of returning plausible-but-
+    wrong labels when the round budget is exhausted; this query PROVES
+    that path fires by running ``pointer_jumping_components`` on a
+    32-vertex chain twice — max_iter=2 (reach 2 < diameter 31 ⇒ the
+    monotone label-sum can't reach fixpoint ⇒ RuntimeError, reported
+    as converged=false) and max_iter=12 (pointer jumping needs
+    ⌈log2(31)⌉+1 ≈ 6 rounds + 1 confirming round ⇒ converges, 1
+    component). The audit relation is deterministic on both arms, so
+    the oracle pins the tripwire's firing, not just its existence in
+    source.
+
+    The chain fixture is built from ``spark.range`` (sf-invariant by
+    design: the property under test is the ROUND BUDGET contract, not
+    corpus-dependent clustering — the corpus-scale component queries
+    are the curation_*_clusters families)."""
+    from rpa_etl_investing_spark.operators.components import (
+        pointer_jumping_components,
+    )
+
+    n = 32
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    rows = []
+    for max_iter in (2, 12):
+        try:
+            labels = pointer_jumping_components(edges, max_iter=max_iter)
+            n_comp = labels.select("cluster_id").distinct().count()
+            rows.append(("pointer_jumping", max_iter, True, n_comp))
+        except RuntimeError:
+            rows.append(("pointer_jumping", max_iter, False, -1))
+    return spark.createDataFrame(
+        rows,
+        "algorithm string, max_iter bigint, converged boolean,"
+        " n_components bigint",
+    ).orderBy("max_iter")

@@ -2884,6 +2884,20 @@ def llm_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is |query| rows (broadcast); top-20 is
     TakeOrderedAndProject."""
     docs = tbl(spark, sf_dir, "documents")
+    return (
+        _bm25_doc_scores(docs)
+        .orderBy(F.desc("score_q"), "doc_id")
+        .limit(20)
+    )
+
+
+def _bm25_doc_scores(docs: DataFrame) -> DataFrame:
+    """Full (unordered, unlimited) BM25 score relation for the fixed
+    3-term query — the shared lexical leg of ``llm_bm25_retrieval``
+    (top-20 view) and ``llm_hybrid_rrf_retrieval`` (rank-fusion leg).
+    Returns (doc_id, n_terms_hit BIGINT, score_q BIGINT); only docs
+    hitting ≥1 query term appear, so its cardinality is the posting
+    union, never the corpus."""
     terms = ["query", "window", "merge"]
     d = docs.select("doc_id", F.split("text", " ").alias("t"))
     dl = d.select("doc_id", F.size("t").cast("bigint").alias("dl"))
@@ -2930,14 +2944,9 @@ def llm_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contrib_q"),
         )
     )
-    return (
-        sc.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_terms_hit"),
-            F.sum("contrib_q").cast("bigint").alias("score_q"),
-        )
-        .orderBy(F.desc("score_q"), "doc_id")
-        .limit(20)
+    return sc.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_terms_hit"),
+        F.sum("contrib_q").cast("bigint").alias("score_q"),
     )
 
 
@@ -4597,4 +4606,240 @@ def llm_heldout_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s2r") - F.col("np") * (F.col("np") + 1))
             / (2 * F.col("np") * (F.col("ntot") - F.col("np")))
         ).alias("auc"),
+    )
+
+
+@register(
+    "llm_decile_lift",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    sc AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             (CAST(LEN(LIST_FILTER(t, x -> x IN ({_STOP_IN}))) AS BIGINT)
+              * 1000000) // LEN(t) AS score_q
+      FROM tok JOIN documents USING (doc_id)),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                   CAST(SUM(y) AS BIGINT) AS p_total FROM sc),
+    g AS (SELECT score_q, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS npos
+          FROM sc GROUP BY score_q),
+    t AS (SELECT score_q, n, npos,
+                 SUM(n) OVER (ORDER BY score_q DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - n AS cum_before
+          FROM g),
+    d AS (SELECT CAST(cum_before * 10 // n_total AS BIGINT) + 1 AS decile,
+                 n, npos, n_total, p_total
+          FROM t CROSS JOIN tot),
+    per AS (SELECT decile, n_total, p_total,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(SUM(npos) AS BIGINT) AS n_pos
+            FROM d GROUP BY decile, n_total, p_total),
+    cum AS (SELECT decile, n_rows, n_pos, n_total, p_total,
+                   SUM(n_rows) OVER (ORDER BY decile
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_rows,
+                   SUM(n_pos) OVER (ORDER BY decile
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_pos
+            FROM per)
+    SELECT decile, n_rows, n_pos,
+           CAST(cum_rows AS BIGINT) AS cum_rows,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST((CAST(cum_pos AS HUGEINT) * n_total * 1000000)
+                // (CAST(cum_rows AS HUGEINT) * p_total) AS BIGINT) AS lift_q,
+           CAST(cum_pos * 1000000 // p_total AS BIGINT) AS capture_q
+    FROM cum ORDER BY decile
+    """,
+)
+def llm_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ eval: decile lift / gains table for the quality-classifier
+    score (same stopword-ratio score and lang='en' positive class as
+    ``llm_classifier_auc``) — the campaign-targeting view of ranking
+    power: per decile of the score-descending corpus, the cumulative
+    positive capture rate and the lift over random (both on the 1e6
+    integer grid).
+
+    Deciles are GROUP-INTACT: every row of one distinct score value
+    lands in the same decile (decile = ⌊10·rows_above/N⌋ + 1 computed
+    on the distinct-score relation), so no per-row global sort exists
+    anywhere — the corpus is touched once map-side, and the only
+    ordered pass runs over the distinct-score table whose cardinality
+    the 1e-6 score grid bounds at ~1e6 rows regardless of corpus size
+    (the same bounded-relation trick as ``llm_classifier_auc``). Tied
+    scores sharing a bucket is the deterministic, engine-portable
+    semantics — a row_number decile would split ties by physical order.
+
+    Exactness: lift = (cum_pos·N)/(cum_rows·P) is floor-quantized to
+    1e6 through DECIMAL(38,0)/HUGEINT intermediates, so the BIGINT
+    product never overflows at any corpus size."""
+    from pyspark.sql.window import Window as W
+
+    scored = _scored(spark, sf_dir)
+    tot = scored.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("y").cast("long").alias("p_total"),
+    )
+    g = scored.groupBy("score_q").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("npos"),
+    )
+    cum_w = W.orderBy(F.desc("score_q")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    t = g.select(
+        "score_q",
+        "n",
+        "npos",
+        (F.sum("n").over(cum_w) - F.col("n")).alias("cum_before"),
+    ).crossJoin(F.broadcast(tot))
+    d = t.select(
+        F.expr("CAST(cum_before * 10 DIV n_total AS BIGINT) + 1").alias(
+            "decile"
+        ),
+        "n",
+        "npos",
+        "n_total",
+        "p_total",
+    )
+    per = d.groupBy("decile", "n_total", "p_total").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum("npos").cast("long").alias("n_pos"),
+    )
+    dec_w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        "n_total",
+        "p_total",
+        F.sum("n_rows").over(dec_w).cast("long").alias("cum_rows"),
+        F.sum("n_pos").over(dec_w).cast("long").alias("cum_pos"),
+    )
+    return cum.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        "cum_rows",
+        "cum_pos",
+        F.expr(
+            "CAST((CAST(cum_pos AS DECIMAL(38,0)) * n_total * 1000000)"
+            " DIV (CAST(cum_rows AS DECIMAL(38,0)) * p_total) AS BIGINT)"
+        ).alias("lift_q"),
+        F.expr("CAST(cum_pos * 1000000 DIV p_total AS BIGINT)").alias(
+            "capture_q"
+        ),
+    ).orderBy("decile")
+
+
+@register(
+    "llm_hybrid_rrf_retrieval",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    dl AS (SELECT doc_id, CAST(LEN(t) AS BIGINT) AS dl FROM d),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, UNNEST(t) AS token FROM d)
+      WHERE token IN ('query', 'window', 'merge')
+      GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    idf AS (
+      SELECT token,
+             CAST(FLOOR(1e6 * LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) + 0.5)
+                  AS BIGINT) AS idf_q
+      FROM df CROSS JOIN g),
+    bm AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(FLOOR(idf_q * (tf * 2.2)
+                        / (tf + 1.2 * (0.25 + 0.75 *
+                           ((dl.dl * n_docs) / CAST(total_len AS DOUBLE))))
+                        + 0.5) AS BIGINT)) AS BIGINT) AS score_q
+      FROM tf JOIN idf USING (token)
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN g
+      GROUP BY tf.doc_id),
+    lex AS (
+      SELECT doc_id, rank_lex FROM (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id)
+                    AS BIGINT) AS rank_lex
+        FROM bm)
+      WHERE rank_lex <= 50),
+    sem AS (
+      SELECT doc_id, rank_sem FROM (
+        SELECT c.vec_id AS doc_id,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY {_cos_sql("q.embedding", "c.embedding")} DESC,
+                          c.vec_id) AS BIGINT) AS rank_sem
+        FROM (SELECT * FROM embeddings WHERE vec_id = 0) q
+        CROSS JOIN embeddings c
+        WHERE c.vec_id <> 0)
+      WHERE rank_sem <= 50)
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, rank_lex, rank_sem,
+           CAST(COALESCE(1000000000000 // (60 + rank_lex), 0)
+                + COALESCE(1000000000000 // (60 + rank_sem), 0)
+                AS BIGINT) AS rrf_q
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    ORDER BY rrf_q DESC, doc_id LIMIT 20
+    """,
+)
+def llm_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3/L4+: hybrid retrieval via reciprocal-rank fusion (Cormack &
+    Clarke SIGIR'09, k=60) — the standard RAG-stack combiner of a
+    lexical BM25 ranking and a dense cosine ranking, fused without any
+    score normalization: rrf(d) = Σ_legs 1/(60 + rank_leg(d)) over the
+    legs that retrieved d, here on an exact 1e12 integer grid
+    (⌊1e12/(60+r)⌋ sums of two terms — no float anywhere).
+
+    The lexical leg is the full BM25 score relation
+    (``_bm25_doc_scores`` — shared with ``llm_bm25_retrieval``) ranked
+    to depth 50; the dense leg is exact cosine of every embedding
+    against query vector vec_id=0 (``brute_force_topk`` — the same
+    integer-grid dot products as ``llm_similarity_bruteforce``) to
+    depth 50, with vec_id aligning 1:1 with doc_id. Both rankings
+    tie-break on doc_id, so every rank is cross-engine deterministic.
+
+    Scale shape: each leg's rank window runs over a BOUNDED relation —
+    the posting union for BM25 (docs hitting ≥1 of 3 terms), the
+    corpus-vs-1-query cosine for the dense leg (at real scale the ANN
+    index replaces it; the fusion is rank-only so any leg provider
+    slots in). The fusion itself is a full-outer join of two ≤50-row
+    frames — driver-trivial at any corpus size."""
+    docs = tbl(spark, sf_dir, "documents")
+    emb = tbl(spark, sf_dir, "embeddings")
+    from pyspark.sql.window import Window as W
+
+    wl = W.orderBy(F.desc("score_q"), "doc_id")
+    lex = (
+        _bm25_doc_scores(docs)
+        .select(
+            "doc_id", F.row_number().over(wl).cast("long").alias("rank_lex")
+        )
+        .filter(F.col("rank_lex") <= 50)
+    )
+    sem = brute_force_topk(emb.filter(F.col("vec_id") == 0), emb, k=50).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("rank_sem"),
+    )
+    fused = lex.join(sem, "doc_id", "full_outer")
+    return (
+        fused.select(
+            "doc_id",
+            "rank_lex",
+            "rank_sem",
+            (
+                F.coalesce(
+                    F.expr("1000000000000 div (60 + rank_lex)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr("1000000000000 div (60 + rank_sem)"), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("rrf_q"),
+        )
+        .orderBy(F.desc("rrf_q"), "doc_id")
+        .limit(20)
     )

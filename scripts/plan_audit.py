@@ -77,6 +77,8 @@ EXTRAS = {
     "curation_dsir_sample": "integer Gumbel-top-k: weight + quantized perturbation, TakeOrderedAndProject (no global sort)",
     "curation_stratified_sample": "per-stratum rank via sharded row_number: 16-way monotone hex shard, no per-language global sort",
     "llm_text_normalize": "map-only regexp_replace chain, zero exchanges, whole-stage codegen",
+    "llm_decile_lift": "group-intact deciles: corpus touched once map-side; the only ordered pass runs over the grid-bounded distinct-score relation, never a per-row global sort",
+    "llm_hybrid_rrf_retrieval": "RRF fusion: both rank windows over bounded relations (posting union / corpus-vs-1-query cosine); fusion is a full-outer join of two ≤50-row frames",
     "llm_stop_tokens": "explode → partial+final count; 1-row broadcast total; integer share threshold",
     "llm_cluster_profile": "broadcast centroids → argmax assignment; two (cell,label)-key hash aggregates",
     "source_bucketed_join": "both sides Bucketed: true — zero Exchange on the join inputs; only the final tiny groupBy shuffles",
