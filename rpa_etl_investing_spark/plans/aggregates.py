@@ -1751,3 +1751,181 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "status", "priority")
     )
+
+
+@register(
+    "agg_gini_revenue",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    g AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS m FROM per GROUP BY cents),
+    t AS (SELECT cents, m,
+                 SUM(m) OVER (ORDER BY cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - m AS b
+          FROM g),
+    agg AS (SELECT SUM(CAST(cents AS HUGEINT)
+                       * (m * b + (m * (m + 1)) // 2)) AS s1,
+                   SUM(CAST(cents AS HUGEINT) * m) AS s0,
+                   CAST(SUM(m) AS BIGINT) AS n
+            FROM t)
+    SELECT n AS n_customers,
+           CAST(s0 AS BIGINT) AS total_cents,
+           CAST((2 * s1 - (n + 1) * s0) * 1000000000 // (n * s0)
+                AS BIGINT) AS gini_q
+    FROM agg
+    """,
+)
+def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A53: exact Gini coefficient of per-customer spend — the
+    inequality/concentration KPI (is revenue spread thin or
+    whale-dominated?) on a 1e-9 grid, G = (2·Σᵢ i·xᵢ − (n+1)·Σxᵢ)
+    / (n·Σxᵢ) over the ascending spend ranking.
+
+    The rank sum never ranks rows: for a distinct spend value v with
+    multiplicity m and b rows strictly below it, Σi over the tie block
+    is m·b + m(m+1)/2 REGARDLESS of within-tie order — so the whole
+    statistic reduces to one hash aggregate per distinct cents value
+    plus an ordered pass over the distinct-spend relation (the
+    llm_classifier_auc bounded-relation trick; spend is cents-integer
+    so the relation is price-domain-bounded, never customer-count-
+    bounded). Per-customer cents take the DECIMAL(27,2)·100 exact
+    exit; the rank-weighted sum rides DECIMAL(38,0)/HUGEINT so BIGINT
+    never overflows at any fact-table scale."""
+    from pyspark.sql.window import Window as W
+
+    o = tbl(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    g = per.groupBy("cents").agg(F.count("*").cast("long").alias("m"))
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    t = g.select(
+        "cents", "m", (F.sum("m").over(w) - F.col("m")).alias("b")
+    )
+    agg = t.agg(
+        F.sum(
+            F.expr(
+                "CAST(cents AS DECIMAL(38,0))"
+                " * (m * b + (m * (m + 1)) DIV 2)"
+            )
+        ).alias("s1"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * m")).alias("s0"),
+        F.sum("m").cast("long").alias("n"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.col("s0").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST((2 * s1 - (n + 1) * s0) * 1000000000 DIV (n * s0)"
+            " AS BIGINT)"
+        ).alias("gini_q"),
+    )
+
+
+@register(
+    "agg_pareto_abc",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) * 100 AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS total
+            FROM per),
+    g AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS m FROM per GROUP BY cents),
+    t AS (SELECT cents, m,
+                 SUM(cents * m) OVER (ORDER BY cents DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+          FROM g),
+    cls AS (SELECT CASE WHEN cum * 100 <= 80 * total THEN 'A'
+                        WHEN cum * 100 <= 95 * total THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   m, cents, total
+            FROM t CROSS JOIN tot)
+    SELECT abc_class,
+           CAST(SUM(m) AS BIGINT) AS n_parts,
+           CAST(SUM(cents * m) AS BIGINT) AS class_cents,
+           CAST(CAST(SUM(cents * m) AS HUGEINT) * 1000000 // MAX(total)
+                AS BIGINT) AS share_q
+    FROM cls GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A54: Pareto / ABC inventory classification — parts bucketed by
+    cumulative revenue share (A ≤ 80%, B ≤ 95%, C the tail), the
+    classic 80/20 concentration cut that decides cache/stocking tiers.
+
+    GROUP-INTACT like agg_gini_revenue and llm_decile_lift: the
+    cumulative share walks the DISTINCT per-part revenue relation in
+    descending order (equal-revenue parts always share a class — a
+    per-row cut would split them by physical order), the boundary
+    tests are integer cross-multiplications (cum·100 ≤ 80·total — no
+    percentage double anywhere), and the output is the 3-row class
+    summary with 1e-6-grid shares. Per-part cents take the
+    DECIMAL(27,2)·100 exact exit; the only ordered pass runs over
+    distinct revenue values (price-domain-bounded), the corpus-scale
+    work is one partkey hash aggregate."""
+    from pyspark.sql.window import Window as W
+
+    li = tbl(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) * 100"
+            " AS BIGINT)"
+        ).alias("cents")
+    )
+    tot = per.agg(
+        F.expr("CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS BIGINT)").alias(
+            "total"
+        )
+    )
+    g = per.groupBy("cents").agg(F.count("*").cast("long").alias("m"))
+    w = W.orderBy(F.desc("cents")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    # the cumulative and the 1e6-grid share ride DECIMAL(38,0) (DuckDB:
+    # HUGEINT) — cum·100 and class_cents·1e6 overflow BIGINT at ~1e13
+    # total cents, which the sf1 fixture already reaches
+    t = g.select(
+        "cents",
+        "m",
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * m"))
+        .over(w)
+        .alias("cum"),
+    ).crossJoin(F.broadcast(tot))
+    cls = t.select(
+        F.when(
+            F.col("cum") * 100 <= F.col("total").cast("decimal(38,0)") * 80,
+            "A",
+        )
+        .when(
+            F.col("cum") * 100 <= F.col("total").cast("decimal(38,0)") * 95,
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+        "m",
+        "cents",
+        "total",
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.sum("m").cast("long").alias("n_parts"),
+            F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * m"))
+            .cast("long")
+            .alias("class_cents"),
+            F.expr(
+                "CAST(SUM(CAST(cents AS DECIMAL(38,0)) * m) * 1000000"
+                " DIV MAX(total) AS BIGINT)"
+            ).alias("share_q"),
+        )
+        .orderBy("abc_class")
+    )

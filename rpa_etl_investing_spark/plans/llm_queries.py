@@ -4843,3 +4843,104 @@ def llm_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_q"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "llm_rrf_ivf_fusion",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    dl AS (SELECT doc_id, CAST(LEN(t) AS BIGINT) AS dl FROM d),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, UNNEST(t) AS token FROM d)
+      WHERE token IN ('query', 'window', 'merge')
+      GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    idf AS (
+      SELECT token,
+             CAST(FLOOR(1e6 * LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) + 0.5)
+                  AS BIGINT) AS idf_q
+      FROM df CROSS JOIN g),
+    bm AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(FLOOR(idf_q * (tf * 2.2)
+                        / (tf + 1.2 * (0.25 + 0.75 *
+                           ((dl.dl * n_docs) / CAST(total_len AS DOUBLE))))
+                        + 0.5) AS BIGINT)) AS BIGINT) AS score_q
+      FROM tf JOIN idf USING (token)
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN g
+      GROUP BY tf.doc_id),
+    lex AS (
+      SELECT doc_id, rank_lex FROM (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id)
+                    AS BIGINT) AS rank_lex
+        FROM bm)
+      WHERE rank_lex <= 50),
+    ivf AS (
+      SELECT neighbor_id AS doc_id, CAST(rank AS BIGINT) AS rank_sem
+      FROM ({_IVFPQ_ORACLE}) iv
+      WHERE query_id = 8)
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, rank_lex, rank_sem,
+           CAST(COALESCE(1000000000000 // (60 + rank_lex), 0)
+                + COALESCE(1000000000000 // (60 + rank_sem), 0)
+                AS BIGINT) AS rrf_q
+    FROM lex l FULL OUTER JOIN ivf s ON l.doc_id = s.doc_id
+    ORDER BY rrf_q DESC, doc_id LIMIT 20
+    """,
+)
+def llm_rrf_ivf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3/L4+: the RRF contract COMPOSES — same reciprocal-rank fusion
+    as ``llm_hybrid_rrf_retrieval``, but the dense leg is the IVF-PQ
+    ADC top-5 for query vector 8 (``llm_ivfpq_adc_search`` reused as a
+    leg provider verbatim) instead of exact brute-force cosine. RRF is
+    rank-only, so swapping the exact scorer for the production ANN
+    index changes NOTHING in the fusion layer — no score rescaling, no
+    distribution matching, unequal leg depths (50 lexical vs ≤5 dense)
+    compose naturally because absent docs simply contribute no term.
+    This is the production RAG shape: at 100 TB the dense leg reads
+    only probed cells' byte codes and a broadcast LUT (see the ADC
+    query's scale notes), the lexical leg ranks the posting union, and
+    the fusion stays a full-outer join of two tiny rank frames."""
+    docs = tbl(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    wl = W.orderBy(F.desc("score_q"), "doc_id")
+    lex = (
+        _bm25_doc_scores(docs)
+        .select(
+            "doc_id", F.row_number().over(wl).cast("long").alias("rank_lex")
+        )
+        .filter(F.col("rank_lex") <= 50)
+    )
+    sem = (
+        llm_ivfpq_adc_search(spark, sf_dir)
+        .filter(F.col("query_id") == 8)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("long").alias("rank_sem"),
+        )
+    )
+    fused = lex.join(sem, "doc_id", "full_outer")
+    return (
+        fused.select(
+            "doc_id",
+            "rank_lex",
+            "rank_sem",
+            (
+                F.coalesce(
+                    F.expr("1000000000000 div (60 + rank_lex)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr("1000000000000 div (60 + rank_sem)"), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("rrf_q"),
+        )
+        .orderBy(F.desc("rrf_q"), "doc_id")
+        .limit(20)
+    )

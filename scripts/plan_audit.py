@@ -79,6 +79,8 @@ EXTRAS = {
     "llm_text_normalize": "map-only regexp_replace chain, zero exchanges, whole-stage codegen",
     "llm_decile_lift": "group-intact deciles: corpus touched once map-side; the only ordered pass runs over the grid-bounded distinct-score relation, never a per-row global sort",
     "llm_hybrid_rrf_retrieval": "RRF fusion: both rank windows over bounded relations (posting union / corpus-vs-1-query cosine); fusion is a full-outer join of two ≤50-row frames",
+    "agg_gini_revenue": "exact Gini without a row sort: per-customer hash agg → distinct-cents hash agg → ordered pass over the price-domain-bounded relation; DECIMAL(38,0) rank-weighted sums",
+    "agg_pareto_abc": "ABC cut on the distinct-revenue relation: partkey hash agg is the only corpus-scale work; cumulative + boundaries in DECIMAL(38,0), group-intact classes",
     "llm_stop_tokens": "explode → partial+final count; 1-row broadcast total; integer share threshold",
     "llm_cluster_profile": "broadcast centroids → argmax assignment; two (cell,label)-key hash aggregates",
     "source_bucketed_join": "both sides Bucketed: true — zero Exchange on the join inputs; only the final tiny groupBy shuffles",
