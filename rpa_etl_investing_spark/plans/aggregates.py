@@ -1794,8 +1794,16 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the relation is price-domain-bounded, never customer-count-
     bounded). Per-customer cents take the DECIMAL(27,2)·100 exact
     exit; the rank-weighted sum rides DECIMAL(38,0)/HUGEINT so BIGINT
-    never overflows at any fact-table scale."""
-    from pyspark.sql.window import Window as W
+    never overflows at any fact-table scale. Per-customer SUMS of many
+    orders take nearly as many distinct values as there are customers,
+    so the cumulative pass routes through the SHARDED two-level running
+    sum (value-range shards on cents; operators/prefix.py) — no
+    single-partition sort task at any customer-dimension size, same as
+    the analytics_gini_concentration sibling."""
+    from rpa_etl_investing_spark.operators.prefix import (
+        sharded_running_sum,
+        with_value_range_shard,
+    )
 
     o = tbl(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
@@ -1804,10 +1812,9 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cents")
     )
     g = per.groupBy("cents").agg(F.count("*").cast("long").alias("m"))
-    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
-    t = g.select(
-        "cents", "m", (F.sum("m").over(w) - F.col("m")).alias("b")
-    )
+    t = sharded_running_sum(
+        with_value_range_shard(g, "cents"), [], ["cents"], "m", "_run"
+    ).select("cents", "m", (F.col("_run") - F.col("m")).alias("b"))
     agg = t.agg(
         F.sum(
             F.expr(
@@ -1869,10 +1876,18 @@ def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests are integer cross-multiplications (cum·100 ≤ 80·total — no
     percentage double anywhere), and the output is the 3-row class
     summary with 1e-6-grid shares. Per-part cents take the
-    DECIMAL(27,2)·100 exact exit; the only ordered pass runs over
-    distinct revenue values (price-domain-bounded), the corpus-scale
-    work is one partkey hash aggregate."""
-    from pyspark.sql.window import Window as W
+    DECIMAL(27,2)·100 exact exit; the corpus-scale work is one partkey
+    hash aggregate, and the descending cumulative pass routes through
+    the SHARDED two-level running sum on the NEGATED key (value-range
+    shards stay monotone in the revenue-descending order;
+    operators/prefix.py) — per-part revenue sums take nearly as many
+    distinct values as there are parts, so no single-partition sort
+    task exists at any part-dimension size, same as the
+    analytics_abc_classification sibling."""
+    from rpa_etl_investing_spark.operators.prefix import (
+        sharded_running_sum,
+        with_value_range_shard,
+    )
 
     li = tbl(spark, sf_dir, "lineitem")
     per = li.groupBy("l_partkey").agg(
@@ -1887,19 +1902,21 @@ def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     g = per.groupBy("cents").agg(F.count("*").cast("long").alias("m"))
-    w = W.orderBy(F.desc("cents")).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
     # the cumulative and the 1e6-grid share ride DECIMAL(38,0) (DuckDB:
     # HUGEINT) — cum·100 and class_cents·1e6 overflow BIGINT at ~1e13
     # total cents, which the sf1 fixture already reaches
-    t = g.select(
-        "cents",
-        "m",
-        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * m"))
-        .over(w)
-        .alias("cum"),
-    ).crossJoin(F.broadcast(tot))
+    neg = g.withColumn("neg_c", -F.col("cents"))
+    t = (
+        sharded_running_sum(
+            with_value_range_shard(neg, "neg_c"),
+            [],
+            ["neg_c"],
+            F.expr("CAST(cents AS DECIMAL(38,0)) * m"),
+            "cum",
+        )
+        .select("cents", "m", "cum")
+        .crossJoin(F.broadcast(tot))
+    )
     cls = t.select(
         F.when(
             F.col("cum") * 100 <= F.col("total").cast("decimal(38,0)") * 80,

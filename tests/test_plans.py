@@ -451,6 +451,30 @@ def test_packing_family_prefix_sums_are_sharded(spark, sf_dir, qname):
             assert "_ps_shard" in spec, (val, spec, plan)
 
 
+@pytest.mark.parametrize("qname", ["agg_gini_revenue", "agg_pareto_abc"])
+def test_gini_pareto_cumulative_pass_is_sharded(spark, sf_dir, qname):
+    """r9 verdict item #1: the A53/A54 cumulative pass over the
+    distinct per-entity-cents relation must ride the SHARDED two-level
+    running sum (operators/prefix.py), not a bare W.orderBy window —
+    per-customer/per-part revenue SUMS take nearly as many distinct
+    values as there are entities, so an unpartitioned window here is a
+    single-partition sort of the entity dimension at scale. Pins the
+    same shape as the packing family: the row-level running-sum window
+    partitions by _ps_shard at full shuffle width, and the ONLY
+    unpartitioned window is the constant-sized (n_shards-row) offsets
+    frame summing _ps_tot."""
+    import re
+
+    plan = _plan(QUERIES[qname].fn(spark, sf_dir))
+    n = spark.conf.get("spark.sql.shuffle.partitions")
+    assert re.search(rf"hashpartitioning\(_ps_shard#\d+, {n}\)", plan), plan
+    for val, spec in re.findall(
+        r"Window \[sum\((\w+)#?\d*L?\) windowspecdefinition\(([^)]*)\)", plan
+    ):
+        if val != "_ps_tot":
+            assert "_ps_shard" in spec, (val, spec, plan)
+
+
 def test_id_range_shards_multiply_key_parallelism(spark, sf_dir):
     """At 32 shards the running-sum exchange has (n_sources × n_shards)
     distinct groups — the parallelism the single-window form lacks."""
