@@ -2950,6 +2950,32 @@ def _bm25_doc_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def _lex_rank_topk(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Lexical RRF leg: top-``k`` BM25 docs as (doc_id, rank_lex).
+
+    r9 verdict item #3: the leg must NOT rank the full posting union
+    with a global row_number window — for a stop-word-ish query term
+    that relation is corpus-sized, and an unpartitioned window moves
+    it all to one task. Instead the top-k is selected with
+    orderBy+limit (plans as partial TakeOrderedAndProject on every
+    mapper, then a k-row merge on the driver side), and ONLY the ≤k
+    surviving rows are re-ranked by a window — bounded at k rows at
+    any corpus size. Tie-break on doc_id keeps both steps
+    deterministic and cross-engine stable."""
+    from pyspark.sql.window import Window as W
+
+    top = (
+        _bm25_doc_scores(docs)
+        .select("doc_id", "score_q")
+        .orderBy(F.desc("score_q"), "doc_id")
+        .limit(k)
+    )
+    wl = W.orderBy(F.desc("score_q"), "doc_id")
+    return top.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("rank_lex")
+    )
+
+
 _PQ_ORACLE = """
     WITH cent AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
     d0 AS (SELECT v.vec_id, c.vec_id AS cid, CAST(LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, 17), i -> CAST(FLOOR((CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) * (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) * 1e10 + 0.5) AS BIGINT)), 'sum') AS BIGINT) AS dq FROM embeddings v CROSS JOIN cent c),
@@ -4801,24 +4827,17 @@ def llm_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth 50, with vec_id aligning 1:1 with doc_id. Both rankings
     tie-break on doc_id, so every rank is cross-engine deterministic.
 
-    Scale shape: each leg's rank window runs over a BOUNDED relation —
-    the posting union for BM25 (docs hitting ≥1 of 3 terms), the
-    corpus-vs-1-query cosine for the dense leg (at real scale the ANN
-    index replaces it; the fusion is rank-only so any leg provider
-    slots in). The fusion itself is a full-outer join of two ≤50-row
-    frames — driver-trivial at any corpus size."""
+    Scale shape: the lexical leg selects its top-50 with
+    TakeOrderedAndProject (``_lex_rank_topk`` — partial per-mapper
+    top-k, k-row merge) and only then window-ranks the ≤50 survivors,
+    so a stop-word-ish term whose posting union is corpus-sized never
+    single-partitions; the dense leg is the corpus-vs-1-query cosine
+    (at real scale the ANN index replaces it; the fusion is rank-only
+    so any leg provider slots in). The fusion itself is a full-outer
+    join of two ≤50-row frames — driver-trivial at any corpus size."""
     docs = tbl(spark, sf_dir, "documents")
     emb = tbl(spark, sf_dir, "embeddings")
-    from pyspark.sql.window import Window as W
-
-    wl = W.orderBy(F.desc("score_q"), "doc_id")
-    lex = (
-        _bm25_doc_scores(docs)
-        .select(
-            "doc_id", F.row_number().over(wl).cast("long").alias("rank_lex")
-        )
-        .filter(F.col("rank_lex") <= 50)
-    )
+    lex = _lex_rank_topk(docs, k=50)
     sem = brute_force_topk(emb.filter(F.col("vec_id") == 0), emb, k=50).select(
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").cast("long").alias("rank_sem"),
@@ -4903,19 +4922,11 @@ def llm_rrf_ivf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     compose naturally because absent docs simply contribute no term.
     This is the production RAG shape: at 100 TB the dense leg reads
     only probed cells' byte codes and a broadcast LUT (see the ADC
-    query's scale notes), the lexical leg ranks the posting union, and
-    the fusion stays a full-outer join of two tiny rank frames."""
+    query's scale notes), the lexical leg is the TakeOrdered top-50
+    (``_lex_rank_topk`` — no corpus-sized window), and the fusion
+    stays a full-outer join of two tiny rank frames."""
     docs = tbl(spark, sf_dir, "documents")
-    from pyspark.sql.window import Window as W
-
-    wl = W.orderBy(F.desc("score_q"), "doc_id")
-    lex = (
-        _bm25_doc_scores(docs)
-        .select(
-            "doc_id", F.row_number().over(wl).cast("long").alias("rank_lex")
-        )
-        .filter(F.col("rank_lex") <= 50)
-    )
+    lex = _lex_rank_topk(docs, k=50)
     sem = (
         llm_ivfpq_adc_search(spark, sf_dir)
         .filter(F.col("query_id") == 8)

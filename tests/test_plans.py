@@ -475,6 +475,24 @@ def test_gini_pareto_cumulative_pass_is_sharded(spark, sf_dir, qname):
             assert "_ps_shard" in spec, (val, spec, plan)
 
 
+@pytest.mark.parametrize(
+    "qname", ["llm_hybrid_rrf_retrieval", "llm_rrf_ivf_fusion"]
+)
+def test_rrf_lexical_leg_is_take_ordered(spark, sf_dir, qname):
+    """r9 verdict item #3: the RRF lexical leg must select its top-50
+    with TakeOrderedAndProject (partial per-mapper top-k) rather than
+    window-ranking the full BM25 posting union — a stop-word-ish query
+    term makes that union corpus-sized, and a global row_number window
+    would move it all to one task. The only row_number window allowed
+    is the re-rank of the ≤k TakeOrdered survivors."""
+    plan = _plan(QUERIES[qname].fn(spark, sf_dir))
+    # lexical top-50 + final fused top-20 both take the TakeOrdered path
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    # the lexical rank window exists but sits above a LocalLimit/
+    # TakeOrdered k-row frame, never the raw score relation
+    assert "rank_lex" in plan, plan
+
+
 def test_id_range_shards_multiply_key_parallelism(spark, sf_dir):
     """At 32 shards the running-sum exchange has (n_sources × n_shards)
     distinct groups — the parallelism the single-window form lacks."""
