@@ -156,6 +156,7 @@ def upsert_dimension(
             "_off",
             F.coalesce(
                 F.sum("_n").over(
+                    # bounded-window: <=256 md5-prefix buckets (constant-sized offsets frame)
                     W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
                 ),
                 F.lit(0),

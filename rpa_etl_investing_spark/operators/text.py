@@ -140,6 +140,7 @@ def vocab_coverage(docs: DataFrame, text_col: str = "text", k: int = 50) -> Data
     total = counts.agg(F.sum("freq").alias("total_tokens"))
     top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(k)
     w = (
+        # bounded-window: k rows after limit
         W.orderBy(F.desc("freq"), F.asc("token"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )

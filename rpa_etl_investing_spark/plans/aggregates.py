@@ -1101,6 +1101,7 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         vc = li.groupBy(F.col(col).alias("v")).agg(
             F.count("*").cast("bigint").alias("cnt")
         )
+        # bounded-window: distinct value domain (50 quantities / 11 discounts)
         w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
         return vc.select(
             "v",
@@ -1256,6 +1257,7 @@ def agg_sketch_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.hll_sketch_agg("user_id").alias("sk"))
         .withColumn("dnum", F.datediff(F.col("day"), F.lit("1970-01-01")))
     )
+    # bounded-window: calendar-day relation (one sketch per day)
     w = W.orderBy("dnum").rangeBetween(-6, 0)
     est = daily.select(
         "day",

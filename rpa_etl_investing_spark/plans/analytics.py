@@ -1762,6 +1762,7 @@ def profile_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("v"), (F.col("doc_id") % 2 == 0).alias("is_a")
     )
     vc = pop.groupBy("v").agg(F.count("*").cast("bigint").alias("cnt"))
+    # bounded-window: distinct value domain of the profiled measure
     w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
     rk = vc.select(
         "v",
@@ -1852,6 +1853,7 @@ def profile_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("ca"),
         F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("cb"),
     )
+    # bounded-window: distinct value domain of the profiled measure
     w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = vc.select(
         F.sum("ca").over(w).cast("bigint").alias("cuma"),
@@ -1911,11 +1913,18 @@ def analytics_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id tie-breaks, recency ranked descending so fresher = higher).
 
     Scale shape: one purchase aggregate per user, then ranking over the
-    PER-USER table (one row per entity — orders of magnitude smaller
-    than the fact); at extreme entity counts the three rank windows
-    swap to the sharded row_number pattern (operators/prefix.py), same
-    scores."""
-    from pyspark.sql.window import Window as W
+    PER-USER table — one row per entity, but the entity dimension
+    itself is unbounded, so each of the three rankings rides the
+    SHARDED row_number (operators/prefix.py; value-range shards on the
+    ranked measure, negated for the descending recency rank, user_id
+    tie-breaks in-shard) and joins back on user_id — no
+    single-partition sort at any entity count (r10: was three global
+    row_number windows). n rides as a 1-row broadcast instead of an
+    unpartitioned count window."""
+    from rpa_etl_investing_spark.operators.prefix import (
+        sharded_row_number,
+        with_value_range_shard,
+    )
 
     ev = tbl(spark, sf_dir, "events")
     maxd = ev.agg(F.max("ts").alias("dmax"))
@@ -1939,20 +1948,22 @@ def analytics_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    n = F.count("*").over(W.partitionBy())
+    nrow = base.agg(F.count("*").cast("bigint").alias("_n"))
     score = lambda rn: (F.lit(1) + F.expr(f"(5 * ({rn} - 1)) div _n")).cast("bigint")
-    rr = base.select(
-        "*",
-        F.row_number()
-        .over(W.orderBy(F.asc("frequency"), F.asc("user_id")))
-        .alias("rn_f"),
-        F.row_number()
-        .over(W.orderBy(F.asc("monetary"), F.asc("user_id")))
-        .alias("rn_m"),
-        F.row_number()
-        .over(W.orderBy(F.desc("recency_days"), F.asc("user_id")))
-        .alias("rn_r"),
-        n.alias("_n"),
+
+    def rank_by(value_col: str, out: str, desc: bool = False) -> DataFrame:
+        v = base.select("user_id", F.col(value_col).alias("_v"))
+        if desc:
+            v = v.select("user_id", (-F.col("_v")).alias("_v"))
+        return sharded_row_number(
+            with_value_range_shard(v, "_v"), [], ["_v", "user_id"], out
+        ).select("user_id", out)
+
+    rr = (
+        base.join(rank_by("frequency", "rn_f"), "user_id")
+        .join(rank_by("monetary", "rn_m"), "user_id")
+        .join(rank_by("recency_days", "rn_r", desc=True), "user_id")
+        .crossJoin(F.broadcast(nrow))
     )
     return rr.select(
         "user_id",
@@ -2756,8 +2767,10 @@ def analytics_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.sum("ev")).cast("bigint").alias("c"),
     )
     w_prev = (
+        # bounded-window: <=91 duration-day rows (follow-up horizon)
         Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     )
+    # bounded-window: <=91 duration-day rows (follow-up horizon)
     w_cum = Window.orderBy("t").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -3563,6 +3576,7 @@ def analytics_kaplan_meier_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("cens")).alias("n_deaths"),
         F.sum("cens").alias("n_censored"),
     )
+    # bounded-window: distinct tenure-day rows (calendar-bounded)
     wdesc = Window.orderBy(F.col("t").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -4080,6 +4094,7 @@ def profile_daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("o_orderdate").cast("timestamp")).alias("day")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     hist = F.sort_array(
+        # bounded-window: calendar-day relation (one row per day)
         F.collect_list("cnt").over(W.orderBy("day").rowsBetween(-7, -1))
     )
     w = daily.withColumn("hist", hist)
@@ -4454,6 +4469,7 @@ def analytics_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(
         F.date_trunc("day", F.col("o_orderdate").cast("timestamp")).alias("day")
     ).agg(F.sum(cents).cast("bigint").alias("rev"))
+    # bounded-window: calendar-day relation (one row per day)
     w = W.orderBy("day")
     signs = (
         daily.withColumn("prev", F.lag("rev").over(w))

@@ -1219,6 +1219,7 @@ def curation_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t").cast("bigint").alias("total"),
         F.count("*").cast("bigint").alias("n"),
     )
+    # bounded-window: n_sources rows (per-source mixing plan)
     wo = W.orderBy("t", "source")
     ordered = per_src.select(
         "source",

@@ -2401,6 +2401,7 @@ def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     head = freq.orderBy(F.desc("f"), F.asc("tok")).limit(1000)
     ranked = head.withColumn(
+        # bounded-window: 1000-row head after TakeOrdered limit
         "r", F.row_number().over(W.orderBy(F.desc("f"), F.asc("tok")))
     )
     q6 = lambda e: F.floor(F.lit(1e6) * e + F.lit(0.5)).cast("bigint")  # noqa: E731
@@ -2496,6 +2497,7 @@ def llm_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = scored.groupBy("score_q").agg(
         F.count("*").alias("n"), F.sum("y").alias("npos")
     )
+    # bounded-window: distinct 1e-6-grid scores (~1e6 rows max)
     w = W.orderBy("score_q").rowsBetween(W.unboundedPreceding, W.currentRow)
     t = g.select("n", "npos", F.sum("n").over(w).alias("cum"))
     agg = t.agg(
@@ -2970,6 +2972,7 @@ def _lex_rank_topk(docs: DataFrame, k: int = 50) -> DataFrame:
         .orderBy(F.desc("score_q"), "doc_id")
         .limit(k)
     )
+    # bounded-window: <=k rows after TakeOrdered limit
     wl = W.orderBy(F.desc("score_q"), "doc_id")
     return top.select(
         "doc_id", F.row_number().over(wl).cast("long").alias("rank_lex")
@@ -3397,6 +3400,7 @@ def llm_classifier_average_precision(spark: SparkSession, sf_dir: str) -> DataFr
     g = scored.groupBy("score_q").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("npos")
     )
+    # bounded-window: distinct 1e-6-grid scores (~1e6 rows max)
     dsc = W.orderBy(F.col("score_q").desc()).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
@@ -4615,6 +4619,7 @@ def llm_heldout_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = sc.groupBy("score_q").agg(
         F.count("*").alias("n"), F.sum("y").alias("npos")
     )
+    # bounded-window: distinct 1e-6-grid scores (~1e6 rows max)
     cum_w = W.orderBy("score_q").rowsBetween(W.unboundedPreceding, W.currentRow)
     t = g.select("n", "npos", F.sum("n").over(cum_w).alias("cum"))
     agg = t.agg(
@@ -4710,6 +4715,7 @@ def llm_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("y").cast("long").alias("npos"),
     )
+    # bounded-window: distinct 1e-6-grid scores (~1e6 rows max)
     cum_w = W.orderBy(F.desc("score_q")).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
@@ -4732,6 +4738,7 @@ def llm_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_rows"),
         F.sum("npos").cast("long").alias("n_pos"),
     )
+    # bounded-window: 10 decile rows
     dec_w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = per.select(
         "decile",

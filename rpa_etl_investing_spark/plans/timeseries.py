@@ -1451,6 +1451,7 @@ def timeseries_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> Da
     d = u.groupBy(F.col("first_day").alias("day")).agg(
         F.count(F.lit(1)).alias("new_users")
     )
+    # bounded-window: calendar-day relation (one row per day)
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return d.select(
         "day",

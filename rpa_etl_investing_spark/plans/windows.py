@@ -192,6 +192,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-partitioned; global-window queries in this registry exist to
     cover the frame-spec surface, not as the recommended big-table
     plan."""
+    # bounded-window: deliberate single-partition frame-spec demo (see docstring)
     w = W.orderBy("o_totalprice").rangeBetween(-10000, W.currentRow)
     return tbl(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -222,6 +223,7 @@ def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact power-sum percentiles in plans/aggregates.py) broadcast and
     mapped — one pass, no global sort; this query covers the W1/W3
     function surface."""
+    # bounded-window: deliberate single-partition frame-spec demo (see docstring)
     w = W.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return tbl(spark, sf_dir, "customer").select(
