@@ -37,6 +37,7 @@ NOTES = {
     "q14_simhash64_pairs": "persisted 64-bit signatures, pigeonhole band equi-join, bit_count Hamming residual",
     "q15_heavy_hitters": "per-partition Misra-Gries in Arrow batches, broadcast-semi-join thin, exact recount",
     "q16_skew_dup_payments": "same-key self-join, residual integer band predicates; AQE skew split carves whale keys at scale",
+    "q17_ivfpq_adc": "broadcast codebook/LUT cross-joins (literal-bounded build sides), probed-cell LeftSemi thinning — candidates' raw vectors never read; ADC sums fold map-side",
 }
 
 
@@ -78,9 +79,9 @@ EXTRAS = {
     "curation_stratified_sample": "per-stratum rank via sharded row_number: 16-way monotone hex shard, no per-language global sort",
     "llm_text_normalize": "map-only regexp_replace chain, zero exchanges, whole-stage codegen",
     "llm_decile_lift": "group-intact deciles: corpus touched once map-side; the only ordered pass runs over the grid-bounded distinct-score relation, never a per-row global sort",
-    "llm_hybrid_rrf_retrieval": "RRF fusion: both rank windows over bounded relations (posting union / corpus-vs-1-query cosine); fusion is a full-outer join of two ≤50-row frames",
-    "agg_gini_revenue": "exact Gini without a row sort: per-customer hash agg → distinct-cents hash agg → ordered pass over the price-domain-bounded relation; DECIMAL(38,0) rank-weighted sums",
-    "agg_pareto_abc": "ABC cut on the distinct-revenue relation: partkey hash agg is the only corpus-scale work; cumulative + boundaries in DECIMAL(38,0), group-intact classes",
+    "llm_hybrid_rrf_retrieval": "RRF fusion: lexical leg is TakeOrdered top-50 (re-rank of ≤k survivors, never the posting union); fusion is a full-outer join of two ≤50-row frames",
+    "agg_gini_revenue": "exact Gini without a row sort: per-customer hash agg → distinct-cents hash agg → SHARDED two-level running sum (no single-partition pass); DECIMAL(38,0) rank-weighted sums",
+    "agg_pareto_abc": "ABC cut on the distinct-revenue relation: partkey hash agg is the only corpus-scale work; descending cumulative via the negated-key SHARDED running sum, DECIMAL(38,0) boundaries, group-intact classes",
     "llm_stop_tokens": "explode → partial+final count; 1-row broadcast total; integer share threshold",
     "llm_cluster_profile": "broadcast centroids → argmax assignment; two (cell,label)-key hash aggregates",
     "source_bucketed_join": "both sides Bucketed: true — zero Exchange on the join inputs; only the final tiny groupBy shuffles",
@@ -121,7 +122,7 @@ EXTRAS = {
     "source_file_manifest": "path-derived partition accounting from _metadata; one aggregate over the manifest scan",
     "profile_ks_test": "per-value cohort counts; cumsum over the distinct domain; exact integer gap max",
     "agg_ols_regression": "ONE partial+final aggregate; closed-form normal equations from exact decimal power sums",
-    "analytics_rfm_features": "per-user aggregate, then rank windows over the per-entity table (not the fact)",
+    "analytics_rfm_features": "per-user aggregate, then three SHARDED row_number ranks joined back on user_id — no global sort of the entity table; n as a 1-row broadcast",
     "analytics_target_encoding": "category aggregate broadcast back; per-row exclusion is arithmetic, no self-join",
     "llm_embedding_int8": "map-only higher-order-function projection; zero exchanges",
     "llm_langid_confusion": "one prediction pass + (truth, pred) aggregate; totals re-aggregate the cells",
@@ -149,6 +150,10 @@ def main() -> int:
         (r, r, note) for r, note in EXTRAS.items()
     ]
     for bench_name, reg_name, note in sections:
+        if not note.strip():
+            # an empty scale-shape annotation is a hole in the plan
+            # evidence (r9 verdict item #4) — fail instead of emitting it
+            raise SystemExit(f"empty Scale shape annotation for {bench_name}")
         df = QUERIES[reg_name].fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         out += [

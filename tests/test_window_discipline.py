@@ -62,6 +62,20 @@ def test_no_empty_partition_by():
     )
 
 
+def test_plans_md_scale_shapes_are_all_filled():
+    """r9 verdict item #4: every PLANS.md entry must carry a non-empty
+    **Scale shape:** annotation — the plan evidence is only evidence
+    when each plan states the argument that makes it viable at 100×.
+    scripts/plan_audit.py now refuses to emit an empty one; this pins
+    the generated artifact too."""
+    plans = (ENGINE.parent / "PLANS.md").read_text().splitlines()
+    headers = [l for l in plans if l.startswith("## ")]
+    shapes = [l for l in plans if l.startswith("**Scale shape:**")]
+    assert len(headers) == len(shapes) > 0, (len(headers), len(shapes))
+    empty = [s for s in shapes if not s.removeprefix("**Scale shape:**").strip()]
+    assert not empty, empty
+
+
 def test_marker_inventory_is_nonempty():
     # the tripwire only means something while the marked sites exist;
     # if a refactor removes them all, revisit the regexes above
