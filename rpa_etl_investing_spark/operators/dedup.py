@@ -227,7 +227,7 @@ def minhash_bucket_audit(
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
         F.sum(F.when(hot, 1).otherwise(0)).cast("bigint").alias("n_capped_buckets"),
         F.sum(
-            F.when(hot, F.col("bucket_size") * (F.col("bucket_size") - 1) / 2)
+            F.when(hot, F.expr("bucket_size * (bucket_size - 1) DIV 2"))
             .otherwise(0)
         )
         .cast("bigint")
@@ -567,7 +567,7 @@ def simhash64_bucket_audit(
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
         F.sum(F.when(hot, 1).otherwise(0)).cast("bigint").alias("n_capped_buckets"),
         F.sum(
-            F.when(hot, F.col("bucket_size") * (F.col("bucket_size") - 1) / 2)
+            F.when(hot, F.expr("bucket_size * (bucket_size - 1) DIV 2"))
             .otherwise(0)
         )
         .cast("bigint")
@@ -936,7 +936,7 @@ def prefix_filter_cap_audit(
         F.count(F.lit(1)).cast("bigint").alias("n_prefix_tokens"),
         F.sum(F.when(hot, 1).otherwise(0)).cast("bigint").alias("n_capped_tokens"),
         F.sum(
-            F.when(hot, F.col("posting_size") * (F.col("posting_size") - 1) / 2)
+            F.when(hot, F.expr("posting_size * (posting_size - 1) DIV 2"))
             .otherwise(0)
         )
         .cast("bigint")

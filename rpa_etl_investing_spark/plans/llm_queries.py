@@ -165,7 +165,7 @@ def llm_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN bucket_size > {MAX_BAND_BUCKET} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_capped_buckets,
            CAST(SUM(CASE WHEN bucket_size > {MAX_BAND_BUCKET}
-                         THEN bucket_size * (bucket_size - 1) / 2 ELSE 0 END)
+                         THEN bucket_size * (bucket_size - 1) // 2 ELSE 0 END)
                 AS BIGINT) AS n_dropped_bucket_pairs,
            CAST(MAX(bucket_size) AS BIGINT) AS max_bucket_size
     FROM sizes
@@ -1684,7 +1684,7 @@ def llm_simhash64_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN bucket_size > {MAX_BAND_BUCKET} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_capped_buckets,
            CAST(SUM(CASE WHEN bucket_size > {MAX_BAND_BUCKET}
-                         THEN bucket_size * (bucket_size - 1) / 2 ELSE 0 END)
+                         THEN bucket_size * (bucket_size - 1) // 2 ELSE 0 END)
                 AS BIGINT) AS n_dropped_bucket_pairs,
            CAST(MAX(bucket_size) AS BIGINT) AS max_bucket_size
     FROM sizes
@@ -1937,7 +1937,7 @@ def llm_prefix_filter_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(SUM(CASE WHEN s > {MAX_PREFIX_POSTING} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_capped_tokens,
            CAST(SUM(CASE WHEN s > {MAX_PREFIX_POSTING}
-                         THEN s * (s - 1) / 2 ELSE 0 END)
+                         THEN s * (s - 1) // 2 ELSE 0 END)
                 AS BIGINT) AS n_dropped_token_pairs,
            CAST(MAX(s) AS BIGINT) AS max_posting_size
     FROM posting

@@ -168,7 +168,25 @@ _HASHABLE_SIMPLE = {
 def _spark_canon(name: str, dtype: str) -> str | None:
     """Spark SQL expression spelling column ``name`` canonically, or None
     if the type is out of scope for the hashed path."""
-    q = f"`{name}`"
+    return _spark_canon_expr(f"`{name}`", dtype)
+
+
+def _spark_canon_expr(q: str, dtype: str, depth: int = 0) -> str | None:
+    if dtype.startswith("array<") and dtype.endswith(">"):
+        # element-joined canonical spelling (r9 verdict item #6): each
+        # element takes the scalar canon; a length prefix disambiguates
+        # [''] from [] and the \x1d joiner never appears in canon output
+        var = f"_e{depth}"
+        elem = _spark_canon_expr(var, dtype[6:-1], depth + 1)
+        if elem is None:
+            return None
+        return (
+            f"CASE WHEN {q} IS NULL THEN NULL ELSE"
+            f" concat(CAST(cardinality({q}) AS STRING), '[',"
+            f" concat_ws('\x1d',"
+            f" transform({q}, {var} -> COALESCE({elem}, '\x1enull'))), ']')"
+            f" END"
+        )
     if dtype in _HASHABLE_SIMPLE:
         return f"CAST({q} AS STRING)"
     if dtype in ("double", "float"):
@@ -183,6 +201,11 @@ def _spark_canon(name: str, dtype: str) -> str | None:
         r = f"({q} - {hi} * 4503599627370496.0)"
         lo = f"FLOOR({r})"
         fr = f"FLOOR(({r} - {lo}) * 4503599627370496.0)"
+        # hi = FLOOR(x/2^52) only overflows BIGINT at |x| >= 2^115, so the
+        # 'big±' conflation arm starts exactly there (r9 advice #2: the
+        # old 1e30 guard collapsed genuinely different huge doubles). The
+        # literal is 2^115 spelled exactly; both engines' strtod round it
+        # to the same double (2^115 is representable).
         return (
             # explicit NULL arm: Spark's concat would propagate NULL
             # anyway, but DuckDB's concat treats NULL args as '' (a NULL
@@ -192,7 +215,7 @@ def _spark_canon(name: str, dtype: str) -> str | None:
             f" WHEN isnan({q}) THEN 'NaN'"
             f" WHEN {q} = double('inf') THEN 'Inf'"
             f" WHEN {q} = double('-inf') THEN '-Inf'"
-            f" WHEN abs({q}) > 1e30 THEN"
+            f" WHEN abs({q}) >= 4.1538374868278621028243970633760768e34 THEN"
             f"  concat('big', CASE WHEN {q} < 0 THEN '-' ELSE '+' END)"
             f" ELSE concat(CAST(CAST({hi} AS BIGINT) AS STRING), ':',"
             f"  CAST(CAST({lo} AS BIGINT) AS STRING), ':',"
@@ -211,7 +234,22 @@ def _spark_canon(name: str, dtype: str) -> str | None:
 def _duck_canon(name: str, dtype: str) -> str | None:
     """DuckDB expression producing the IDENTICAL spelling (keyed off the
     SPARK dtype so both engines canonicalize the same way)."""
-    q = f'"{name}"'
+    return _duck_canon_expr(f'"{name}"', dtype)
+
+
+def _duck_canon_expr(q: str, dtype: str, depth: int = 0) -> str | None:
+    if dtype.startswith("array<") and dtype.endswith(">"):
+        var = f"_e{depth}"
+        elem = _duck_canon_expr(var, dtype[6:-1], depth + 1)
+        if elem is None:
+            return None
+        return (
+            f"CASE WHEN {q} IS NULL THEN NULL ELSE"
+            f" concat(CAST(len({q}) AS VARCHAR), '[',"
+            f" array_to_string("
+            f" list_transform({q}, {var} -> COALESCE({elem}, '\x1enull')),"
+            f" chr(29)), ']') END"
+        )
     if dtype in _HASHABLE_SIMPLE:
         return f"CAST({q} AS VARCHAR)"
     if dtype in ("double", "float"):
@@ -225,7 +263,7 @@ def _duck_canon(name: str, dtype: str) -> str | None:
             f" WHEN isnan({d}) THEN 'NaN'"
             f" WHEN isinf({d}) AND {q} > 0 THEN 'Inf'"
             f" WHEN isinf({d}) THEN '-Inf'"
-            f" WHEN abs({d}) > 1e30 THEN"
+            f" WHEN abs({d}) >= 4.1538374868278621028243970633760768e34 THEN"
             f"  concat('big', CASE WHEN {q} < 0 THEN '-' ELSE '+' END)"
             f" ELSE concat(CAST(CAST({hi} AS BIGINT) AS VARCHAR), ':',"
             f"  CAST(CAST({lo} AS BIGINT) AS VARCHAR), ':',"
@@ -255,7 +293,14 @@ def hashed_compare(spark_df, con, oracle_sql: str,
     Returns ``None`` when the pair is ineligible (below the gate,
     gate disabled, or a column type outside the canonical-spelling
     table) — the caller then falls back to the exact pandas path.
-    Otherwise returns the problem list (empty == match)."""
+    Otherwise returns the problem list (empty == match).
+
+    Cost shape (r9 advice #1): the oracle executes exactly ONCE here —
+    the combined count+checksum query decides gate eligibility from
+    its own COUNT(*). A sub-gate result wastes one cheap checksum pass
+    (the result is small by definition) instead of the old shape's
+    full COUNT(*)-subquery pre-run, which doubled DuckDB cost for
+    every oversized enumeration oracle."""
     gate = HASH_GATE_ROWS if gate_rows is None else gate_rows
     if gate <= 0:
         return None
@@ -264,27 +309,37 @@ def hashed_compare(spark_df, con, oracle_sql: str,
     d_parts = _row_exprs(cols, _duck_canon)
     if s_parts is None or d_parts is None:
         return None  # unsupported type: exact path
-    n_oracle = con.execute(
-        f"SELECT COUNT(*) FROM ({oracle_sql})"
-    ).fetchone()[0]
-    if n_oracle < gate:
-        return None
+    # Column-set guard (r9 advice #3): the hashed row spelling is built
+    # from the SPARK schema alone, so an oracle emitting an extra
+    # column would otherwise pass silently (a missing one errors in the
+    # checksum query). Require set equality like compare_frames does.
+    o_names = {
+        r[0] for r in con.execute(f"DESCRIBE ({oracle_sql})").fetchall()
+    }
+    s_names = {name for name, _ in cols}
+    if o_names != s_names:
+        return [
+            "column set mismatch: "
+            f"spark-only={sorted(s_names - o_names)} "
+            f"oracle-only={sorted(o_names - s_names)}"
+        ]
     sep = "'\x1f'"
     s_row = f"concat_ws({sep}, {', '.join(s_parts)})"
     d_row = f"concat_ws({sep}, {', '.join(d_parts)})"
-    from pyspark.sql import functions as F
 
-    s_agg = spark_df.selectExpr(f"md5({s_row}) AS h").selectExpr(
-        "count(*) AS n",
-        "sum(cast(conv(substring(h, 1, 14), 16, 10) AS DECIMAL(38,0))) AS s1",
-        "sum(cast(conv(substring(h, 15, 14), 16, 10) AS DECIMAL(38,0))) AS s2",
-    ).collect()[0]
     d_agg = con.execute(
         f"""SELECT COUNT(*) AS n,
                SUM(CAST(CAST(('0x' || substr(h, 1, 14)) AS BIGINT) AS HUGEINT)) AS s1,
                SUM(CAST(CAST(('0x' || substr(h, 15, 14)) AS BIGINT) AS HUGEINT)) AS s2
         FROM (SELECT md5({d_row}) AS h FROM ({oracle_sql}))"""
     ).fetchone()
+    if d_agg[0] < gate:
+        return None  # sub-gate: exact path re-runs the (small) oracle
+    s_agg = spark_df.selectExpr(f"md5({s_row}) AS h").selectExpr(
+        "count(*) AS n",
+        "sum(cast(conv(substring(h, 1, 14), 16, 10) AS DECIMAL(38,0))) AS s1",
+        "sum(cast(conv(substring(h, 15, 14), 16, 10) AS DECIMAL(38,0))) AS s2",
+    ).collect()[0]
     problems: list[str] = []
     if int(s_agg["n"]) != int(d_agg[0]):
         problems.append(

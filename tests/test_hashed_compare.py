@@ -73,8 +73,43 @@ def test_hashed_path_declines_below_gate_and_on_exotic_types(spark, sf_dir):
         df = q.fn(spark, sf_dir)
         # below the gate: decline (exact path owns it)
         assert hashed_compare(df, con, q.oracle, gate_rows=10**9) is None
-        # exotic output type (array column): decline
-        arr = spark.range(3).selectExpr("array(id, id) AS a")
-        assert hashed_compare(arr, con, "SELECT 1", gate_rows=1) is None
+        # exotic output type (struct column): decline
+        st = spark.range(3).selectExpr("named_struct('a', id) AS s")
+        assert hashed_compare(st, con, "SELECT 1", gate_rows=1) is None
+    finally:
+        con.close()
+
+
+def test_hashed_path_supports_array_columns(spark, sf_dir):
+    """r9 verdict item #6: array columns take the element-joined
+    canonical spelling, so embedding-style outputs (array<double> /
+    array<bigint>) can ride the hashed path. Doubles round-trip
+    bit-stable through the 2^52 floor decomposition per element; NULL
+    elements, NULL arrays, and the ['']-vs-[] ambiguity are all
+    disambiguated."""
+    con = duck_connection(sf_dir)
+    try:
+        df = spark.sql("""
+            SELECT * FROM VALUES
+              (1L, array(0.1D, 2.5D, -3.75D),   array(1L, 2L)),
+              (2L, array(1e-30D, 12345.6789D),  array(CAST(NULL AS BIGINT))),
+              (3L, CAST(NULL AS ARRAY<DOUBLE>), array()),
+              (4L, array(CAST('NaN' AS DOUBLE), CAST(NULL AS DOUBLE)), array(7L))
+            AS t(id, emb, ks)
+        """)
+        oracle = """
+            SELECT * FROM (VALUES
+              (CAST(1 AS BIGINT), [0.1, 2.5, -3.75], [1, 2]),
+              (2, [1e-30, 12345.6789], [CAST(NULL AS BIGINT)]),
+              (3, CAST(NULL AS DOUBLE[]), CAST([] AS BIGINT[])),
+              (4, ['NaN'::DOUBLE, NULL], [7])) t(id, emb, ks)
+        """
+        problems = hashed_compare(df, con, oracle, gate_rows=1)
+        assert problems is not None, "array path not taken"
+        assert problems == [], problems
+        # a one-element value difference in the array must be caught
+        wrong = oracle.replace("[1, 2]", "[1, 3]")
+        problems = hashed_compare(df, con, wrong, gate_rows=1)
+        assert problems and any("checksum" in p for p in problems), problems
     finally:
         con.close()
