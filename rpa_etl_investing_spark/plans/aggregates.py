@@ -1948,3 +1948,179 @@ def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "agg_lorenz_curve",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    g AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS m FROM per GROUP BY cents),
+    t AS (SELECT cents, m,
+                 SUM(m) OVER (ORDER BY cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - m AS b
+          FROM g),
+    tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n,
+                   SUM(CAST(cents AS HUGEINT) * m) AS total
+            FROM g),
+    dec AS (SELECT CAST(range AS BIGINT) AS decile FROM range(1, 11)),
+    j AS (SELECT decile, (n * decile) // 10 AS k, cents, m, b, total
+          FROM t CROSS JOIN tot CROSS JOIN dec)
+    SELECT decile,
+           CAST(MAX(k) AS BIGINT) AS k_customers,
+           CAST(SUM(CAST(cents AS HUGEINT)
+                    * LEAST(m, GREATEST(0, k - b))) AS BIGINT) AS cum_cents,
+           CAST(SUM(CAST(cents AS HUGEINT)
+                    * LEAST(m, GREATEST(0, k - b))) * 1000000 // MAX(total)
+                AS BIGINT) AS share_q
+    FROM j GROUP BY decile ORDER BY decile
+    """,
+)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A55 (r10): Lorenz curve sampled at the 10 population deciles —
+    the curve the Gini coefficient integrates: point d is the share of
+    total revenue held by the poorest ⌊n·d/10⌋ customers. The natural
+    companion readout to ``agg_gini_revenue`` ("the bottom 50% hold 9%
+    of revenue") on an exact 1e-6 share grid.
+
+    GROUP-INTACT like the Gini/AUC family: no row is ever ranked — for
+    a distinct spend value v with multiplicity m and b rows strictly
+    below, the number of its rows inside the decile cut K is
+    clamp(K−b, 0, m) regardless of within-tie order, so each decile's
+    cumulative cents is one aggregate over the distinct-cents relation
+    fanned out ×10 by a broadcast decile spine. The only ordered pass
+    is the SHARDED two-level running sum (operators/prefix.py) that
+    produces b — no single-partition sort at any customer count; sums
+    ride DECIMAL(38,0)/HUGEINT."""
+    from rpa_etl_investing_spark.operators.prefix import (
+        sharded_running_sum,
+        with_value_range_shard,
+    )
+
+    o = tbl(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    g = per.groupBy("cents").agg(F.count("*").cast("long").alias("m"))
+    t = sharded_running_sum(
+        with_value_range_shard(g, "cents"), [], ["cents"], "m", "_run"
+    ).select("cents", "m", (F.col("_run") - F.col("m")).alias("b"))
+    tot = g.agg(
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * m")).alias("total"),
+    )
+    dec = spark.range(1, 11).select(F.col("id").cast("long").alias("decile"))
+    j = (
+        t.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dec))
+        .select(
+            "decile",
+            F.expr("(n * decile) DIV 10").alias("k"),
+            "cents",
+            "m",
+            "b",
+            "total",
+        )
+    )
+    taken = F.expr(
+        "CAST(cents AS DECIMAL(38,0))"
+        " * LEAST(m, GREATEST(CAST(0 AS BIGINT), k - b))"
+    )
+    return (
+        j.groupBy("decile")
+        .agg(
+            F.max("k").cast("long").alias("k_customers"),
+            F.sum(taken).cast("long").alias("cum_cents"),
+            F.expr(
+                "CAST(SUM(CAST(cents AS DECIMAL(38,0))"
+                " * LEAST(m, GREATEST(CAST(0 AS BIGINT), k - b)))"
+                " * 1000000 DIV MAX(total) AS BIGINT)"
+            ).alias("share_q"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "agg_theil_index",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    g AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(FLOOR(1e6 * LN(CAST(cents AS DOUBLE)) + 0.5) AS BIGINT)
+                   AS lnx_q
+          FROM per GROUP BY cents),
+    s AS (SELECT CAST(SUM(m) AS BIGINT) AS n,
+                 SUM(CAST(cents AS HUGEINT) * m) AS s0,
+                 SUM(CAST(cents AS HUGEINT) * m * lnx_q) AS sxln
+          FROM g)
+    SELECT n AS n_customers,
+           CAST(s0 AS BIGINT) AS total_cents,
+           CAST(FLOOR(1e9 * (CAST(sxln AS DOUBLE) / 1e6 / CAST(s0 AS DOUBLE)
+                             - LN(CAST(s0 AS DOUBLE) / n))
+                      + 0.5) AS BIGINT) AS theil_q
+    FROM s
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A56 (r10): Theil T index of per-customer spend — the
+    entropy-based inequality measure completing the concentration
+    toolkit (Gini weights transfers near the median, Theil weights the
+    top tail; Theil is also exactly decomposable into between/within
+    components, which Gini is not). T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ)
+    = Σx·ln(x) / Σx − ln(μ), quantized to the 1e-9 grid.
+
+    Needs NO ordered pass at all — unlike Gini/Lorenz, the statistic
+    is a plain sum: one hash aggregate to per-customer cents, one to
+    the distinct-cents relation where each value's ln is quantized
+    ONCE to the 1e-6 grid (the BM25-idf discipline — cross-engine
+    deterministic per distinct value, never re-derived per row), and
+    the moment sums ride HUGEINT/DECIMAL(38,0) exactly. The final
+    ln/division/quantize is one deterministic IEEE evaluation on a
+    1-row frame."""
+    o = tbl(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    g = per.groupBy("cents").agg(
+        F.count("*").cast("long").alias("m"),
+        F.floor(
+            F.lit(1e6) * F.log(F.col("cents").cast("double")) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lnx_q"),
+    )
+    s = g.agg(
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * m")).alias("s0"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * m * lnx_q")).alias(
+            "sxln"
+        ),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("s0").cast("long").alias("total_cents"),
+        F.floor(
+            F.lit(1e9)
+            * (
+                F.col("sxln").cast("double")
+                / F.lit(1e6)
+                / F.col("s0").cast("double")
+                - F.log(F.col("s0").cast("double") / F.col("n"))
+            )
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("theil_q"),
+    )
