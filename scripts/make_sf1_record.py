@@ -4,9 +4,12 @@
 r7's record was assembled from segments (scripts/consolidate_sf1_record.py)
 because per-query walls were discovered mid-run; r8 runs the whole
 registry in ONE uninterrupted `verify_driver_contract.py /tmp/sf1`
-process (declared walls skipped via SPARK_GRAFT_SKIP) and this script
-just reshapes that run's JSON summary line into the record format the
-earlier rounds established.
+process and this script just reshapes that run's JSON summary line into
+the record format the earlier rounds established. r10: the declared-wall
+skip hook is retired — the two former quadratic-output walls evaluate on
+the pinned gate corpus (plans/llm_queries.py EXACT_GATE_DOCS) and run at
+sf1, so n_named_walls is structurally 0 now; WALL_REASONS stays only to
+explain any legacy record.
 
 Usage: python scripts/make_sf1_record.py LOGFILE ROUND [HEAP]
 """
