@@ -5221,3 +5221,247 @@ def profile_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_violating_rows"),
         F.sum("n").cast("bigint").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: TRUE TPC-H Q2/Q20 shapes over a GENERATED partsupp (verdict item #8).
+# The driver fixtures omit partsupp, so the bridge re-expressions
+# (analytics_min_cost_supplier / analytics_excess_supply_candidates) stood
+# in for the partsupp-dependent plan shapes. These variants instead
+# DERIVE a deterministic partsupp from the part and supplier dimensions —
+# dbgen's 4-suppliers-per-part key walk (0-based) with integer hash-mix
+# cost/qty — computed identically in Spark and the DuckDB oracle, so the
+# oracle checks the QUERY shape (min-cost-per-part semi-ish join; the
+# availqty-vs-shipped-volume excess filter), not the generator.
+
+_PS_SQL = """ps AS (
+      SELECT p_partkey AS ps_partkey, ps_suppkey,
+             (p_partkey * 31 + ps_suppkey * 17) % 9999 + 1 AS ps_availqty,
+             (p_partkey * 7919 + ps_suppkey * 104729) % 99900 + 100
+               AS ps_supplycost_cents
+      FROM (
+        SELECT p.p_partkey,
+               (p.p_partkey + i.i * (s._s // 4 + p.p_partkey // s._s)) % s._s
+                 AS ps_suppkey
+        FROM part p
+        CROSS JOIN (SELECT CAST(range AS BIGINT) AS i FROM range(0, 4)) i
+        CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS _s FROM supplier) s))"""
+
+
+def _gen_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partsupp: 4 suppliers per part via dbgen's key walk
+    ((p + i·(S/4 + p div S)) mod S — the step 25..44 never divides 100,
+    so the 4 keys are distinct), availqty in [1, 9999] and supplycost
+    in integer cents [100, 100099] from integer hash mixes. Generated
+    MAP-SIDE from the part scan (the 4-row spine and the 1-row supplier
+    count are broadcasts): at any scale the relation materializes
+    exactly where it is consumed, no shuffle, no storage."""
+    p = tbl(spark, sf_dir, "part").select(F.col("p_partkey").cast("long"))
+    sc = tbl(spark, sf_dir, "supplier").agg(
+        F.count("*").cast("long").alias("_s")
+    )
+    spine = spark.range(4).select(F.col("id").cast("long").alias("_i"))
+    return (
+        p.crossJoin(F.broadcast(spine))
+        .crossJoin(F.broadcast(sc))
+        .select(
+            "p_partkey",
+            F.expr(
+                "(p_partkey + _i * (_s DIV 4 + p_partkey DIV _s)) % _s"
+            ).alias("ps_suppkey"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            "ps_suppkey",
+            F.expr("(p_partkey * 31 + ps_suppkey * 17) % 9999 + 1").alias(
+                "ps_availqty"
+            ),
+            F.expr(
+                "(p_partkey * 7919 + ps_suppkey * 104729) % 99900 + 100"
+            ).alias("ps_supplycost_cents"),
+        )
+    )
+
+
+@register(
+    "analytics_min_cost_supplier_ps",
+    oracle=f"""
+    WITH {_PS_SQL},
+    costs AS (
+      SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost_cents
+      FROM ps
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    mn AS (SELECT ps_partkey, MIN(ps_supplycost_cents) AS mc
+           FROM costs GROUP BY ps_partkey)
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+           CAST(c.ps_supplycost_cents AS BIGINT) AS cost_cents
+    FROM costs c
+    JOIN mn ON c.ps_partkey = mn.ps_partkey
+           AND c.ps_supplycost_cents = mn.mc
+    JOIN part p ON p.p_partkey = c.ps_partkey
+    JOIN supplier s ON s.s_suppkey = c.ps_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size <= 15 AND p.p_type = 'LARGE'
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def analytics_min_cost_supplier_ps(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q2, TRUE partsupp form (r10; the lineitem-bridge
+    re-expression ``analytics_min_cost_supplier`` covered the shape
+    while the fixture lacked partsupp): for each qualifying part, the
+    EUROPE supplier(s) quoting the minimum supply cost, ranked by
+    account balance. Min-per-group + equality-back-join — the
+    correlated-scalar-subquery shape — over the generated partsupp.
+
+    Scale shape: partsupp materializes map-side inside the part scan
+    (broadcast 4-row spine + 1-row supplier count); the region-thinned
+    supplier dim joins on suppkey; the min-cost aggregate and the
+    back-join share one ps_partkey partitioning; top-100 is
+    TakeOrderedAndProject. No broadcast hint touches an SF-scaling
+    relation — AQE decides at runtime."""
+    ps = _gen_partsupp(spark, sf_dir)
+    sup = (
+        tbl(spark, sf_dir, "supplier")
+        .join(
+            tbl(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                tbl(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    costs = ps.join(
+        sup.select("s_suppkey", "s_name", "s_acctbal", "n_name"),
+        ps.ps_suppkey == F.col("s_suppkey"),
+    ).select(
+        "ps_partkey", "ps_suppkey", "ps_supplycost_cents",
+        "s_name", "s_acctbal", "n_name",
+    )
+    mn = (
+        costs.groupBy("ps_partkey")
+        .agg(F.min("ps_supplycost_cents").alias("mc"))
+        .withColumnRenamed("ps_partkey", "mn_partkey")
+    )
+    pq = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        costs.join(
+            mn,
+            (F.col("ps_partkey") == F.col("mn_partkey"))
+            & (F.col("ps_supplycost_cents") == F.col("mc")),
+        )
+        .drop("mn_partkey")
+        .join(pq, F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("ps_supplycost_cents").cast("long").alias("cost_cents"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "analytics_excess_supply_ps",
+    oracle=f"""
+    WITH {_PS_SQL},
+    ship AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(20,2))) AS q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey),
+    excess AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM ps
+      JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%') pp
+        ON ps.ps_partkey = pp.p_partkey
+      JOIN ship ON ship.l_partkey = ps.ps_partkey
+               AND ship.l_suppkey = ps.ps_suppkey
+      WHERE CAST(ps.ps_availqty AS DECIMAL(20,2)) * 2 > ship.q)
+    SELECT s.s_name, n.n_name
+    FROM excess
+    JOIN supplier s ON s.s_suppkey = excess.ps_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    ORDER BY s.s_name
+    """,
+)
+def analytics_excess_supply_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20, TRUE partsupp form (r10; completes the
+    ``analytics_excess_supply_candidates`` bridge): ASIA suppliers
+    holding more than half a year's shipped volume of any 'small%'
+    part they stock — the classic excess-inventory probe. The
+    availqty-vs-volume comparison runs in exact DECIMAL (quantity sums
+    accumulate in DECIMAL(20,2); availqty is integer), so no float
+    boundary ambiguity crosses engines.
+
+    Scale shape: the year-sliced lineitem aggregate is the only
+    fact-sized work (one (part,supp) shuffle, date filter pushed to
+    the scan); the generated partsupp joins it co-keyed; the 'small%'
+    part thinning and the DISTINCT collapse happen before the
+    supplier/nation/region dim chain."""
+    ps = _gen_partsupp(spark, sf_dir)
+    li = tbl(spark, sf_dir, "lineitem")
+    ship = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("q"))
+    )
+    pp = tbl(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    excess = (
+        ps.join(pp, ps.ps_partkey == F.col("p_partkey"))
+        .join(
+            ship,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(
+            F.col("ps_availqty").cast("decimal(20,2)") * 2 > F.col("q")
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    sup = (
+        tbl(spark, sf_dir, "supplier")
+        .join(
+            tbl(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return (
+        excess.join(sup, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
