@@ -2124,3 +2124,119 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("theil_q"),
     )
+
+
+@register(
+    "agg_theil_decomposition",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    lab AS (
+      SELECT n_name, cents FROM per
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey),
+    g AS (SELECT n_name, cents, CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(FLOOR(1e6 * LN(CAST(cents AS DOUBLE)) + 0.5) AS BIGINT)
+                   AS lnx_q
+          FROM lab GROUP BY n_name, cents),
+    sg AS (SELECT n_name,
+                  CAST(SUM(m) AS BIGINT) AS n_g,
+                  SUM(CAST(cents AS HUGEINT) * m) AS s_g,
+                  SUM(CAST(cents AS HUGEINT) * m * lnx_q) AS sxln_g
+           FROM g GROUP BY n_name),
+    tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, SUM(s_g) AS s FROM sg)
+    SELECT n_name,
+           n_g AS n_customers,
+           CAST(s_g AS BIGINT) AS total_cents,
+           CAST(FLOOR(1e9 * (CAST(sxln_g AS DOUBLE) / 1e6
+                             / CAST(s_g AS DOUBLE)
+                             - LN(CAST(s_g AS DOUBLE) / n_g))
+                      + 0.5) AS BIGINT) AS theil_within_q,
+           CAST(FLOOR(1e9 * (CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE))
+                          * LN((CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE))
+                               / (CAST(n_g AS DOUBLE) / n))
+                      + 0.5) AS BIGINT) AS between_term_q
+    FROM sg CROSS JOIN tot
+    ORDER BY n_name
+    """,
+)
+def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A57 (r10): Theil T decomposed by customer nation — the property
+    that makes Theil the inequality measure for hierarchical data
+    (T = Σ_g w_g·T_g + Σ_g w_g·ln(w_g/p_g), w_g the group's revenue
+    share, p_g its population share; Gini has no such exact split).
+    One row per nation: within-group Theil and the group's
+    between-term, both on the 1e-9 grid.
+
+    Same machinery as ``agg_theil_index``, now grouped: the fact folds
+    to per-customer cents (one hash aggregate), a customer-keyed join
+    labels each entity with its nation (nation broadcast onto the
+    customer dim), the distinct-(nation, cents) relation quantizes ln
+    ONCE per value, and all moment sums ride HUGEINT/DECIMAL(38,0).
+    The per-group finals are IEEE evaluations over the 25-row group
+    frame with the global (n, S) as a 1-row broadcast — no ordered
+    pass anywhere. The r6 sibling ``analytics_theil_decomposition``
+    (by region) quantizes a ln term PER ROW of the customer dimension;
+    this form needs one ln per DISTINCT (nation, cents) value — the
+    grid-compression posture that survives entity-count growth."""
+    o = tbl(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    cust = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lab = per.join(
+        cust.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("n_name", "cents")
+    g = lab.groupBy("n_name", "cents").agg(
+        F.count("*").cast("long").alias("m"),
+        F.floor(
+            F.lit(1e6) * F.log(F.col("cents").cast("double")) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lnx_q"),
+    )
+    sg = g.groupBy("n_name").agg(
+        F.sum("m").cast("long").alias("n_g"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * m")).alias("s_g"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(38,0)) * m * lnx_q")).alias(
+            "sxln_g"
+        ),
+    )
+    tot = sg.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").alias("s"),
+    )
+    j = sg.crossJoin(F.broadcast(tot))
+    w = F.col("s_g").cast("double") / F.col("s").cast("double")
+    return j.select(
+        "n_name",
+        F.col("n_g").alias("n_customers"),
+        F.col("s_g").cast("long").alias("total_cents"),
+        F.floor(
+            F.lit(1e9)
+            * (
+                F.col("sxln_g").cast("double")
+                / F.lit(1e6)
+                / F.col("s_g").cast("double")
+                - F.log(F.col("s_g").cast("double") / F.col("n_g"))
+            )
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("theil_within_q"),
+        F.floor(
+            F.lit(1e9)
+            * w
+            * F.log(w / (F.col("n_g").cast("double") / F.col("n")))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("between_term_q"),
+    ).orderBy("n_name")

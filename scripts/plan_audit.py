@@ -132,6 +132,10 @@ EXTRAS = {
     "llm_prefix_filter_pairs_capped": "r9: kept-prefix-token candidates (posting cap bounds per-token fan-out at cap^2), length-filter residual, exact verify candidate-bounded — never all-pairs",
     "llm_heldout_nb_auc": "r9: 2^14-bounded weight relation broadcast onto the held-out explode; AUC's only ordered pass is the distinct-score table",
     "curation_minhash_clusters_jump": "r9: capped LSH band join feeds O(log d) hook+jump label rounds; per-round joins key-partitioned over n-row frames",
+    "agg_lorenz_curve": "r10: group-intact decile curve — distinct-cents relation ×10 broadcast decile spine, b from the sharded running sum, no row ever ranked",
+    "agg_theil_index": "r10: NO ordered pass — ln quantized once per distinct cents value, exact HUGEINT moment sums, 1-row IEEE finish",
+    "analytics_min_cost_supplier_ps": "r10: true-partsupp Q2 — partsupp generated map-side in the part scan; min-per-group + equality-back-join sharing one ps_partkey partitioning; TakeOrdered top-100",
+    "analytics_excess_supply_ps": "r10: true-partsupp Q20 — year-sliced lineitem aggregate is the only fact-sized work; DECIMAL-exact availqty-vs-volume test; DISTINCT collapse before the dim chain",
 }
 
 
