@@ -208,6 +208,9 @@ _POINTWISE = (
 FLOAT_EXEMPT: dict[str, str] = {
     # passthrough projections / filters / joins / sorts / set ops
     "analytics_excess_supply_candidates": _PASSTHROUGH,
+    # r10 true-partsupp Q2: the only double output is s_acctbal, selected
+    # straight off the supplier fixture (cost_cents is integer-generated)
+    "analytics_min_cost_supplier_ps": _PASSTHROUGH,
     "analytics_pareto_frontier": _PASSTHROUGH,
     "filter_conjunctive_in": _PASSTHROUGH,
     "filter_equality": _PASSTHROUGH,
