@@ -86,6 +86,23 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Per-process cache of fixture table SCHEMAS, keyed by (applicationId,
+# resolved path): r10 optimization. Every bare ``spark.read.parquet``
+# call pays a driver-side parquet-footer schema inference (~100 ms
+# measured on this host — file open + footer parse + py4j), and queries
+# scan 1-6 tables, so schema inference alone was 0.1-0.6 s of pure
+# DRIVER latency per query construction (guide §5: the driver should do
+# almost no data work). A catalog caching its tables' schemas is the
+# standard fix (this is METADATA caching — the scan itself still reads
+# the parquet data on every action; nothing about query RESULTS is
+# memoized). Keyed by applicationId so a restarted session (or another
+# fixture generation under the same path in tests) re-infers, and by
+# the resolved absolute path so sf dirs never alias. The footer is
+# still read ONCE per (session, table) — self-sufficient on any
+# caller-owned session, no hardcoded schemas.
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table.
 
@@ -101,6 +118,8 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     hand in their own vanilla SparkSession, and this module must be
     self-sufficient on any session (round-1 verdict item #1).
     """
+    import os
+
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # Bound plan-string rendering on WHATEVER session the caller hands
@@ -112,7 +131,15 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.maxPlanStringLength", str(MAX_PLAN_STRING_LENGTH))
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, os.path.abspath(path))
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        # one footer inference per (session, table); benign race under
+        # concurrent first calls (both infer the same schema)
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    df = spark.read.schema(schema).parquet(path)
     if name == "events":
         df = normalize_events_ts(df)
     return df

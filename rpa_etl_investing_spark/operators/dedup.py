@@ -75,8 +75,35 @@ def tokens_col(text: Column | str = "text") -> Column:
     return F.split(c, " ")
 
 
+def tokens_sql(text_col: str = "text") -> str:
+    """SQL-string form of :func:`tokens_col` (r10: expression trees in
+    the dedup hot paths are generated as ONE parsed SQL string — each
+    Column operator is a py4j round-trip, ~1-3 ms of pure driver time on
+    this host, and the shingle/minhash constructors were issuing
+    hundreds of them per query build; string generation is pure Python
+    and the JVM parses the expression once)."""
+    return f"split(`{text_col}`, ' ')"
+
+
+def shingles_sql(text_col: str = "text", k: int = 3) -> str:
+    """SQL-string form of :func:`shingles` — identical expression
+    semantics (same conditional, same sequence bounds, same
+    element_at/concat_ws), one parse instead of ~30 py4j calls."""
+    t = tokens_sql(text_col)
+    parts = ", ".join(
+        f"element_at({t}, CAST(i + {j + 1} AS INT))" for j in range(k)
+    )
+    return (
+        f"CASE WHEN size({t}) >= {k} THEN "
+        f"transform(sequence(0, size({t}) - {k}), i -> concat_ws(' ', {parts})) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
 def shingles(text: Column | str = "text", k: int = 3) -> Column:
     """k-word shingles as an array<string> (space-joined)."""
+    if isinstance(text, str):
+        return F.expr(shingles_sql(text, k))
     t = tokens_col(text)
     n = F.size(t)
     idx = F.sequence(F.lit(0), n - k)  # 0-based start positions
@@ -130,23 +157,18 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     back to for ``min(string)`` (~2× on the pairs query). Docs with
     fewer than 3 tokens have no shingles and drop out (matching the
     oracle's UNNEST)."""
-    ex = spread(docs, "doc_id").select(
-        "doc_id", F.explode(shingles(text_col)).alias("sh")
+    ex = spread(docs, "doc_id").selectExpr(
+        "doc_id", f"explode({shingles_sql(text_col)}) AS sh"
     )
-    base = (
-        F.conv(F.substring(F.md5(F.col("sh").cast("binary")), 1, 7), 16, 10)
-        .cast("long")
-        .alias("hs")
+    ex = ex.selectExpr(
+        "doc_id",
+        "CAST(conv(substring(md5(CAST(sh AS BINARY)), 1, 7), 16, 10)"
+        " AS BIGINT) AS hs",
     )
-    ex = ex.select("doc_id", base)
     aggs = []
     for j in range(N_MINHASH):
         a, b = minhash_mix_params(j)
-        aggs.append(
-            F.min((F.lit(a) * F.col("hs") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
-                f"h{j}"
-            )
-        )
+        aggs.append(F.expr(f"MIN(({a} * hs + {b}) % {MINHASH_PRIME}) AS h{j}"))
     return ex.groupBy("doc_id").agg(*aggs)
 
 
@@ -270,22 +292,26 @@ def minhash_candidate_pairs(
         )
         .distinct()
     )
-    sa = sig.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(N_MINHASH)]
+    sa = sig.selectExpr(
+        "doc_id AS doc_a", *[f"h{j} AS a{j}" for j in range(N_MINHASH)]
     )
-    sb = sig.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(N_MINHASH)]
+    sb = sig.selectExpr(
+        "doc_id AS doc_b", *[f"h{j} AS b{j}" for j in range(N_MINHASH)]
     )
-    shared = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(N_MINHASH)
+    # CASE WHEN sum spelled as one parsed expression; 0.5D-style double
+    # literal spelling is avoided by casting the int sum — bare decimal
+    # literals in Spark SQL parse as DECIMAL, which would change the
+    # division's type
+    shared_sql = " + ".join(
+        f"(CASE WHEN a{j} = b{j} THEN 1 ELSE 0 END)" for j in range(N_MINHASH)
     )
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
-            (shared / F.lit(float(N_MINHASH))).alias("est_jaccard"),
+            f"(({shared_sql}) / CAST({N_MINHASH} AS DOUBLE)) AS est_jaccard",
         )
     )
 
@@ -296,21 +322,22 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # distinct tokens dedup MAP-SIDE (one row per doc ⇒ array_distinct
     # before the explode is the global distinct) — same shuffle removal
     # as simhash64_signatures below
-    ex = spread(docs, "doc_id").select(
-        "doc_id", F.explode(F.array_distinct(tokens_col(text_col))).alias("tok")
+    ex = spread(docs, "doc_id").selectExpr(
+        "doc_id", f"explode(array_distinct({tokens_sql(text_col)})) AS tok"
     )
-    hx = F.md5(F.col("tok").cast("binary"))
+    hx = "md5(CAST(tok AS BINARY))"
     votes = [
-        F.sum(
-            F.when(F.substring(hx, i + 1, 1) >= "8", 1).otherwise(-1)
-        ).alias(f"v{i}")
+        F.expr(
+            f"SUM(CASE WHEN substring({hx}, {i + 1}, 1) >= '8'"
+            f" THEN 1 ELSE -1 END) AS v{i}"
+        )
         for i in range(16)
     ]
     agg = ex.groupBy("doc_id").agg(*votes)
-    bits = F.concat(
-        *[F.when(F.col(f"v{i}") >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(16)]
+    bits = ", ".join(
+        f"CASE WHEN v{i} >= 0 THEN '1' ELSE '0' END" for i in range(16)
     )
-    return agg.select("doc_id", bits.alias("simhash"))
+    return agg.selectExpr("doc_id", f"concat({bits}) AS simhash")
 
 
 def simhash64_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -333,9 +360,8 @@ def simhash64_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # required distribution, so the only exchange in the whole signature
     # pipeline moves pre-explode doc rows; the exploded fan-out and the
     # 33-column partial aggregation both stay inside one stage.
-    ex = spread(docs, "doc_id").select(
-        "doc_id",
-        F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"),
+    ex = spread(docs, "doc_id").selectExpr(
+        "doc_id", f"explode(array_distinct({tokens_sql(text_col)})) AS tok"
     )
     # Materialize the two 32-bit halves of the 64-bit token hash as
     # CONCRETE projected columns before the aggregate: the 32 packed
@@ -351,16 +377,12 @@ def simhash64_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # 2.4-2.7 s of pure DRIVER time per invocation for the ~600
     # operators here, 5× the job's actual execution time. String
     # generation is pure Python; the JVM parses each expression once.
-    halves = ex.select(
+    halves = ex.selectExpr(
         "doc_id",
-        F.expr(
-            "CAST(conv(substring(md5(CAST(tok AS BINARY)), 1, 8), 16, 10)"
-            " AS BIGINT)"
-        ).alias("hi"),
-        F.expr(
-            "CAST(conv(substring(md5(CAST(tok AS BINARY)), 9, 8), 16, 10)"
-            " AS BIGINT)"
-        ).alias("lo"),
+        "CAST(conv(substring(md5(CAST(tok AS BINARY)), 1, 8), 16, 10)"
+        " AS BIGINT) AS hi",
+        "CAST(conv(substring(md5(CAST(tok AS BINARY)), 9, 8), 16, 10)"
+        " AS BIGINT) AS lo",
     )
     # bit i of the 64 (0 = MSB): hex digit i//4 holds it at MSB-first
     # offset i%4, which in the packed halves is position 31-i of `hi`
@@ -382,8 +404,8 @@ def simhash64_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     packs = [
         F.expr(
             f"SUM(shiftleft(shiftright(hi, {31 - s}) & 1, 32)"
-            f" + (shiftright(lo, {31 - s}) & 1))"
-        ).alias(f"p{s}")
+            f" + (shiftright(lo, {31 - s}) & 1)) AS p{s}"
+        )
         for s in range(32)
     ]
     agg = halves.groupBy("doc_id").agg(F.expr("COUNT(1)").alias("ntok"), *packs)
@@ -413,10 +435,10 @@ def simhash64_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + " AS INT)"
         for b in range(4)
     ]
-    return agg.select(
+    return agg.selectExpr(
         "doc_id",
-        F.expr(sig_sql).alias("sig"),
-        *[F.expr(band_sqls[b]).alias(f"band{b}") for b in range(4)],
+        f"{sig_sql} AS sig",
+        *[f"{band_sqls[b]} AS band{b}" for b in range(4)],
     )
 
 
@@ -486,49 +508,38 @@ def simhash64_hamming_pairs(
     # (id, long, 4×int) per doc — tiny next to the token explode it
     # prevents re-running.
     sig = _keep_or_reuse(simhash64_signatures(docs, text_col))
-    bands = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_no"), F.col(f"band{b}").alias("band_key")
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bd"),
-    ).select(
-        "doc_id",
-        "sig",
-        F.col("bd.band_no").alias("band_no"),
-        F.col("bd.band_key").alias("band_key"),
+    # stack() emits the same (band_no, band_key) rows as the previous
+    # explode-of-struct-array spelling with one parsed generator instead
+    # of ~30 Column calls (r10 driver-latency pass)
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(4))
+    bands = sig.selectExpr(
+        "doc_id", "sig", f"stack(4, {stack_args}) AS (band_no, band_key)"
     )
     bands = cap_band_buckets(bands, max_bucket)
     cand = (
         bands.alias("a")
         .join(
             bands.alias("b"),
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            F.expr(
+                "a.band_no = b.band_no AND a.band_key = b.band_key"
+                " AND a.doc_id < b.doc_id"
+            ),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+        .selectExpr(
+            "a.doc_id AS doc_a",
+            "b.doc_id AS doc_b",
+            "a.sig AS sig_a",
+            "b.sig AS sig_b",
         )
         .distinct()  # a close pair can agree on several bands
     )
     return (
-        cand.withColumn(
-            "hamming",
-            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("bigint"),
+        cand.selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(bit_count(sig_a ^ sig_b) AS BIGINT) AS hamming",
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .filter(f"hamming <= {max_hamming}")
     )
 
 
@@ -543,22 +554,9 @@ def simhash64_bucket_audit(
     row next to its pair counts so a dropped boilerplate cluster is a
     visible metric, never a silent recall hole."""
     sig = _keep_or_reuse(simhash64_signatures(docs, text_col))
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(4))
     sizes = (
-        sig.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_no"),
-                            F.col(f"band{b}").alias("band_key"),
-                        )
-                        for b in range(4)
-                    ]
-                )
-            ).alias("bd"),
-        )
-        .select(F.col("bd.band_no").alias("band_no"), F.col("bd.band_key").alias("band_key"))
+        sig.selectExpr(f"stack(4, {stack_args}) AS (band_no, band_key)")
         .groupBy("band_no", "band_key")
         .agg(F.count(F.lit(1)).alias("bucket_size"))
     )
@@ -980,23 +978,20 @@ def admission_screen(newb: DataFrame, corp: DataFrame) -> DataFrame:
     cand = (
         bn.join(bc, ["band_no", "band_key"]).select("new_id", "corp_id").distinct()
     )
-    sa = sig_new.select(
-        F.col("doc_id").alias("new_id"),
-        *[F.col(f"h{j}").alias(f"a{j}") for j in range(N_MINHASH)],
+    sa = sig_new.selectExpr(
+        "doc_id AS new_id", *[f"h{j} AS a{j}" for j in range(N_MINHASH)]
     )
-    sb = sig_corp.select(
-        F.col("doc_id").alias("corp_id"),
-        *[F.col(f"h{j}").alias(f"b{j}") for j in range(N_MINHASH)],
+    sb = sig_corp.selectExpr(
+        "doc_id AS corp_id", *[f"h{j} AS b{j}" for j in range(N_MINHASH)]
     )
-    shared = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
-        for j in range(N_MINHASH)
+    shared_sql = " + ".join(
+        f"(CASE WHEN a{j} = b{j} THEN 1 ELSE 0 END)" for j in range(N_MINHASH)
     )
     near = (
         cand.join(sa, "new_id")
         .join(sb, "corp_id")
-        .filter(shared >= 8)
-        .select(F.col("new_id").alias("doc_id"))
+        .filter(f"({shared_sql}) >= 8")
+        .selectExpr("new_id AS doc_id")
         .distinct()
     )
 

@@ -47,6 +47,29 @@ def rademacher_hyperplanes(
     ]
 
 
+def _qdot_sql(a: str, b: str) -> str:
+    """SQL-string form of the quantized dot (r10 driver-latency pass:
+    every Column operator is a py4j round-trip, ~1-3 ms of driver time
+    on this host; the vector-math constructors were issuing dozens per
+    query build — one parsed string replaces them with identical
+    expression semantics). Literals: ``1E10``/``0.5D`` parse as DOUBLE
+    (a bare ``0.5`` would parse as DECIMAL and change the add's type);
+    ``CAST(0 AS BIGINT)`` is the same zero literal as before."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        "CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1E10 + 0.5D)"
+        " AS BIGINT)), CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_qdot_sql(a, a)} / 1E10)"
+
+
+def _cosine_prenormed_sql(a: str, b: str, norm_a: str, norm_b: str) -> str:
+    return f"(({_qdot_sql(a, b)} / 1E10) / ({norm_a} * {norm_b}))"
+
+
 def _quantized_dot(a: Column, b: Column) -> Column:
     """Σ floor(a_i·b_i·1e10 + 0.5) as BIGINT, exact and order-independent."""
     terms = F.zip_with(
@@ -88,28 +111,27 @@ def brute_force_topk(
     """Exact cosine top-k per query vector (query side broadcast)."""
     from rpa_etl_investing_spark.operators.dedup import spread
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
+    q = queries.selectExpr(
+        f"`{id_col}` AS query_id",
+        f"`{vec_col}` AS q_vec",
+        f"{_norm_sql(f'`{vec_col}`')} AS q_norm",
     )
     # broadcast-cross-join parallelism equals the corpus partition
     # count; spread a few-split scan so the per-pair cosine fans out
-    c = spread(corpus, id_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("c_norm"),
+    c = spread(corpus, id_col).selectExpr(
+        f"`{id_col}` AS neighbor_id",
+        f"`{vec_col}` AS c_vec",
+        f"{_norm_sql(f'`{vec_col}`')} AS c_norm",
     )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
+        .filter("query_id != neighbor_id")
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            cosine_prenormed(
-                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
-            ).alias("cos_sim"),
+            f"{_cosine_prenormed_sql('q_vec', 'c_vec', 'q_norm', 'c_norm')}"
+            " AS cos_sim",
         )
     )
     from pyspark.sql.window import Window as W
@@ -147,34 +169,41 @@ def sign_lsh_buckets(
     stages (join + scoring) and silently dropped the whole stage to
     interpreted mode."""
     planes = rademacher_hyperplanes(n_bits, dim)
-    qarr = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * SCALE + 0.5).cast("bigint"),
+    # One parsed SQL string for the whole bucket expression (r10 driver-
+    # latency pass): the previous per-plane zip_with/aggregate Column
+    # trees issued ~15 py4j calls per plane per build. The generated SQL
+    # keeps the SAME loop structure (zip_with + aggregate — generated
+    # code loops over the arrays), so the Janino method-size guarantee
+    # in the docstring above is unchanged.
+    qarr = (
+        f"transform(`{vec_col}`, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 1E10 + 0.5D) AS BIGINT))"
     )
-    bit_cols = []
+    bits = []
     for row in planes:
-        sarr = F.array(*[F.lit(s).cast("bigint") for s in row])
-        proj = F.aggregate(
-            F.zip_with(qarr, sarr, lambda q, s: q * s),
-            F.lit(0).cast("bigint"),
-            lambda acc, t: acc + t,
+        sarr = (
+            "array("
+            + ", ".join(f"CAST({s} AS BIGINT)" for s in row)
+            + ")"
         )
-        bit_cols.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    bits = F.concat(*bit_cols)
+        proj = (
+            f"aggregate(zip_with({qarr}, {sarr}, (q, s) -> q * s), "
+            "CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
     # Guard as a tiny empty-string prefix, NOT a CASE around `bits`:
     # wrapping the 512-term projection in a conditional branch overflows
     # the whole-stage-codegen method and drops the stage to interpreted
     # mode (measured: "Failed to compile" fallback).
-    guard = F.when(F.size(F.col(vec_col)) == dim, F.lit("")).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"sign_lsh_buckets: expected {dim}-dim {vec_col}, got "),
-                F.size(F.col(vec_col)).cast("string"),
-            )
-        )
+    guard = (
+        f"CASE WHEN size(`{vec_col}`) = {dim} THEN '' ELSE raise_error("
+        f"concat('sign_lsh_buckets: expected {dim}-dim {vec_col}, got ', "
+        f"CAST(size(`{vec_col}`) AS STRING))) END"
     )
-    return vectors.select(
-        F.col(id_col), F.col(vec_col), F.concat(guard, bits).alias("bucket")
+    return vectors.selectExpr(
+        f"`{id_col}`",
+        f"`{vec_col}`",
+        f"concat({guard}, {', '.join(bits)}) AS bucket",
     )
 
 
@@ -205,7 +234,9 @@ def prep_vectors(
     the scan+shuffle+norm work happens once, not once per pass."""
     from rpa_etl_investing_spark.operators.dedup import spread
 
-    return spread(vectors, id_col).withColumn("vec_norm", _norm(F.col(vec_col)))
+    return spread(vectors, id_col).withColumn(
+        "vec_norm", F.expr(_norm_sql(f"`{vec_col}`"))
+    )
 
 
 def ivf_assign_cells(
@@ -224,23 +255,22 @@ def ivf_assign_cells(
     rank, no shuffle of the corpus beyond the one in
     :func:`prep_vectors` (``prepared=True`` declares ``vectors`` is
     already that shape and skips it)."""
-    c = centroids.select(
-        F.col(id_col).alias("centroid_id"),
-        F.col(vec_col).alias("cent_vec"),
-        _norm(F.col(vec_col)).alias("cent_norm"),
+    c = centroids.selectExpr(
+        f"`{id_col}` AS centroid_id",
+        f"`{vec_col}` AS cent_vec",
+        f"{_norm_sql(f'`{vec_col}`')} AS cent_norm",
     )
     prepped = vectors if prepared else prep_vectors(vectors, id_col, vec_col)
     scored = (
         prepped
         .join(F.broadcast(c))
-        .select(
-            id_col,
-            vec_col,
+        .selectExpr(
+            f"`{id_col}`",
+            f"`{vec_col}`",
             "vec_norm",
             "centroid_id",
-            cosine_prenormed(
-                F.col(vec_col), F.col("cent_vec"), F.col("vec_norm"), F.col("cent_norm")
-            ).alias("cent_cos"),
+            f"{_cosine_prenormed_sql(f'`{vec_col}`', 'cent_vec', 'vec_norm', 'cent_norm')}"
+            " AS cent_cos",
         )
     )
     from pyspark.sql.window import Window as W
@@ -373,28 +403,27 @@ def ivf_topk(
             prep, centroids, id_col, vec_col, prepared=True
         )
         query_cells = ivf_assign_cells(queries, centroids, id_col, vec_col, nprobe)
-    q = query_cells.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.col("vec_norm").alias("q_norm"),
+    q = query_cells.selectExpr(
+        f"`{id_col}` AS query_id",
+        f"`{vec_col}` AS q_vec",
+        "vec_norm AS q_norm",
         "cell_id",
     )
-    c = corpus_cells.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col("vec_norm").alias("c_norm"),
+    c = corpus_cells.selectExpr(
+        f"`{id_col}` AS neighbor_id",
+        f"`{vec_col}` AS c_vec",
+        "vec_norm AS c_norm",
         "cell_id",
     )
     scored = (
         q.join(c, "cell_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
+        .filter("query_id != neighbor_id")
+        .selectExpr(
             "query_id",
             "cell_id",
             "neighbor_id",
-            cosine_prenormed(
-                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
-            ).alias("cos_sim"),
+            f"{_cosine_prenormed_sql('q_vec', 'c_vec', 'q_norm', 'c_norm')}"
+            " AS cos_sim",
         )
     )
     from pyspark.sql.window import Window as W
@@ -417,29 +446,28 @@ def embedding_near_dup_pairs(
     cosine filter at ``threshold``. The embedding-space analogue of
     MinHash band-bucket dedup."""
     b = sign_lsh_buckets(vectors, n_bits, id_col, vec_col, dim).withColumn(
-        "_nrm", _norm(F.col(vec_col))
+        "_nrm", F.expr(_norm_sql(f"`{vec_col}`"))
     )
-    a = b.select(
-        F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("a_vec"),
-        F.col("_nrm").alias("a_norm"),
+    a = b.selectExpr(
+        f"`{id_col}` AS vec_a",
+        f"`{vec_col}` AS a_vec",
+        "_nrm AS a_norm",
         "bucket",
     )
-    c = b.select(
-        F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("b_vec"),
-        F.col("_nrm").alias("b_norm"),
+    c = b.selectExpr(
+        f"`{id_col}` AS vec_b",
+        f"`{vec_col}` AS b_vec",
+        "_nrm AS b_norm",
         "bucket",
     )
     return (
         a.join(c, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
+        .filter("vec_a < vec_b")
+        .selectExpr(
             "vec_a",
             "vec_b",
-            cosine_prenormed(
-                F.col("a_vec"), F.col("b_vec"), F.col("a_norm"), F.col("b_norm")
-            ).alias("cos_sim"),
+            f"{_cosine_prenormed_sql('a_vec', 'b_vec', 'a_norm', 'b_norm')}"
+            " AS cos_sim",
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -456,28 +484,27 @@ def sign_lsh_bucket_topk(
 ) -> DataFrame:
     """ANN: candidates limited to the query's LSH bucket (equi-join on
     bucket key → shuffle partitions by bucket, no cross join)."""
-    qb = sign_lsh_buckets(queries, n_bits, id_col, vec_col, dim).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
+    qb = sign_lsh_buckets(queries, n_bits, id_col, vec_col, dim).selectExpr(
+        f"`{id_col}` AS query_id",
+        f"`{vec_col}` AS q_vec",
+        f"{_norm_sql(f'`{vec_col}`')} AS q_norm",
         "bucket",
     )
-    cb = sign_lsh_buckets(corpus, n_bits, id_col, vec_col, dim).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("c_norm"),
+    cb = sign_lsh_buckets(corpus, n_bits, id_col, vec_col, dim).selectExpr(
+        f"`{id_col}` AS neighbor_id",
+        f"`{vec_col}` AS c_vec",
+        f"{_norm_sql(f'`{vec_col}`')} AS c_norm",
         "bucket",
     )
     scored = (
         qb.join(cb, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
+        .filter("query_id != neighbor_id")
+        .selectExpr(
             "query_id",
             "bucket",
             "neighbor_id",
-            cosine_prenormed(
-                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
-            ).alias("cos_sim"),
+            f"{_cosine_prenormed_sql('q_vec', 'c_vec', 'q_norm', 'c_norm')}"
+            " AS cos_sim",
         )
     )
     from pyspark.sql.window import Window as W
@@ -537,25 +564,23 @@ def semantic_dedup(
         )
     )
     withvec = corpus.select(id_col, vec_col).join(cells, id_col)
-    a = withvec.select(
-        F.col(id_col).alias("_keep_id"),
-        F.col(vec_col).alias("a_vec"),
-        F.col("vec_norm").alias("a_norm"),
+    a = withvec.selectExpr(
+        f"`{id_col}` AS _keep_id",
+        f"`{vec_col}` AS a_vec",
+        "vec_norm AS a_norm",
         "cell_id",
     )
-    b = withvec.select(
-        F.col(id_col).alias("_drop_id"),
-        F.col(vec_col).alias("b_vec"),
-        F.col("vec_norm").alias("b_norm"),
+    b = withvec.selectExpr(
+        f"`{id_col}` AS _drop_id",
+        f"`{vec_col}` AS b_vec",
+        "vec_norm AS b_norm",
         "cell_id",
     )
     losers = (
         a.join(b, "cell_id")
-        .filter(F.col("_keep_id") < F.col("_drop_id"))
+        .filter("_keep_id < _drop_id")
         .filter(
-            cosine_prenormed(
-                F.col("a_vec"), F.col("b_vec"), F.col("a_norm"), F.col("b_norm")
-            )
+            F.expr(_cosine_prenormed_sql("a_vec", "b_vec", "a_norm", "b_norm"))
             >= threshold
         )
         .select(F.col("_drop_id").alias(id_col))

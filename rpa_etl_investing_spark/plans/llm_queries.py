@@ -3628,15 +3628,15 @@ def llm_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (codes of v − centroid) and Lloyd-trained codebooks drop in via
     `lloyd_refine_centroids` without changing this plan shape."""
     emb = tbl(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    cent = emb.filter("vec_id < 8").selectExpr(
+        "vec_id AS cid", "embedding AS cemb"
     )
-    corp = emb.filter(F.col("vec_id") >= 8).select("vec_id", "embedding")
+    corp = emb.filter("vec_id >= 8").select("vec_id", "embedding")
     pairs = corp.join(F.broadcast(cent))
 
-    def dq(j: int):
+    def dq_sql(j: int) -> str:
         lo = j * 16
-        return F.expr(
+        return (
             f"CAST(aggregate(sequence({lo}, {lo + 15}), CAST(0 AS BIGINT), "
             f"(acc, i) -> acc + CAST(FLOOR((CAST(embedding[i] AS DOUBLE) - "
             f"CAST(cemb[i] AS DOUBLE)) * (CAST(embedding[i] AS DOUBLE) - "
@@ -3645,78 +3645,71 @@ def llm_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # one concrete projection so each dq_j is computed once per
     # (vector, centroid) row (HOFs sit outside codegen CSE — the
-    # rolling-hash discipline), then every argmin shares one shuffle
-    scored = pairs.select(
+    # rolling-hash discipline), then every argmin shares one shuffle.
+    # Expression trees are single parsed SQL strings (r10 driver-latency
+    # pass: each Column op is a ~1-3 ms py4j round trip on this host).
+    scored = pairs.selectExpr(
         "vec_id",
         "cid",
-        *[dq(j).alias(f"dq{j}") for j in range(4)],
-    ).withColumn("dqtot", sum(F.col(f"dq{j}") for j in range(4)))
+        *[f"{dq_sql(j)} AS dq{j}" for j in range(4)],
+    ).selectExpr("*", "dq0 + dq1 + dq2 + dq3 AS dqtot")
 
     enc = (
         scored.groupBy("vec_id")
         .agg(
-            F.min(F.struct("dqtot", "cid")).alias("cb"),
+            F.expr("min(struct(dqtot, cid)) AS cb"),
             *[
-                F.min(F.struct(F.col(f"dq{j}").alias("d"), F.col("cid").alias("c"))).alias(f"b{j}")
+                F.expr(
+                    f"min(named_struct('d', dq{j}, 'c', cid)) AS b{j}"
+                )
                 for j in range(4)
             ],
         )
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("cb.cid").alias("cell_id"),
-            *[F.col(f"b{j}.c").alias(f"code{j}") for j in range(4)],
+        .selectExpr(
+            "vec_id AS neighbor_id",
+            "cb.cid AS cell_id",
+            *[f"b{j}.c AS code{j}" for j in range(4)],
         )
     )
 
-    qscored = scored.filter(F.col("vec_id") < 16)
+    qscored = scored.filter("vec_id < 16")
     from pyspark.sql.window import Window as W
 
     wq = W.partitionBy("vec_id").orderBy("dqtot", "cid")
     probes = (
         qscored.select("vec_id", "cid", "dqtot")
         .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= 2)
-        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell_id"))
+        .filter("rn <= 2")
+        .selectExpr("vec_id AS query_id", "cid AS cell_id")
     )
-    lut = qscored.select(
-        F.col("vec_id").alias("query_id"),
+    lut = qscored.selectExpr(
+        "vec_id AS query_id",
         "cid",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(j).alias("j"), F.col(f"dq{j}").alias("lut_q"))
-                for j in range(4)
-            ])
-        ).alias("s"),
-    ).select("query_id", F.col("s.j").alias("j"), "cid", F.col("s.lut_q").alias("lut_q"))
+        "stack(4, 0, dq0, 1, dq1, 2, dq2, 3, dq3) AS (j, lut_q)",
+    ).select("query_id", "j", "cid", "lut_q")
 
     cand = enc.join(F.broadcast(probes), "cell_id").filter(
-        F.col("neighbor_id") != F.col("query_id")
+        "neighbor_id != query_id"
     )
-    melt = cand.select(
+    melt = cand.selectExpr(
         "query_id",
         "neighbor_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(j).alias("j"), F.col(f"code{j}").alias("code"))
-                for j in range(4)
-            ])
-        ).alias("s"),
-    ).select("query_id", "neighbor_id", F.col("s.j").alias("j"), F.col("s.code").alias("code"))
+        "stack(4, 0, code0, 1, code1, 2, code2, 3, code3) AS (j, code)",
+    )
     adc = (
-        melt.join(
-            F.broadcast(lut),
-            (melt.query_id == lut.query_id)
-            & (melt.j == lut.j)
-            & (F.col("code") == lut.cid),
+        melt.alias("m")
+        .join(
+            F.broadcast(lut).alias("l"),
+            F.expr("m.query_id = l.query_id AND m.j = l.j AND m.code = l.cid"),
         )
-        .select(melt.query_id, "neighbor_id", "lut_q")
+        .selectExpr("m.query_id", "neighbor_id", "lut_q")
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("lut_q").cast("bigint").alias("adc_q"))
+        .agg(F.expr("CAST(sum(lut_q) AS BIGINT) AS adc_q"))
     )
     wr = W.partitionBy("query_id").orderBy("adc_q", "neighbor_id")
     return (
         adc.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= 5)
+        .filter("rank <= 5")
         .select("query_id", "neighbor_id", "rank", "adc_q")
     )
 
