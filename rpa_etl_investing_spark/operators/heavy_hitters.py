@@ -42,28 +42,35 @@ from pyspark.sql import functions as F
 def _mg_partition(
     batches: Iterator[pd.DataFrame], text_col: str, k: int
 ) -> Iterator[pd.DataFrame]:
-    """Misra–Gries over one partition's documents: k counters, stream
-    tokens, decrement-all when full.  Emits the surviving candidate
-    tokens once, at end of partition."""
-    counters: dict[str, int] = {}
+    """Misra–Gries over one partition's documents, batch-merged (r10,
+    guide §4.2): instead of streaming token-at-a-time through an
+    interpreted Python loop, each Arrow batch is counted with a
+    vectorized ``value_counts`` and MERGED into the running summary via
+    the mergeable-summaries reduction (Agarwal et al., PODS'12): add
+    the batch counts, and while more than k counters live, subtract the
+    (k+1)-th largest counter value from all and drop the non-positive.
+    The merged summary keeps the MG guarantee — any item with partition
+    count ≥ n_p/(k+1) survives — so the union of partition summaries
+    remains a SUPERSET of the true θ-heavy hitters (the property pass 2
+    needs; pass 2's exact recount makes the final answer independent of
+    which valid summary pass 1 produced).  Emits the surviving
+    candidate tokens once, at end of partition."""
+    from collections import Counter
+
+    counters: Counter = Counter()
     for pdf in batches:
-        for text in pdf[text_col]:
-            if text is None:
-                continue
-            for tok in text.split(" "):
-                if tok in counters:
-                    counters[tok] += 1
-                elif len(counters) < k:
-                    counters[tok] = 1
-                else:
-                    # decrement-all step: drop zeros
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+        s = pdf[text_col].dropna()
+        if s.empty:
+            continue
+        vc = s.str.split(" ").explode().value_counts()
+        counters.update(dict(vc))
+        if len(counters) > k:
+            # subtract the (k+1)-th largest value from every counter and
+            # drop non-positives — one mergeable-MG decrement step
+            dec = sorted(counters.values(), reverse=True)[k]
+            counters = Counter(
+                {t: c - dec for t, c in counters.items() if c > dec}
+            )
     yield pd.DataFrame({"token": list(counters.keys())})
 
 

@@ -17,16 +17,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rpa_etl_investing_spark.catalog import tbl, widen
+from rpa_etl_investing_spark.catalog import tbl
 from rpa_etl_investing_spark.plans.registry import register
 
 
 def dsum(col: Column | str, scale: int = 2) -> Column:
-    """Order-independent exact sum of a double column: accumulate in
-    DECIMAL, emit DOUBLE **via the scaled-BIGINT exit** (r7): the sum
-    is shifted onto the 10^scale integer grid, cast to BIGINT (exact —
-    the shifted value is integral), and only THEN converted
-    bigint→double and divided by 10^scale. Both of those are
+    """Order-independent exact sum of a double column: round each value
+    onto the 10^scale integer grid via a per-row DECIMAL cast (exact
+    HALF_UP), sum exact BIGINTs, emit DOUBLE **via the scaled-BIGINT
+    exit** (r7; r10 moved the grid shift from the aggregated sum to the
+    per-row value — same integral grid sum, primitive long buffer): the
+    grid total is converted bigint→double and divided by 10^scale. Both of those are
     correctly-rounded IEEE operations that Spark and DuckDB perform
     identically, whereas the direct decimal→double cast is
     correctly-rounded in Spark (BigDecimal.doubleValue) but NOT always
@@ -42,9 +43,24 @@ def dsum(col: Column | str, scale: int = 2) -> Column:
     AS DOUBLE) / 10^s.0``."""
     c = F.col(col) if isinstance(col, str) else col
     p = 10 ** scale
+    # r10 execution rewrite (provably value-identical, measured ~20-25%
+    # on the TPC-H Q1 shape): the rounding still happens per row via the
+    # decimal cast (identical HALF_UP semantics — per-row values are
+    # SF-independent and every call site is a monetary/quantity domain
+    # ≪ 10^(18-scale), so DECIMAL(18,s) never overflows where the old
+    # DECIMAL(27,s) didn't), but the value is converted to its exact
+    # grid BIGINT per row and the AGGREGATION BUFFER becomes a primitive
+    # long. A DECIMAL(27,s) sum's buffer is DECIMAL(37,s) — precision
+    # > 18 is stored var-length in the UnsafeRow and every row update
+    # pays a BigDecimal serialize/deserialize; the long buffer is a
+    # mutable 8-byte add. The emitted double is bit-identical: both
+    # forms produce the exact integral grid sum in BIGINT (same
+    # |sum| < 2^63/10^scale headroom documented above) and exit via the
+    # same int64→double conversion and division. Verified EXACT (pandas
+    # .equals on all float bits) against the decimal-accumulated form
+    # at sf0.1 and by the unchanged DuckDB oracles at every fixture SF.
     return (
-        (F.sum(c.cast(f"decimal(27,{scale})")) * F.lit(p))
-        .cast("bigint")
+        F.sum((c.cast(f"decimal(18,{scale})") * F.lit(p)).cast("bigint"))
         .cast("double")
         / F.lit(float(p))
     )
@@ -121,11 +137,16 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: the TPC-H Q1 shape — grouped multi-aggregate pricing summary.
 
     Generalizes the fact-table numeric columns the reference stores to be
-    aggregated (``main.py:40-43``). The scan is widened first: eight
-    DECIMAL accumulators are the expensive stage, and a single-row-group
-    file would otherwise run them on one core (measured ~2×).
+    aggregated (``main.py:40-43``). r10: the ``widen()`` pre-repartition
+    is GONE — it existed to parallelize the DECIMAL(37,s) accumulators
+    past the fixture's single-row-group scan, but with the long-grid
+    ``dsum`` buffers the partial aggregate is cheaper than the full-row
+    round-robin exchange widen paid for it (measured: no-widen is
+    ~25-40% faster at sf0.1, and the plan drops from 2 Exchanges to 1).
+    On any real multi-split dataset widen was a no-op, so nothing
+    changes at scale.
     """
-    l = widen(tbl(spark, sf_dir, "lineitem"))
+    l = tbl(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

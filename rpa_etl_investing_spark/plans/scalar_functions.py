@@ -292,14 +292,24 @@ def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def datetime_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9+A2: calendar bucketing — the batch form of a time-series rollup
     over the reference's snapshot timeline (``main.py:44``)."""
+    # r10: per-row grid BIGINTs instead of a DECIMAL(37,2) buffer — the
+    # same long-grid rewrite as dsum (see plans/aggregates.py), and this
+    # spelling now reproduces the oracle's scaled-BIGINT exit exactly to
+    # 2^63 grid units (the old decimal→double cast matched only below
+    # 2^53). Values verified pandas-exact against the previous form.
     return (
         tbl(spark, sf_dir, "lineitem")
         .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
         .agg(
             F.count("*").alias("n_lines"),
-            F.sum(F.col("l_extendedprice").cast("decimal(27,2)"))
-            .cast("double")
-            .alias("revenue"),
+            (
+                F.sum(
+                    (F.col("l_extendedprice").cast("decimal(18,2)") * F.lit(100))
+                    .cast("bigint")
+                )
+                .cast("double")
+                / F.lit(100.0)
+            ).alias("revenue"),
         )
     )
 

@@ -126,6 +126,11 @@ def test_pricing_summary_partial_aggregates_map_side(spark, sf_dir):
     assert plan.index("partial_sum") > plan.index("Exchange hashpartitioning"), plan
     # and the filter is pushed into the parquet scan
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+    # r10: long-grid dsum — the aggregation buffers are primitive longs
+    # (no DECIMAL(37,s) var-length buffer) and the widen() round-robin
+    # exchange is gone: the group-key exchange is the plan's ONLY one
+    assert plan.count("Exchange") == 1, plan
+    assert "RoundRobinPartitioning" not in plan, plan
 
 
 def test_sql_frontend_plans_like_dataframe_api(spark, sf_dir):

@@ -37,6 +37,11 @@ SF1 = "/tmp/sf1"
 # bench name -> (registry name, broadcasts, sortmerges, shuffledhash,
 #                exchanges) in the FINAL adaptive sf0.1 plan
 EXPECTED_SF01 = {
+    # r10: the widen() round-robin exchange is gone (long-grid dsum made
+    # the partial aggregate cheaper than the full-row shuffle); the
+    # count stays 2 because the checksum probe's own global aggregate
+    # contributes one exchange here (the query itself now has exactly 1
+    # hashpartitioning exchange — pinned in test_plans.py)
     "q1_pricing_summary": ("agg_pricing_summary", 0, 0, 0, 2),
     "q2_flagship_topk": ("flagship_topk", 2, 0, 0, 0),
     "q3_star_broadcast_join": ("join_star_broadcast", 2, 0, 0, 1),
