@@ -936,18 +936,18 @@ def etl_duplicate_payment_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     never an unkeyed cross product, and the residual compares are pure
     BIGINT (cents, day counts).
 
-    r10: the composite (custkey, amount-band) key the r6 docstring
-    called "a production variant" is now THE plan — bands are the
-    100-cent grid (``cents DIV 100``), the probe side explodes into
-    its {band−1, band, band+1} neighborhood, and the equi-join runs on
-    (custkey, band). Any pair within $1.00 spans at most adjacent
-    bands, and each qualifying unordered pair matches on EXACTLY ONE of
-    the three probe entries, so the result multiset is provably
-    unchanged (verified pandas-exact vs the unbanded join, plus the
-    unchanged DuckDB oracle). Whale-customer fan-out drops from n² to
-    n × per-band occupancy — the blocking discipline the docstring
-    promised; at sf0.1 the joined-row count falls ~20× and the query
-    is ~15% faster even at fixture scale."""
+    r10 measured the docstring's "production variant" — a composite
+    (custkey, 100-cent-band) blocking key with the probe side exploded
+    into its ±1-band neighborhood — and REJECTED it: results are
+    provably identical (pandas-exact + oracle MATCH) and sf0.1 was
+    noise-level faster, but at the 100× fixture the banded join ran
+    4× SLOWER (20-24 s vs 5-6 s, repeated A/B): this fixture's
+    per-customer group size stays ~10 rows at every SF, so the n²
+    fan-out banding guards against never materializes, while the 3×
+    probe-side explode inflates the SMJ sort input always. Banding
+    remains the right escape hatch only when the KEY distribution has
+    true whales; for that case AQE's skew split (enabled) carves
+    oversized partitions without paying the 3× inflation up front."""
     o = tbl(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     base = o.select(
@@ -958,18 +958,15 @@ def etl_duplicate_payment_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey AS custkey",
         "o_orderdate AS date_a",
         "cents AS cents_a",
-        "cents DIV 100 AS band",
     )
     b = base.selectExpr(
         "o_orderkey AS key_b",
         "o_custkey AS custkey",
         "o_orderdate AS date_b",
         "cents AS cents_b",
-        "explode(array(cents DIV 100 - 1, cents DIV 100, cents DIV 100 + 1))"
-        " AS band",
     )
     return (
-        a.join(b, ["custkey", "band"])
+        a.join(b, "custkey")
         .filter(F.col("key_a") < F.col("key_b"))
         .filter(F.abs(F.col("cents_a") - F.col("cents_b")) <= 100)
         .filter(F.abs(F.datediff("date_a", "date_b")) <= 2)

@@ -21,12 +21,12 @@ from rpa_etl_investing_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 NOTES = {
-    "q1_pricing_summary": "widened scan → 32-way DECIMAL aggregation, partial+final",
+    "q1_pricing_summary": "single group-key exchange; long-grid BIGINT accumulators (per-row DECIMAL(18,s) rounding), partial+final",
     "q2_flagship_topk": "2× BroadcastHashJoin + TakeOrderedAndProject, zero shuffles",
     "q3_star_broadcast_join": "dimension chain fully broadcast",
     "q4_window_topk_per_group": "single shuffle on the window partition key",
     "q5_asof_join": "union + merge-scan window: ONE shuffle on (key), no range cross-join",
-    "q6_event_time_buckets": "epoch-aligned buckets computed map-side, agg on bucket",
+    "q6_event_time_buckets": "epoch-aligned buckets computed map-side, long-grid BIGINT revenue, agg on bucket",
     "q7_exact_dedup": "hash-aggregate on sha256(text): shuffles hashes, never text",
     "q8_minhash_pairs": "pre-partitioned explode (no post-explode shuffle), numeric HashAggregate, band-key equi-join",
     "q9_similarity_bruteforce": "query side broadcast; corpus partitioned, never shuffled",
@@ -36,7 +36,7 @@ NOTES = {
     "q13_zorder_layout": "Morton interleave computed map-side; one range exchange for the layout sort",
     "q14_simhash64_pairs": "persisted 64-bit signatures, pigeonhole band equi-join, bit_count Hamming residual",
     "q15_heavy_hitters": "per-partition Misra-Gries in Arrow batches, broadcast-semi-join thin, exact recount",
-    "q16_skew_dup_payments": "same-key self-join, residual integer band predicates; AQE skew split carves whale keys at scale",
+    "q16_skew_dup_payments": "same-key self-join, residual integer band predicates; AQE skew split carves whale keys at scale (r10 measured the banded variant 4× slower at 100× — rejected, see SCALE.md)",
     "q17_ivfpq_adc": "broadcast codebook/LUT cross-joins (literal-bounded build sides), probed-cell LeftSemi thinning — candidates' raw vectors never read; ADC sums fold map-side",
 }
 
