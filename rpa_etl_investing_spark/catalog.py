@@ -95,12 +95,14 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 # almost no data work). A catalog caching its tables' schemas is the
 # standard fix (this is METADATA caching — the scan itself still reads
 # the parquet data on every action; nothing about query RESULTS is
-# memoized). Keyed by applicationId so a restarted session (or another
-# fixture generation under the same path in tests) re-infers, and by
-# the resolved absolute path so sf dirs never alias. The footer is
-# still read ONCE per (session, table) — self-sufficient on any
-# caller-owned session, no hardcoded schemas.
-_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+# memoized). Keyed by applicationId so a restarted session re-infers
+# (dead-app entries are evicted on insert — ADVICE r10 #3), by the
+# resolved absolute path so sf dirs never alias, and by the path's
+# mtime so a fixture regenerated in-place within one application
+# re-infers. The footer is still read ONCE per (session, table,
+# generation) — self-sufficient on any caller-owned session, no
+# hardcoded schemas.
+_SCHEMA_CACHE: dict[tuple[str, str, int], object] = {}
 
 
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -132,12 +134,25 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{name}.parquet"
-    key = (spark.sparkContext.applicationId, os.path.abspath(path))
+    abspath = os.path.abspath(path)
+    # ADVICE r10 #3: key on the path's mtime too, so a fixture
+    # regenerated at the same path within one application re-infers
+    # (one ~µs stat vs the ~100 ms footer parse it guards), and evict
+    # entries from dead applicationIds on insert so long-lived
+    # multi-session processes don't accumulate them.
+    try:
+        mtime = os.stat(abspath).st_mtime_ns
+    except OSError:
+        mtime = -1  # let the read itself raise the real error
+    app = spark.sparkContext.applicationId
+    key = (app, abspath, mtime)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
-        # one footer inference per (session, table); benign race under
-        # concurrent first calls (both infer the same schema)
+        # one footer inference per (session, table, generation); benign
+        # race under concurrent first calls (both infer the same schema)
         schema = spark.read.parquet(path).schema
+        for stale in [k for k in _SCHEMA_CACHE if k[0] != app]:
+            _SCHEMA_CACHE.pop(stale, None)
         _SCHEMA_CACHE[key] = schema
     df = spark.read.schema(schema).parquet(path)
     if name == "events":

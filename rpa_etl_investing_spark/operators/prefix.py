@@ -66,12 +66,15 @@ def with_id_range_shard(
         F.max(id_col).cast("long").alias("_ps_hi"),
     )
     width = F.floor((F.col("_ps_hi") - F.col("_ps_lo")) / F.lit(n)) + 1
-    return (
-        df.crossJoin(F.broadcast(bounds))
-        .withColumn(
-            out, F.floor((F.col(id_col) - F.col("_ps_lo")) / width).cast("int")
-        )
-        .drop("_ps_lo", "_ps_hi")
+    # one select instead of withColumn+drop: PySpark analyzes eagerly on
+    # every DataFrame-producing call, so each extra chain step re-walks
+    # the whole accumulated tree — on the deep sharded-sum consumers
+    # (gini, ABC, decile ladders) that analyzer work was measured at
+    # 2-3.5 s of pure driver time per build (VERDICT r10 #3)
+    cols = df.columns
+    return df.crossJoin(F.broadcast(bounds)).select(
+        *cols,
+        F.floor((F.col(id_col) - F.col("_ps_lo")) / width).cast("int").alias(out),
     )
 
 
@@ -123,16 +126,21 @@ def sharded_running_sum(
         .orderBy(shard_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = totals.withColumn(
-        "_ps_off", F.coalesce(F.sum("_ps_tot").over(off_w), F.lit(0))
-    ).select(*partition_cols, shard_col, "_ps_off")
+    offsets = totals.select(
+        *partition_cols,
+        shard_col,
+        F.coalesce(F.sum("_ps_tot").over(off_w), F.lit(0)).alias("_ps_off"),
+    )
     total = F.col("_ps_local") + F.col("_ps_off")
     if not local_t.startswith("decimal"):
         total = total.cast("long")  # normalize int widths; exact by the guard
-    return (
-        local.join(F.broadcast(offsets), [*partition_cols, shard_col])
-        .withColumn(out_col, total)
-        .drop("_ps_local", "_ps_off")
+    # join + ONE select (was join → withColumn → drop: two extra eager
+    # analyses of the deepest tree in the chain — see with_id_range_shard);
+    # the select replicates the join's column order exactly (keys first)
+    keys = [*partition_cols, shard_col]
+    rest = [c for c in df.columns if c not in keys]
+    return local.join(F.broadcast(offsets), keys).select(
+        *keys, *rest, total.alias(out_col)
     )
 
 
@@ -167,16 +175,19 @@ def sharded_running_max(
         .orderBy(shard_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = totals.withColumn("_pm_off", F.max("_pm_tot").over(off_w)).select(
-        *partition_cols, shard_col, "_pm_off"
+    offsets = totals.select(
+        *partition_cols,
+        shard_col,
+        F.max("_pm_tot").over(off_w).alias("_pm_off"),
     )
     # greatest() ignores NULLs, which is exactly prefix-max semantics:
     # an empty local frame (strict first-in-shard row) defers to the
-    # prior shards' max, and a first shard has no offset to defer to
-    return (
-        local.join(F.broadcast(offsets), [*partition_cols, shard_col])
-        .withColumn(out_col, F.greatest("_pm_local", "_pm_off"))
-        .drop("_pm_local", "_pm_off")
+    # prior shards' max, and a first shard has no offset to defer to.
+    # join + ONE select in the join's column order (see sharded_running_sum)
+    keys = [*partition_cols, shard_col]
+    rest = [c for c in df.columns if c not in keys]
+    return local.join(F.broadcast(offsets), keys).select(
+        *keys, *rest, F.greatest("_pm_local", "_pm_off").alias(out_col)
     )
 
 
@@ -203,10 +214,10 @@ def with_value_range_shard(
             ),
         )
     )
-    return (
-        df.crossJoin(F.broadcast(bounds))
-        .withColumn(out, shard.cast("int"))
-        .drop("_ps_lo", "_ps_hi")
+    # one select instead of withColumn+drop (see with_id_range_shard)
+    cols = df.columns
+    return df.crossJoin(F.broadcast(bounds)).select(
+        *cols, shard.cast("int").alias(out)
     )
 
 
@@ -261,9 +272,15 @@ def exact_quantiles(
         .orderBy(SHARD)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    frame = counts.withColumn(
-        "_cum", F.coalesce(F.sum("_cnt").over(cum_w), F.lit(0))
-    ).withColumn("_total", F.sum("_cnt").over(Window.partitionBy(*grp)))
+    # one select for both window columns (two withColumns = two eager
+    # re-analyses of the tree — r11 driver-latency pass)
+    frame = counts.select(
+        *grp,
+        SHARD,
+        "_cnt",
+        F.coalesce(F.sum("_cnt").over(cum_w), F.lit(0)).alias("_cum"),
+        F.sum("_cnt").over(Window.partitionBy(*grp)).alias("_total"),
+    )
     labels = df.sparkSession.createDataFrame(
         [(lbl, float(q)) for lbl, q in qs.items()], ["_lbl", "_q"]
     )
@@ -334,9 +351,15 @@ def exact_quantiles_cont(
         .orderBy(SHARD)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    frame = counts.withColumn(
-        "_cum", F.coalesce(F.sum("_cnt").over(cum_w), F.lit(0))
-    ).withColumn("_total", F.sum("_cnt").over(Window.partitionBy(*grp)))
+    # one select for both window columns (two withColumns = two eager
+    # re-analyses of the tree — r11 driver-latency pass)
+    frame = counts.select(
+        *grp,
+        SHARD,
+        "_cnt",
+        F.coalesce(F.sum("_cnt").over(cum_w), F.lit(0)).alias("_cum"),
+        F.sum("_cnt").over(Window.partitionBy(*grp)).alias("_total"),
+    )
     # two label rows per quantile: the bracketing ranks k and k+1
     labels = df.sparkSession.createDataFrame(
         [

@@ -27,8 +27,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 1e10
+# the SQL-string spelling of SCALE, interpolated into every generated
+# expression below so the Column-tree helpers and the parsed-SQL forms
+# cannot desynchronize (ADVICE r10): 1e10 is integral, so the int form
+# renders as the exact literal both parsers read back as the same double
+_SCALE_SQL = f"{int(SCALE)}E0"
 
 LSH_SEED = "spark-graft-lsh-v1"
+
+
+def _qident(name: str) -> str:
+    """Backtick-quote an identifier for interpolation into generated SQL
+    (escaping embedded backticks — ADVICE r10: the Column API quoted
+    names structurally; the SQL-string forms must do it lexically)."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def rademacher_hyperplanes(
@@ -57,17 +69,17 @@ def _qdot_sql(a: str, b: str) -> str:
     ``CAST(0 AS BIGINT)`` is the same zero literal as before."""
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> "
-        "CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1E10 + 0.5D)"
+        f"CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * {_SCALE_SQL} + 0.5D)"
         " AS BIGINT)), CAST(0 AS BIGINT), (acc, t) -> acc + t)"
     )
 
 
 def _norm_sql(a: str) -> str:
-    return f"sqrt({_qdot_sql(a, a)} / 1E10)"
+    return f"sqrt({_qdot_sql(a, a)} / {_SCALE_SQL})"
 
 
 def _cosine_prenormed_sql(a: str, b: str, norm_a: str, norm_b: str) -> str:
-    return f"(({_qdot_sql(a, b)} / 1E10) / ({norm_a} * {norm_b}))"
+    return f"(({_qdot_sql(a, b)} / {_SCALE_SQL}) / ({norm_a} * {norm_b}))"
 
 
 def _quantized_dot(a: Column, b: Column) -> Column:
@@ -112,16 +124,16 @@ def brute_force_topk(
     from rpa_etl_investing_spark.operators.dedup import spread
 
     q = queries.selectExpr(
-        f"`{id_col}` AS query_id",
-        f"`{vec_col}` AS q_vec",
-        f"{_norm_sql(f'`{vec_col}`')} AS q_norm",
+        f"{_qident(id_col)} AS query_id",
+        f"{_qident(vec_col)} AS q_vec",
+        f"{_norm_sql(f'{_qident(vec_col)}')} AS q_norm",
     )
     # broadcast-cross-join parallelism equals the corpus partition
     # count; spread a few-split scan so the per-pair cosine fans out
     c = spread(corpus, id_col).selectExpr(
-        f"`{id_col}` AS neighbor_id",
-        f"`{vec_col}` AS c_vec",
-        f"{_norm_sql(f'`{vec_col}`')} AS c_norm",
+        f"{_qident(id_col)} AS neighbor_id",
+        f"{_qident(vec_col)} AS c_vec",
+        f"{_norm_sql(f'{_qident(vec_col)}')} AS c_norm",
     )
     scored = (
         F.broadcast(q)
@@ -176,8 +188,8 @@ def sign_lsh_buckets(
     # code loops over the arrays), so the Janino method-size guarantee
     # in the docstring above is unchanged.
     qarr = (
-        f"transform(`{vec_col}`, x -> "
-        "CAST(floor(CAST(x AS DOUBLE) * 1E10 + 0.5D) AS BIGINT))"
+        f"transform({_qident(vec_col)}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {_SCALE_SQL} + 0.5D) AS BIGINT))"
     )
     bits = []
     for row in planes:
@@ -196,13 +208,13 @@ def sign_lsh_buckets(
     # the whole-stage-codegen method and drops the stage to interpreted
     # mode (measured: "Failed to compile" fallback).
     guard = (
-        f"CASE WHEN size(`{vec_col}`) = {dim} THEN '' ELSE raise_error("
+        f"CASE WHEN size({_qident(vec_col)}) = {dim} THEN '' ELSE raise_error("
         f"concat('sign_lsh_buckets: expected {dim}-dim {vec_col}, got ', "
-        f"CAST(size(`{vec_col}`) AS STRING))) END"
+        f"CAST(size({_qident(vec_col)}) AS STRING))) END"
     )
     return vectors.selectExpr(
-        f"`{id_col}`",
-        f"`{vec_col}`",
+        f"{_qident(id_col)}",
+        f"{_qident(vec_col)}",
         f"concat({guard}, {', '.join(bits)}) AS bucket",
     )
 
@@ -235,7 +247,7 @@ def prep_vectors(
     from rpa_etl_investing_spark.operators.dedup import spread
 
     return spread(vectors, id_col).withColumn(
-        "vec_norm", F.expr(_norm_sql(f"`{vec_col}`"))
+        "vec_norm", F.expr(_norm_sql(f"{_qident(vec_col)}"))
     )
 
 
@@ -256,20 +268,20 @@ def ivf_assign_cells(
     :func:`prep_vectors` (``prepared=True`` declares ``vectors`` is
     already that shape and skips it)."""
     c = centroids.selectExpr(
-        f"`{id_col}` AS centroid_id",
-        f"`{vec_col}` AS cent_vec",
-        f"{_norm_sql(f'`{vec_col}`')} AS cent_norm",
+        f"{_qident(id_col)} AS centroid_id",
+        f"{_qident(vec_col)} AS cent_vec",
+        f"{_norm_sql(f'{_qident(vec_col)}')} AS cent_norm",
     )
     prepped = vectors if prepared else prep_vectors(vectors, id_col, vec_col)
     scored = (
         prepped
         .join(F.broadcast(c))
         .selectExpr(
-            f"`{id_col}`",
-            f"`{vec_col}`",
+            f"{_qident(id_col)}",
+            f"{_qident(vec_col)}",
             "vec_norm",
             "centroid_id",
-            f"{_cosine_prenormed_sql(f'`{vec_col}`', 'cent_vec', 'vec_norm', 'cent_norm')}"
+            f"{_cosine_prenormed_sql(f'{_qident(vec_col)}', 'cent_vec', 'vec_norm', 'cent_norm')}"
             " AS cent_cos",
         )
     )
@@ -404,14 +416,14 @@ def ivf_topk(
         )
         query_cells = ivf_assign_cells(queries, centroids, id_col, vec_col, nprobe)
     q = query_cells.selectExpr(
-        f"`{id_col}` AS query_id",
-        f"`{vec_col}` AS q_vec",
+        f"{_qident(id_col)} AS query_id",
+        f"{_qident(vec_col)} AS q_vec",
         "vec_norm AS q_norm",
         "cell_id",
     )
     c = corpus_cells.selectExpr(
-        f"`{id_col}` AS neighbor_id",
-        f"`{vec_col}` AS c_vec",
+        f"{_qident(id_col)} AS neighbor_id",
+        f"{_qident(vec_col)} AS c_vec",
         "vec_norm AS c_norm",
         "cell_id",
     )
@@ -446,17 +458,17 @@ def embedding_near_dup_pairs(
     cosine filter at ``threshold``. The embedding-space analogue of
     MinHash band-bucket dedup."""
     b = sign_lsh_buckets(vectors, n_bits, id_col, vec_col, dim).withColumn(
-        "_nrm", F.expr(_norm_sql(f"`{vec_col}`"))
+        "_nrm", F.expr(_norm_sql(f"{_qident(vec_col)}"))
     )
     a = b.selectExpr(
-        f"`{id_col}` AS vec_a",
-        f"`{vec_col}` AS a_vec",
+        f"{_qident(id_col)} AS vec_a",
+        f"{_qident(vec_col)} AS a_vec",
         "_nrm AS a_norm",
         "bucket",
     )
     c = b.selectExpr(
-        f"`{id_col}` AS vec_b",
-        f"`{vec_col}` AS b_vec",
+        f"{_qident(id_col)} AS vec_b",
+        f"{_qident(vec_col)} AS b_vec",
         "_nrm AS b_norm",
         "bucket",
     )
@@ -485,15 +497,15 @@ def sign_lsh_bucket_topk(
     """ANN: candidates limited to the query's LSH bucket (equi-join on
     bucket key → shuffle partitions by bucket, no cross join)."""
     qb = sign_lsh_buckets(queries, n_bits, id_col, vec_col, dim).selectExpr(
-        f"`{id_col}` AS query_id",
-        f"`{vec_col}` AS q_vec",
-        f"{_norm_sql(f'`{vec_col}`')} AS q_norm",
+        f"{_qident(id_col)} AS query_id",
+        f"{_qident(vec_col)} AS q_vec",
+        f"{_norm_sql(f'{_qident(vec_col)}')} AS q_norm",
         "bucket",
     )
     cb = sign_lsh_buckets(corpus, n_bits, id_col, vec_col, dim).selectExpr(
-        f"`{id_col}` AS neighbor_id",
-        f"`{vec_col}` AS c_vec",
-        f"{_norm_sql(f'`{vec_col}`')} AS c_norm",
+        f"{_qident(id_col)} AS neighbor_id",
+        f"{_qident(vec_col)} AS c_vec",
+        f"{_norm_sql(f'{_qident(vec_col)}')} AS c_norm",
         "bucket",
     )
     scored = (
@@ -565,14 +577,14 @@ def semantic_dedup(
     )
     withvec = corpus.select(id_col, vec_col).join(cells, id_col)
     a = withvec.selectExpr(
-        f"`{id_col}` AS _keep_id",
-        f"`{vec_col}` AS a_vec",
+        f"{_qident(id_col)} AS _keep_id",
+        f"{_qident(vec_col)} AS a_vec",
         "vec_norm AS a_norm",
         "cell_id",
     )
     b = withvec.selectExpr(
-        f"`{id_col}` AS _drop_id",
-        f"`{vec_col}` AS b_vec",
+        f"{_qident(id_col)} AS _drop_id",
+        f"{_qident(vec_col)} AS b_vec",
         "vec_norm AS b_norm",
         "cell_id",
     )

@@ -59,6 +59,26 @@ def dsum(col: Column | str, scale: int = 2) -> Column:
     # same int64→double conversion and division. Verified EXACT (pandas
     # .equals on all float bits) against the decimal-accumulated form
     # at sf0.1 and by the unchanged DuckDB oracles at every fixture SF.
+    #
+    # r11 overflow-detectability audit (ADVICE r10 #1). The concern:
+    # the long-grid buffer narrowed overflow from detectable (the old
+    # DECIMAL(37,s)→BIGINT exit NULL'd past 2^63 grid units) to silent
+    # 2^64 wraparound. Reality on the sessions this engine actually
+    # runs on: Spark 4 defaults spark.sql.ansi.enabled=true (the repo
+    # factory, the driver's bare session, and any vanilla builder), and
+    # under ANSI a BIGINT sum RAISES ARITHMETIC_OVERFLOW — the loudest
+    # possible failure mode — while the per-row DECIMAL(18,s) cast
+    # raises NUMERIC_VALUE_OUT_OF_RANGE. Both bounds are pinned by
+    # tests/test_oracle_parity.py::test_dsum_envelope. ``try_sum``
+    # (NULL on overflow in every mode) was implemented and MEASURED:
+    # +52% on the TPC-H Q1 shape (interleaved A/B med 1.21→1.83 s —
+    # TryEval's update path loses the codegen'd primitive-add) and was
+    # rejected; a caller who explicitly disables ANSI is opting out of
+    # arithmetic-overflow detection session-wide, which no aggregate
+    # spelling here should silently re-arm at a 52% tax. Envelope:
+    # |sum| < 2^63/10^scale grid units, per-row < 10^(18-scale) —
+    # every registered call site is a monetary/quantity domain ≥6
+    # orders of magnitude inside both.
     return (
         F.sum((c.cast(f"decimal(18,{scale})") * F.lit(p)).cast("bigint"))
         .cast("double")

@@ -1,15 +1,16 @@
 #!/usr/bin/env python
-"""r10 optimization profiler — measure first (guide §1).
+"""Optimization profiler — measure first (guide §1).
 
 Times each headline query (noop sink, same methodology as bench.py) and
-writes its ``.explain("formatted")`` to ``plans/r10/<name>_<tag>.txt``
+writes its ``.explain("formatted")`` to ``plans/<round>/<name>_<tag>.txt``
 so before/after plan claims are checkable without running Spark.
 
 Usage: python scripts/opt_profile.py [before|after|<tag>] [filter]
-           [--reps N] [--sf DIR] [--registry name1,name2,...]
+           [--reps N] [--sf DIR] [--registry name1,name2,...] [--round rNN]
 
 ``--registry`` profiles arbitrary registry queries (not just the bench
-headline set) under their registry names.
+headline set) under their registry names. ``--round`` picks the output
+directory under plans/ (default r11).
 """
 
 from __future__ import annotations
@@ -29,6 +30,7 @@ def main() -> int:
     reps = 5
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry_names: list[str] | None = None
+    round_tag = "r11"
     args = []
     i = 0
     while i < len(raw):
@@ -38,6 +40,9 @@ def main() -> int:
             i += 2
         elif a == "--sf":
             sf_dir = raw[i + 1]
+            i += 2
+        elif a == "--round":
+            round_tag = raw[i + 1]
             i += 2
         elif a == "--registry":
             registry_names = raw[i + 1].split(",")
@@ -64,7 +69,7 @@ def main() -> int:
         },
     )
 
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", round_tag)
     os.makedirs(out_dir, exist_ok=True)
 
     warm_dir = "/root/testdata/sf0.001"

@@ -380,3 +380,55 @@ def test_float_outputs_enrolled_or_exempt(spark, sf_dir):
     assert not stale_exempt, f"stale FLOAT_EXEMPT entries: {stale_exempt}"
     empty_reason = [n for n, r in FLOAT_EXEMPT.items() if not r.strip()]
     assert not empty_reason, f"FLOAT_EXEMPT without a reason: {empty_reason}"
+
+
+def test_dsum_envelope(spark):
+    """Pin dsum's documented exactness envelope AND its failure modes
+    (VERDICT r10 next-round #5, ADVICE r10 #1):
+
+    - within |sum| < 2^63/10^scale grid units the long-grid sum is
+      exact;
+    - a GROUP SUM past 2^63 grid units RAISES under ANSI — the default
+      on every session this engine runs (Spark 4: the repo factory,
+      the driver's bare session, any vanilla builder) — so overflow at
+      scale is loud, never silent. (``try_sum``, which would also make
+      the non-ANSI opt-out NULL instead of wrap, was measured +52% on
+      the Q1 shape and rejected — see the dsum docstring; a session
+      that disables ANSI has opted out of overflow detection globally.)
+    - the PER-ROW bound is DECIMAL(18,scale): the largest integral
+      value inside rounds exactly; a value past it raises under ANSI
+      (and NULLs-and-skips under non-ANSI — the same skip semantics,
+      at 10^(18-s) instead of 10^(27-s), as the pre-r10 decimal form).
+      Every registered call site is a monetary/quantity domain ≥6
+      orders of magnitude inside both bounds.
+    """
+    from rpa_etl_investing_spark.plans.aggregates import dsum
+
+    # scale 6: per-row bound is 10^12 (DECIMAL(18,6)); the group bound
+    # is 2^63/10^6 ~ 9.22e12 — so a handful of near-max rows exercise
+    # the buffer bound while each row stays inside the cast bound
+    v = 9e11  # value units; grid contribution 9e17
+    ok = spark.createDataFrame([(v,), (v,)], ["v"])
+    row = ok.agg(dsum("v", 6).alias("s")).collect()[0]
+    assert row["s"] == pytest.approx(2 * v, rel=1e-15)
+
+    # 12 such rows put the grid sum at 1.08e19 > 2^63: ANSI (the
+    # default everywhere this runs) raises ARITHMETIC_OVERFLOW
+    over = spark.createDataFrame([(v,)] * 12, ["v"])
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        over.agg(dsum("v", 6).alias("s")).collect()
+
+    # per-row envelope: DECIMAL(18,6) holds < 10^12 in value units
+    in_bound = 999_999_999_999.0  # largest integral value inside
+    ok2 = spark.createDataFrame([(in_bound,), (1.0,)], ["v"])
+    assert ok2.agg(dsum("v", 6).alias("s")).collect()[0]["s"] == in_bound + 1.0
+    out_bound = spark.createDataFrame([(1e12,)], ["v"])
+    with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+        out_bound.agg(dsum("v", 6).alias("s")).collect()
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        got = out_bound.agg(dsum("v", 6).alias("s")).collect()[0]["s"]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert got is None  # non-ANSI: cast NULLs, sum of no rows is NULL

@@ -49,13 +49,21 @@ EXPECTED_SF01 = {
     "q5_asof_join": ("asof_join_last_purchase", 0, 0, 0, 3),
     "q6_event_time_buckets": ("datetime_bucket_agg", 0, 0, 0, 2),
     "q7_exact_dedup": ("llm_exact_dedup", 0, 0, 0, 2),
-    "q8_minhash_pairs": ("llm_minhash_pairs", 3, 0, 0, 2),
+    # r11: q8/q14 pair generation is the bucket-aggregated form — the
+    # band self-join and the signature re-attach joins are GONE (zero
+    # corpus-sized joins at ANY scale; the only join left is the
+    # hot-bucket broadcast anti join, which AQE prunes entirely when
+    # the hot set is empty, as it is for minhash at sf0.1). The two
+    # extra exchanges vs r10 are the bucket groupBy and the
+    # pair-distinct — both carry compact rows and replace what at 100×
+    # used to be 3 SortMergeJoins over 6 exchanges (SCALE.md r11).
+    "q8_minhash_pairs": ("llm_minhash_pairs", 0, 0, 0, 4),
     "q9_similarity_bruteforce": ("llm_similarity_bruteforce", 0, 0, 0, 3),
     "q10_token_stats": ("llm_token_stats", 0, 0, 0, 1),
     "q11_shipping_priority": ("analytics_shipping_priority", 2, 0, 0, 1),
     "q12_similarity_ivf": ("llm_similarity_ivf", 2, 0, 0, 2),
     "q13_zorder_layout": ("source_zorder_layout", 0, 0, 0, 3),
-    "q14_simhash64_pairs": ("llm_simhash64_hamming_pairs", 2, 0, 0, 2),
+    "q14_simhash64_pairs": ("llm_simhash64_hamming_pairs", 1, 0, 0, 4),
     "q15_heavy_hitters": ("llm_heavy_hitters", 1, 0, 0, 4),
     "q16_skew_dup_payments": ("etl_duplicate_payment_scan", 1, 0, 0, 1),
     "q17_ivfpq_adc": ("llm_ivfpq_adc_search", 2, 0, 0, 4),
@@ -104,17 +112,24 @@ def test_headline_plan_shape_sf01(spark, bench_name):
     [
         # bounded-by-construction broadcasts that must SURVIVE 10×
         ("q17_ivfpq_adc", 2),
-        # band-bucket relations still under the 64 MB gate at 10×
-        # (SCALE.md addendum; they flip to SMJ at 100×)
-        ("q8_minhash_pairs", 3),
-        # the hot-bucket cap list is tiny at any scale
-        ("q14_simhash64_pairs", 2),
+        # r11: the dedup pair paths have NO corpus-sized join at any
+        # scale (bucket-aggregated pair generation); the only join that
+        # may appear is the tiny hot-bucket anti join (None = don't pin
+        # the count — AQE prunes it when the hot set is empty). The
+        # invariant asserted below is zero sort-merge joins.
+        ("q8_minhash_pairs", None),
+        ("q14_simhash64_pairs", None),
     ],
 )
 def test_headline_plan_shape_sf1(spark, bench_name, broadcasts):
     reg = EXPECTED_SF01[bench_name][0]
     f = _features(spark, reg, SF1)
-    assert f["broadcast_joins"] == broadcasts, (
-        f"{bench_name} at 10×: expected {broadcasts} broadcasts, got "
-        f"{f['broadcast_joins']} — a pinned/lost broadcast at scale"
+    assert f["sortmerge_joins"] == 0, (
+        f"{bench_name} at 10×: {f['sortmerge_joins']} sort-merge joins "
+        f"appeared — a corpus-sized join snuck back into the pipeline"
     )
+    if broadcasts is not None:
+        assert f["broadcast_joins"] == broadcasts, (
+            f"{bench_name} at 10×: expected {broadcasts} broadcasts, got "
+            f"{f['broadcast_joins']} — a pinned/lost broadcast at scale"
+        )
