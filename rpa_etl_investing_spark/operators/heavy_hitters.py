@@ -96,7 +96,17 @@ def heavy_hitters(
     toks = docs.select(
         F.explode(F.split(F.col(text_col), " ")).alias("token")
     )
-    total = toks.agg(F.count("*").cast("long").alias("total_tokens"))
+    # r11 (guide §2.3 aggregate before you explode): the total used to
+    # re-explode the whole corpus a second time (count over the token
+    # rows); sum(size(split)) is the same BIGINT — size counts the
+    # array elements explode would emit, and a NULL text contributes
+    # NULL to the sum exactly as explode contributes no rows — computed
+    # map-side in one pass with no fan-out.
+    total = docs.agg(
+        F.sum(F.size(F.split(F.col(text_col), " ")))
+        .cast("long")
+        .alias("total_tokens")
+    )
     counted = (
         toks.join(F.broadcast(candidates), "token", "left_semi")
         .groupBy("token")

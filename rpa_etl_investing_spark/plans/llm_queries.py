@@ -3626,7 +3626,24 @@ def llm_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads the broadcast LUT instead of 64-float vectors — the memory-
     traffic win that makes PQ the production layout. Residual encoding
     (codes of v − centroid) and Lloyd-trained codebooks drop in via
-    `lloyd_refine_centroids` without changing this plan shape."""
+    `lloyd_refine_centroids` without changing this plan shape.
+
+    r11: two rewrites were prototyped here and MEASURED (guide §1):
+
+    - Encode via a broadcast codebook ARRAY + map-side `array_min`
+      argmins (zero encode shuffles/sorts) — REJECTED: bit-identical
+      results, but the per-row struct-array HOF allocation churn ran
+      2× SLOWER than this fan-out + min(struct) form at the 100×
+      probe (10.4-11.0 s vs 4.8-5.7 s interleaved A/B; sf0.1 1.4-1.7 s
+      vs 1.2 s). The SortAggregate pair + corpus exchange it removes
+      carries narrow partially-aggregated rows, which is cheaper than
+      interpreted struct-array materialization at every scale probed.
+    - ADC via a per-query LUT MAP carried in the 16 broadcast probe
+      rows — KEPT: the per-candidate distance is one map-side 4-term
+      BIGINT add ((query, neighbor) is unique in cand since each
+      vector lives in exactly one cell, so the old SUM over 4 melted
+      rows equals this add), replacing the ×4 candidate melt, the LUT
+      broadcast join, and the (query, neighbor) re-aggregate."""
     emb = tbl(spark, sf_dir, "embeddings")
     cent = emb.filter("vec_id < 8").selectExpr(
         "vec_id AS cid", "embedding AS cemb"
@@ -3672,39 +3689,33 @@ def llm_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # queries (vecs 8..15): top-2 probe cells AND the per-query 4×8 ADC
+    # lookup table (map cid -> [d0..d3]) together in 16 broadcast rows
     qscored = scored.filter("vec_id < 16")
     from pyspark.sql.window import Window as W
 
-    wq = W.partitionBy("vec_id").orderBy("dqtot", "cid")
     probes = (
-        qscored.select("vec_id", "cid", "dqtot")
-        .withColumn("rn", F.row_number().over(wq))
-        .filter("rn <= 2")
-        .selectExpr("vec_id AS query_id", "cid AS cell_id")
+        qscored.selectExpr(
+            "vec_id",
+            "cid",
+            "map_from_entries(collect_list(struct(cid, "
+            "array(dq0, dq1, dq2, dq3))) "
+            "OVER (PARTITION BY vec_id)) AS lutm",
+            "row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY dqtot, cid) AS rn",
+        )
+        .where("rn <= 2")
+        .selectExpr("vec_id AS query_id", "cid AS cell_id", "lutm")
     )
-    lut = qscored.selectExpr(
-        "vec_id AS query_id",
-        "cid",
-        "stack(4, 0, dq0, 1, dq1, 2, dq2, 3, dq3) AS (j, lut_q)",
-    ).select("query_id", "j", "cid", "lut_q")
 
     cand = enc.join(F.broadcast(probes), "cell_id").filter(
         "neighbor_id != query_id"
     )
-    melt = cand.selectExpr(
+    adc = cand.selectExpr(
         "query_id",
         "neighbor_id",
-        "stack(4, 0, code0, 1, code1, 2, code2, 3, code3) AS (j, code)",
-    )
-    adc = (
-        melt.alias("m")
-        .join(
-            F.broadcast(lut).alias("l"),
-            F.expr("m.query_id = l.query_id AND m.j = l.j AND m.code = l.cid"),
-        )
-        .selectExpr("m.query_id", "neighbor_id", "lut_q")
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.expr("CAST(sum(lut_q) AS BIGINT) AS adc_q"))
+        "CAST(lutm[code0][0] + lutm[code1][1] + lutm[code2][2] "
+        "+ lutm[code3][3] AS BIGINT) AS adc_q",
     )
     wr = W.partitionBy("query_id").orderBy("adc_q", "neighbor_id")
     return (

@@ -28,16 +28,16 @@ NOTES = {
     "q5_asof_join": "union + merge-scan window: ONE shuffle on (key), no range cross-join",
     "q6_event_time_buckets": "epoch-aligned buckets computed map-side, long-grid BIGINT revenue, agg on bucket",
     "q7_exact_dedup": "hash-aggregate on sha256(text): shuffles hashes, never text",
-    "q8_minhash_pairs": "pre-partitioned explode (no post-explode shuffle), numeric HashAggregate, band-key equi-join",
+    "q8_minhash_pairs": "pre-partitioned explode (no post-explode shuffle), numeric HashAggregate; bucket-aggregated pair generation (collect_list per packed band key, i<j pairs emitted map-side with signatures in-struct) — zero corpus-sized joins at any scale (r11)",
     "q9_similarity_bruteforce": "query side broadcast; corpus partitioned, never shuffled",
     "q10_token_stats": "explode → partial count → final count, top-k take-ordered",
     "q11_shipping_priority": "selective dim filter first, two fact shuffles, take-ordered top-k",
-    "q12_similarity_ivf": "broadcast coarse quantizer, equi-join on cell id",
+    "q12_similarity_ivf": "broadcast coarse quantizer, equi-join on cell id; Lloyd step is one 64-buffer hash aggregate (no posexplode fan-out), probe side broadcast-hinted (bounded by |qkeys|*nprobe) (r11)",
     "q13_zorder_layout": "Morton interleave computed map-side; one range exchange for the layout sort",
-    "q14_simhash64_pairs": "persisted 64-bit signatures, pigeonhole band equi-join, bit_count Hamming residual",
-    "q15_heavy_hitters": "per-partition Misra-Gries in Arrow batches, broadcast-semi-join thin, exact recount",
+    "q14_simhash64_pairs": "persisted 64-bit signatures; bucket-aggregated pair generation with bit_count Hamming filtered BEFORE the pair-distinct (r11) — no band self-join",
+    "q15_heavy_hitters": "per-partition Misra-Gries in Arrow batches, broadcast-semi-join thin, exact recount; total tokens via map-side sum(size(split)) — the corpus explodes once (r11)",
     "q16_skew_dup_payments": "same-key self-join, residual integer band predicates; AQE skew split carves whale keys at scale (r10 measured the banded variant 4× slower at 100× — rejected, see SCALE.md)",
-    "q17_ivfpq_adc": "broadcast codebook/LUT cross-joins (literal-bounded build sides), probed-cell LeftSemi thinning — candidates' raw vectors never read; ADC sums fold map-side",
+    "q17_ivfpq_adc": "codebook folded into one broadcast array cell: encode + argmins fully map-side (no SortAggregate, no corpus exchange); per-query LUT map carried in the 16 probe rows, ADC distance a 4-term projection add; single exchange = final top-5 window (r11)",
 }
 
 

@@ -16,6 +16,8 @@ and mask exactly the bug class this guards against.
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import subprocess
@@ -79,6 +81,7 @@ print("RESULT:" + json.dumps(out))
 """
 
 
+@pytest.mark.slow
 def test_events_queries_on_bare_session(sf_dir):
     proc = subprocess.run(
         [sys.executable, "-c", _CHILD.format(repo=REPO, names=EVENTS_QUERIES, sf_dir=sf_dir)],

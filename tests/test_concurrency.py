@@ -17,6 +17,8 @@ These tests hammer exactly those paths:
 
 from __future__ import annotations
 
+import pytest
+
 import threading
 from concurrent.futures import ThreadPoolExecutor
 
@@ -57,6 +59,7 @@ CONCURRENT_SLICE = [
 ]
 
 
+@pytest.mark.slow
 def test_concurrent_slice_matches_oracles(spark, sf_dir):
     """24 registry queries issued from 8 threads against ONE session,
     each compared against its DuckDB oracle. Any registry race (wrong
@@ -146,6 +149,7 @@ def test_scratch_dir_is_thread_keyed():
     ), "same-thread scratch path not stable"
 
 
+@pytest.mark.slow
 def test_lru_registry_thread_safety(spark):
     """16 threads × 40 keep_or_reuse calls over 4 scopes and 12 distinct
     plans per scope: the store must never lose the LRU invariant (≤ cap

@@ -86,6 +86,7 @@ def _ground_truth_components(edge_list):
 
 
 @pytest.mark.parametrize("seed", [7, 101, 2026])
+@pytest.mark.slow
 def test_large_small_star_equals_iterative(spark, seed):
     """Property: on random graphs (plus an adversarial 40-chain, the
     diameter case large/small-star exists for), the SoCC'14 alternating

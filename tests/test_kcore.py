@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from rpa_etl_investing_spark.operators.graph import kcore_peel, release_kcore_caches
@@ -47,6 +49,7 @@ def test_matches_sequential_reference(spark):
     release_kcore_caches()
 
 
+@pytest.mark.slow
 def test_fixture_graph_converges_at_registered_rounds(spark, sf_dir):
     """The registered graph_kcore runs 4 rounds; a 5th round must not
     change the result on the fixture's trade graph — the bounded unroll

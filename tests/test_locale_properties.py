@@ -15,6 +15,8 @@ vectorized — the same shape the engine uses in production).
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -73,6 +75,7 @@ def _agree(a: float | None, b: float | None) -> bool:
 
 @settings(max_examples=25, deadline=None)
 @given(st.lists(_locale_text, min_size=20, max_size=120))
+@pytest.mark.slow
 def test_number_parse_matches_reference_semantics(spark, batch):
     want = [_reference_parse(v) for v in batch]
     got = _spark_parse_all(spark, batch, percent=False)
@@ -83,6 +86,7 @@ def test_number_parse_matches_reference_semantics(spark, batch):
 
 @settings(max_examples=25, deadline=None)
 @given(st.lists(_locale_text, min_size=20, max_size=120))
+@pytest.mark.slow
 def test_percent_parse_matches_reference_semantics(spark, batch):
     want = [_reference_parse(v, percent=True) for v in batch]
     got = _spark_parse_all(spark, batch, percent=True)

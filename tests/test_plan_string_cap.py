@@ -14,6 +14,8 @@ algorithm unrolled its lineage.
 
 from __future__ import annotations
 
+import pytest
+
 from rpa_etl_investing_spark.catalog import MAX_PLAN_STRING_LENGTH, tbl
 
 
@@ -33,6 +35,7 @@ def test_tbl_pins_plan_string_cap(spark, sf_dir):
     )
 
 
+@pytest.mark.slow
 def test_kcore_plan_string_bounded(spark, sf_dir):
     """The exact r8 OOM shape: build the unrolled k-core peel plan and
     render its formatted string; it must come back truncated within the

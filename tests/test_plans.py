@@ -256,6 +256,83 @@ def test_ivf_lloyd_refinement_recall(spark, sf_dir):
     assert r2 >= r1, (r1, r2)
 
 
+def test_lloyd_refine_matches_wide_sum_reference(spark, sf_dir):
+    """r11 internals pin: the posexplode Lloyd step must be BIT-identical
+    to the "one wide aggregate" spelling (64 BIGINT grid sums + count
+    per cell, no fan-out) that r11 prototyped and REJECTED on driver
+    latency (the 64-expression aggregate inflated every downstream
+    eager analysis of the ivf_topk tree; q12 construction 0.30 s vs
+    0.82-0.99 s interleaved A/B). Values agree exactly — same
+    floor(val·1e10 + 0.5) BIGINTs, exact order-free sums, same
+    sum/count/1e10 division per position — so the rejection is purely
+    a performance fact, re-checkable here if analyzer costs change."""
+    from rpa_etl_investing_spark.operators.similarity import (
+        SCALE,
+        ivf_assign_cells,
+        lloyd_refine_centroids,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    cells = ivf_assign_cells(emb, emb.filter(F.col("vec_id") < 8))
+
+    def wide_sum(corpus_cells, dim=64):
+        sums = [
+            F.sum(
+                F.expr(
+                    f"CAST(FLOOR(CAST(embedding[{i}] AS DOUBLE) * 1E10"
+                    " + 0.5D) AS BIGINT)"
+                )
+            ).alias(f"_ls{i}")
+            for i in range(dim)
+        ]
+        comp = corpus_cells.groupBy("cell_id").agg(
+            *sums, F.count(F.lit(1)).alias("_ln")
+        )
+        return comp.select(
+            F.col("cell_id").alias("vec_id"),
+            F.array(
+                *[
+                    (F.col(f"_ls{i}") / F.col("_ln") / F.lit(SCALE))
+                    for i in range(dim)
+                ]
+            ).alias("embedding"),
+        )
+
+    got = {
+        r.vec_id: tuple(r.embedding)
+        for r in lloyd_refine_centroids(cells).collect()
+    }
+    want = {
+        r.vec_id: tuple(r.embedding) for r in wide_sum(cells).collect()
+    }
+    assert got == want  # exact double equality, not approx
+
+
+def test_ivfpq_adc_is_map_side(spark, sf_dir):
+    """r11 plan pin: llm_ivfpq_adc_search's ADC stage reads a per-query
+    LUT MAP carried in the broadcast probe rows — the plan must contain
+    NO Generate (the old ×4 candidate melt) and exactly ONE
+    BroadcastHashJoin (probes onto enc; the old LUT re-attach join is
+    gone), with the distance a map-side projection (map_from_entries
+    present, no post-join aggregate). The encode keeps its fan-out +
+    min(struct) SortAggregate form: the r11 array_min map-side variant
+    was bit-identical but measured 2× SLOWER at 100× (struct-array HOF
+    allocation churn) and was rejected — see OPTIMIZATION_r11.md."""
+    plan = _plan(QUERIES["llm_ivfpq_adc_search"].fn(spark, sf_dir))
+    assert "Generate" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "map_from_entries" in plan, plan
+
+
+def test_heavy_hitters_explodes_corpus_once(spark, sf_dir):
+    """r11 plan pin (guide §2.3): llm_heavy_hitters' total-token count
+    is the map-side sum(size(split(text))) — only the candidate
+    recount explodes the corpus, so exactly one Generate node (plus
+    the ArrowEval MG pass) appears in the plan."""
+    plan = _plan(QUERIES["llm_heavy_hitters"].fn(spark, sf_dir))
+    assert plan.count("Generate explode") == 1, plan
+
+
 def test_exists_subquery_plans_as_semi_join(spark, sf_dir):
     """Correlated EXISTS must execute as one (semi) hash join on the
     correlation key — never a per-row probe or nested loop."""
@@ -843,6 +920,7 @@ def _hint_violations(analyzed: str) -> list[str]:
     return bad
 
 
+@pytest.mark.slow
 def test_no_broadcast_hint_on_sf_scaling_tables_full_registry(spark, sf_dir):
     """FULL-REGISTRY sweep (VERDICT r5 next-round #2): no registered
     query may pin a broadcast whose hinted subtree reaches an

@@ -38,6 +38,9 @@ INITDB = "/usr/local/bin/initdb"
 PG_CTL = "/usr/local/bin/pg_ctl"
 PG_PORT = 54000 + os.getpid() % 1000
 
+# embedded-Postgres boot + live-wire legs: slow tier (pytest.ini; VERDICT r10 #2)
+pytestmark = pytest.mark.slow
+
 
 def _as_pg_user(args: list[str]) -> list[str]:
     """postgres refuses to run as root; drop to `nobody` when needed."""

@@ -61,12 +61,29 @@ EXPECTED_SF01 = {
     "q9_similarity_bruteforce": ("llm_similarity_bruteforce", 0, 0, 0, 3),
     "q10_token_stats": ("llm_token_stats", 0, 0, 0, 1),
     "q11_shipping_priority": ("analytics_shipping_priority", 2, 0, 0, 1),
-    "q12_similarity_ivf": ("llm_similarity_ivf", 2, 0, 0, 2),
+    # r11: probe side explicitly broadcast (bounded by |qkeys|·nprobe;
+    # the r6 100× probe saw the un-hinted join flip to an SMJ that
+    # shuffled the whole corpus assignment). The hint streams the
+    # corpus side, so the final rank window pays one NEW exchange of
+    # the narrow candidate rows (the r10 shape window-reused the query
+    # side's vec_id partitioning by luck) — candidates are 4 scalar
+    # columns vs the corpus assignment's 64-dim vectors, the right
+    # trade at every scale. Lloyd's (cell,pos) grid exchange is gone
+    # (64-buffer single aggregate), net 2→3 here because the checksum
+    # probe's aggregate rides on top.
+    "q12_similarity_ivf": ("llm_similarity_ivf", 2, 0, 0, 3),
     "q13_zorder_layout": ("source_zorder_layout", 0, 0, 0, 3),
     "q14_simhash64_pairs": ("llm_simhash64_hamming_pairs", 1, 0, 0, 4),
     "q15_heavy_hitters": ("llm_heavy_hitters", 1, 0, 0, 4),
     "q16_skew_dup_payments": ("etl_duplicate_payment_scan", 1, 0, 0, 1),
-    "q17_ivfpq_adc": ("llm_ivfpq_adc_search", 2, 0, 0, 4),
+    # r11: the ADC stage's ×4 candidate melt + LUT broadcast join +
+    # (query, neighbor) re-aggregate are replaced by a per-query LUT
+    # map carried in the 16 broadcast probe rows — one broadcast join
+    # left (probes onto enc). Exchanges: encode min(struct) aggregate,
+    # probes windows, final top-5 window, + the checksum probe's own
+    # aggregate. (The map-side array_min ENCODE variant was measured
+    # 2× slower at 100× and rejected — OPTIMIZATION_r11.md §4.)
+    "q17_ivfpq_adc": ("llm_ivfpq_adc_search", 1, 0, 0, 4),
 }
 
 
@@ -111,7 +128,10 @@ def test_headline_plan_shape_sf01(spark, bench_name):
     "bench_name,broadcasts",
     [
         # bounded-by-construction broadcasts that must SURVIVE 10×
-        ("q17_ivfpq_adc", 2),
+        # (r11: 1 — the LUT re-attach join is gone [per-query LUT map
+        # rides in the probe rows], leaving probes→enc as the single
+        # broadcast hash join)
+        ("q17_ivfpq_adc", 1),
         # r11: the dedup pair paths have NO corpus-sized join at any
         # scale (bucket-aggregated pair generation); the only join that
         # may appear is the tiny hot-bucket anti join (None = don't pin
