@@ -42,19 +42,29 @@ from pyspark.sql import functions as F
 def _mg_partition(
     batches: Iterator[pd.DataFrame], text_col: str, k: int
 ) -> Iterator[pd.DataFrame]:
-    """Misra–Gries over one partition's documents, batch-merged (r10,
-    guide §4.2): instead of streaming token-at-a-time through an
-    interpreted Python loop, each Arrow batch is counted with a
-    vectorized ``value_counts`` and MERGED into the running summary via
-    the mergeable-summaries reduction (Agarwal et al., PODS'12): add
-    the batch counts, and while more than k counters live, subtract the
-    (k+1)-th largest counter value from all and drop the non-positive.
-    The merged summary keeps the MG guarantee — any item with partition
-    count ≥ n_p/(k+1) survives — so the union of partition summaries
-    remains a SUPERSET of the true θ-heavy hitters (the property pass 2
-    needs; pass 2's exact recount makes the final answer independent of
-    which valid summary pass 1 produced).  Emits the surviving
-    candidate tokens once, at end of partition."""
+    """Misra–Gries over one partition's documents, batch-merged via the
+    mergeable-summaries reduction (Agarwal et al., PODS'12): count each
+    Arrow batch whole, add the batch counts, and while more than k
+    counters live subtract the (k+1)-th largest counter value from all
+    and drop the non-positive. The merged summary keeps the MG
+    guarantee — any item with partition count ≥ n_p/(k+1) survives — so
+    the union of partition summaries remains a SUPERSET of the true
+    θ-heavy hitters (the property pass 2 needs; pass 2's exact recount
+    makes the final answer independent of which valid summary pass 1
+    produced). Emits the surviving candidates once, at end of partition.
+
+    Batch counting (r11, guide §4.2 measured twice): the r10 spelling
+    ``s.str.split(" ").explode().value_counts()`` is NOT vectorized —
+    pandas str ops on object dtype are Python-level loops plus Series
+    materialization, and at the 100× fixture it ran 0.6× the speed of
+    the r9 token-at-a-time dict loop it replaced. The fast path is
+    ``" ".join(batch).split(" ")`` + ``Counter.update(list)``: both the
+    split and the counting loop run in C (CPython's str.split and
+    collections._count_elements), and the join/split round-trip is
+    token-multiset-exact — split(" ") of texts joined by a single " "
+    is precisely the concatenation of each text's split(" ") list
+    (the separator closes the previous text's final token, empty
+    tokens included). Numbers in SCALE.md r11 addendum."""
     from collections import Counter
 
     counters: Counter = Counter()
@@ -62,8 +72,7 @@ def _mg_partition(
         s = pdf[text_col].dropna()
         if s.empty:
             continue
-        vc = s.str.split(" ").explode().value_counts()
-        counters.update(dict(vc))
+        counters.update(" ".join(s.tolist()).split(" "))
         if len(counters) > k:
             # subtract the (k+1)-th largest value from every counter and
             # drop non-positives — one mergeable-MG decrement step

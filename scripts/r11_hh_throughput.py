@@ -53,7 +53,7 @@ def _mg_r9(batches: Iterator[pd.DataFrame], text_col: str, k: int):
 
 
 def _mg_r10(batches: Iterator[pd.DataFrame], text_col: str, k: int):
-    """The current pass 1 (operators/heavy_hitters.py _mg_partition)."""
+    """The r10 pass 1: pandas str.split/explode/value_counts batches."""
     counters: Counter = Counter()
     for pdf in batches:
         s = pdf[text_col].dropna()
@@ -61,6 +61,22 @@ def _mg_r10(batches: Iterator[pd.DataFrame], text_col: str, k: int):
             continue
         vc = s.str.split(" ").explode().value_counts()
         counters.update(dict(vc))
+        if len(counters) > k:
+            dec = sorted(counters.values(), reverse=True)[k]
+            counters = Counter(
+                {t: c - dec for t, c in counters.items() if c > dec}
+            )
+    yield pd.DataFrame({"token": list(counters.keys())})
+
+
+def _mg_r11(batches: Iterator[pd.DataFrame], text_col: str, k: int):
+    """The r11 pass 1: C-level join/split + Counter.update (current)."""
+    counters: Counter = Counter()
+    for pdf in batches:
+        s = pdf[text_col].dropna()
+        if s.empty:
+            continue
+        counters.update(" ".join(s.tolist()).split(" "))
         if len(counters) > k:
             dec = sorted(counters.values(), reverse=True)[k]
             counters = Counter(
@@ -101,21 +117,25 @@ def main() -> int:
         )
         return time.perf_counter() - t0
 
-    # warm the scan once so neither variant pays the page-cache fill
-    pass1(_mg_r10, "warm")
-    r9s, r10s = [], []
-    for _ in range(reps):  # interleaved A/B: host noise hits both
+    # warm the scan once so no variant pays the page-cache fill
+    pass1(_mg_r11, "warm")
+    r9s, r10s, r11s = [], [], []
+    for _ in range(reps):  # interleaved A/B/C: host noise hits all
         r9s.append(pass1(_mg_r9, "r9-per-token"))
-        r10s.append(pass1(_mg_r10, "r10-vectorized"))
-    r9m = sorted(r9s)[len(r9s) // 2]
-    r10m = sorted(r10s)[len(r10s) // 2]
+        r10s.append(pass1(_mg_r10, "r10-value-counts"))
+        r11s.append(pass1(_mg_r11, "r11-join-split-counter"))
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    r9m, r10m, r11m = med(r9s), med(r10s), med(r11s)
     rec = {
         "tokens": n_tokens,
         "r9_per_token_sec": [round(t, 2) for t in sorted(r9s)],
-        "r10_vectorized_sec": [round(t, 2) for t in sorted(r10s)],
+        "r10_value_counts_sec": [round(t, 2) for t in sorted(r10s)],
+        "r11_join_split_sec": [round(t, 2) for t in sorted(r11s)],
         "r9_tokens_per_sec": round(n_tokens / r9m),
         "r10_tokens_per_sec": round(n_tokens / r10m),
-        "speedup": round(r9m / r10m, 2),
+        "r11_tokens_per_sec": round(n_tokens / r11m),
+        "speedup_vs_r9": round(r9m / r11m, 2),
+        "speedup_vs_r10": round(r10m / r11m, 2),
     }
     print(rec)
 
@@ -125,15 +145,21 @@ def main() -> int:
             "(VERDICT r10 #7)\n\n"
             "Pass 1 ONLY (the Arrow mapInPandas candidate sweep, noop sink,\n"
             f"k={K}) on the 100× documents table ({n_tokens:,} tokens),\n"
-            f"interleaved A/B, {reps} reps each, medians:\n\n"
+            f"interleaved A/B/C, {reps} reps each, medians:\n\n"
             "| pass-1 implementation | median s | tokens/sec |\n"
             "|---|---|---|\n"
-            f"| r9 per-token interpreted loop | {sorted(rec['r9_per_token_sec'])[len(r9s)//2]} | {rec['r9_tokens_per_sec']:,} |\n"
-            f"| r10 batch value_counts + mergeable-summary reduction | {sorted(rec['r10_vectorized_sec'])[len(r10s)//2]} | {rec['r10_tokens_per_sec']:,} |\n"
-            f"\nSpeedup: **{rec['speedup']}×** (guide §4.2: the per-token work now\n"
-            "runs in pandas C instead of the Python interpreter; both variants\n"
-            "produce valid MG candidate supersets and pass 2's exact recount\n"
-            "makes the final answer implementation-independent).\n"
+            f"| r9 per-token interpreted loop | {med(r9s):.2f} | {rec['r9_tokens_per_sec']:,} |\n"
+            f"| r10 pandas str.split/explode/value_counts | {med(r10s):.2f} | {rec['r10_tokens_per_sec']:,} |\n"
+            f"| r11 C-level join/split + Counter.update | {med(r11s):.2f} | {rec['r11_tokens_per_sec']:,} |\n"
+            f"\nr11 vs r9: **{rec['speedup_vs_r9']}×**; r11 vs r10:"
+            f" **{rec['speedup_vs_r10']}×**. The measurement VERDICT #7 asked\n"
+            "for falsified r10's vectorization claim: pandas str ops on object\n"
+            "dtype are Python-level loops plus Series churn and ran 0.6× the\n"
+            "r9 dict loop at this fixture. The shipped r11 form does the\n"
+            "split and the counting in C (str.split + Counter's\n"
+            "_count_elements); all three variants emit valid MG candidate\n"
+            "supersets and pass 2's exact recount makes the final answer\n"
+            "implementation-independent.\n"
         )
     print("appended SCALE.md")
     return 0

@@ -48,6 +48,18 @@ def main() -> int:
             # out against the median (same scaling argument as the r6
             # probe; thresholds below scale with it)
             "spark.sql.shuffle.partitions": "2000",
+            # At ≥2000 reduce partitions Spark switches to
+            # HighlyCompressedMapStatus, which reports only the AVERAGE
+            # block size (individual blocks are tracked accurately only
+            # above spark.shuffle.accurateBlockThreshold = 100 MB) — the
+            # probe's sub-MB whale blocks become statistically invisible
+            # and OptimizeSkewedJoin sees median == max (observed in its
+            # DEBUG log before this was set). This factor is the
+            # purpose-built knob: blocks larger than factor × median are
+            # tracked accurately inside the compressed status. At
+            # production block sizes (a real whale's per-mapper blocks
+            # exceed 100 MB) the default threshold already tracks them.
+            "spark.shuffle.accurateBlockSkewedFactor": "2.0",
         },
     )
 
@@ -74,6 +86,19 @@ def main() -> int:
         )
         spark.conf.set(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes", "192KB"
+        )
+        # probe-scaled like the thresholds: the whale partition is ~4.3×
+        # the median here (816 KB vs 191 KB measured in the rule's DEBUG
+        # log) — production whales dwarf the default 5× factor
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0"
+        )
+        # the split target is max(advisory, minPartitionSize); the 1 MB
+        # default minimum exceeds the probe's whole whale partition and
+        # silently vetoes the split (observed: "actual target size
+        # 1048576" in ShufflePartitionsUtil's log, no split)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "16KB"
         )
         df = QUERIES["etl_duplicate_payment_scan"].fn(spark, whale_dir)
         # checksum wrapper: execute THIS QueryExecution (so the final
@@ -131,6 +156,16 @@ def main() -> int:
             "partition) and the same work spreads across the cluster —\n"
             "q16's only whale guard since the r10 banding rejection, now\n"
             "observed firing (`skew=true`) on this exact query shape.\n"
+            "\nProbe-scale gotcha worth recording: at ≥2000 reduce partitions\n"
+            "Spark's HighlyCompressedMapStatus reports only AVERAGE block\n"
+            "sizes (accurate tracking starts at 100 MB/block), so the probe's\n"
+            "sub-MB whale was statistically INVISIBLE to OptimizeSkewedJoin —\n"
+            "its DEBUG log showed median == max == avg and 0 skewed\n"
+            "partitions until `spark.shuffle.accurateBlockSkewedFactor=2.0`\n"
+            "made over-median blocks accurate. A production whale's blocks\n"
+            "exceed the 100 MB accurate threshold on their own; clusters\n"
+            "running thousands of reducers with mid-sized whales should set\n"
+            "the factor explicitly.\n"
         )
     print("appended SCALE.md")
     return 0
